@@ -1,0 +1,5 @@
+"""Repo-root conftest so `python -m pytest tests/` resolves the package in-place."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -1,0 +1,144 @@
+"""Config layer: YAML + recursive deep-merge over hardcoded defaults.
+
+Semantics match the reference loader (reference: src/config.py:5-108):
+  - hardcoded ``DEFAULTS`` covering every section of the public schema,
+  - user YAML deep-merged over defaults (dict-into-dict recursion, scalars
+    and lists replace wholesale),
+  - ``None`` branches in user YAML sanitized to ``{}`` so ``.get()`` chains
+    never crash,
+  - project root discovered by walking up from this file for a ``configs/``
+    directory; default config is ``<root>/configs/default.yaml``.
+
+Schema (reference: configs/default.yaml:1-69, SURVEY.md §2.4): camera,
+preview{compare,record}, preprocess{chain,auto_gate}, detect, tracking,
+geometry{projector}, vis{draw}.
+"""
+from __future__ import annotations
+
+from copy import deepcopy
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import yaml
+
+DEFAULTS: Dict[str, Any] = {
+    "camera": {
+        "source": 0,
+        "width": 1280,
+        "height": 720,
+        "fps_request": 30,
+        "backend": "auto",
+    },
+    "preview": {
+        "show_fps": True,
+        "compare": {
+            "enable": True,
+            "layout": "h",
+            "label_raw": "RAW",
+            "label_proc": "PROC",
+            "divider_px": 4,
+        },
+        "record": {
+            "enable": False,
+            "path": "out_compare.mp4",
+            "fps": 30,
+        },
+    },
+    "preprocess": {
+        "enabled": False,
+        "chain": [],
+        "auto_gate": {
+            "enable_low_contrast_gate": False,
+            "contrast_thresh": 20.0,
+        },
+    },
+    "detect": {
+        "enabled": False,
+        "backend": "ultralytics",
+        "model": "yolov8n.pt",
+        "device": "auto",
+        "conf_thres": 0.25,
+        "iou_thres": 0.7,
+        "max_det": 100,
+        "classes_keep": [],
+    },
+    "tracking": {
+        "enabled": False,
+        "backend": "sort",
+        "max_staleness": 1.0,
+        "min_hits": 3,
+        "iou_threshold": 0.3,
+        "speed_window": 0.75,
+    },
+    "geometry": {
+        "enabled": False,
+        "projector": {
+            "type": "homography",
+            "image_points": [],
+            "world_points": [],
+            "origin": [0.0, 0.0],
+            "max_distance": 1_000_000.0,
+        },
+    },
+    "vis": {
+        "draw": {
+            "det": True,
+            "thickness": 2,
+            "font_scale": 0.6,
+        },
+    },
+    # TPU-native extensions (not present in the reference; additive only).
+    "tpu": {
+        "batch_size": 8,          # frames per device step
+        "track_slots": 64,        # fixed-capacity track array (SORT scan)
+        "compute_dtype": "float32",
+        "mesh": {                 # multi-chip batch sharding (optional)
+            "enable": False,
+            "axis": "data",
+        },
+    },
+}
+
+
+def merge(base: Dict[str, Any], override: Optional[Dict[str, Any]]) -> Dict[str, Any]:
+    """Recursively merge ``override`` into a deep copy of ``base``.
+
+    Dicts merge key-wise; anything else (scalars, lists) replaces wholesale.
+    Mirrors reference semantics (src/config.py:73-81).
+    """
+    out = deepcopy(base)
+    for key, val in (override or {}).items():
+        if isinstance(val, dict) and isinstance(out.get(key), dict):
+            out[key] = merge(out[key], val)
+        else:
+            out[key] = val
+    return out
+
+
+def sanitize_none(node: Any) -> Any:
+    """Replace ``None`` dict branches with ``{}`` (src/config.py:101-106)."""
+    if node is None:
+        return {}
+    if isinstance(node, dict):
+        return {k: sanitize_none(v) for k, v in node.items()}
+    return node
+
+
+def project_root() -> Path:
+    """Walk up from this file looking for a ``configs/`` dir (src/config.py:83-89)."""
+    here = Path(__file__).resolve()
+    for candidate in [here, *here.parents]:
+        if (candidate / "configs").exists():
+            return candidate
+    return Path.cwd()
+
+
+def load_config(path: Optional[str] = None) -> Dict[str, Any]:
+    """Load a YAML config merged over :data:`DEFAULTS` (src/config.py:91-108)."""
+    root = project_root()
+    cfg_path = Path(path) if path else (root / "configs" / "default.yaml")
+    if not cfg_path.exists():
+        raise FileNotFoundError(f"config file not found: {cfg_path}")
+    with open(cfg_path, "r", encoding="utf-8") as fh:
+        user_cfg = yaml.safe_load(fh) or {}
+    return merge(DEFAULTS, sanitize_none(user_cfg))
