@@ -1,0 +1,134 @@
+"""Color-space transforms with OpenCV-compatible uint8 arithmetic.
+
+TPU-native replacement for the reference's ``cv2.cvtColor`` call sites
+(reference: src/preprocess/ops/clahe_dehaze.py:22-30,
+src/preprocess/pipeline.py:26, src/augment/fog.py:183,218,223 — SURVEY.md
+§2.3). The uint8 GRAY/YCrCb paths reproduce OpenCV's 14-bit fixed-point
+rounding exactly (coefficients from the ITU-R BT.601 matrix, descale =
+round-half-up via ``(x + 2^13) >> 14``), so PROC frames can be compared
+bit-for-bit. The LAB path follows OpenCV's float formulation (sRGB gamma,
+D65 white) — OpenCV's own u8 LAB path is LUT-quantized, so parity there is
+±1 LSB, documented in tests.
+
+All functions are jit-friendly, operate on channel-last arrays of any
+leading batch shape, and keep data in int32 internally (uint8 in/out keeps
+HBM traffic at 1 byte/px/channel).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# BT.601 luma coefficients in 14-bit fixed point (descale shift = 14):
+# round(0.299*16384)=4899, round(0.587*16384)=9617, round(0.114*16384)=1868.
+_SHIFT = 14
+_HALF = 1 << (_SHIFT - 1)
+_R2Y, _G2Y, _B2Y = 4899, 9617, 1868
+# YCrCb chroma: round(0.713*16384)=11682, round(0.564*16384)=9241.
+_CR_COEF, _CB_COEF = 11682, 9241
+# Inverse: 1.403→22987, 0.714→11698, 0.344→5636, 1.773→29049.
+_CR2R, _CR2G, _CB2G, _CB2B = 22987, -11698, -5636, 29049
+_DELTA = 128 << _SHIFT
+
+
+def _descale(x: jnp.ndarray) -> jnp.ndarray:
+    """OpenCV CV_DESCALE: (x + 1<<(n-1)) >> n with arithmetic shift."""
+    return jnp.right_shift(x + _HALF, _SHIFT)
+
+
+def _sat_u8(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(x, 0, 255).astype(jnp.uint8)
+
+
+def bgr_to_gray_u8(bgr: jnp.ndarray) -> jnp.ndarray:
+    """BGR uint8 → GRAY uint8, exact OpenCV fixed-point path."""
+    x = bgr.astype(jnp.int32)
+    b, g, r = x[..., 0], x[..., 1], x[..., 2]
+    return _descale(r * _R2Y + g * _G2Y + b * _B2Y).astype(jnp.uint8)
+
+
+def bgr_to_ycrcb_u8(bgr: jnp.ndarray) -> jnp.ndarray:
+    """BGR uint8 → YCrCb uint8 (channel order Y, Cr, Cb), OpenCV-exact."""
+    x = bgr.astype(jnp.int32)
+    b, g, r = x[..., 0], x[..., 1], x[..., 2]
+    y = _descale(r * _R2Y + g * _G2Y + b * _B2Y)
+    cr = _descale((r - y) * _CR_COEF + _DELTA)
+    cb = _descale((b - y) * _CB_COEF + _DELTA)
+    return jnp.stack([_sat_u8(y), _sat_u8(cr), _sat_u8(cb)], axis=-1)
+
+
+def ycrcb_to_bgr_u8(ycrcb: jnp.ndarray) -> jnp.ndarray:
+    """YCrCb uint8 → BGR uint8, OpenCV-exact fixed point."""
+    x = ycrcb.astype(jnp.int32)
+    y, cr, cb = x[..., 0], x[..., 1], x[..., 2]
+    r = y + _descale((cr - 128) * _CR2R)
+    g = y + _descale((cr - 128) * _CR2G + (cb - 128) * _CB2G)
+    b = y + _descale((cb - 128) * _CB2B)
+    return jnp.stack([_sat_u8(b), _sat_u8(g), _sat_u8(r)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# LAB (float path: sRGB gamma, D65). OpenCV's u8 LAB uses quantized LUTs; the
+# float math below matches it to ±1 LSB which is sufficient for the optional
+# "space: LAB" CLAHE mode (reference default is YCrCb).
+# ---------------------------------------------------------------------------
+_XYZ_FROM_RGB = jnp.array([
+    [0.412453, 0.357580, 0.180423],
+    [0.212671, 0.715160, 0.072169],
+    [0.019334, 0.119193, 0.950227],
+], dtype=jnp.float32)
+_RGB_FROM_XYZ = jnp.array([
+    [3.240479, -1.537150, -0.498535],
+    [-0.969256, 1.875991, 0.041556],
+    [0.055648, -0.204043, 1.057311],
+], dtype=jnp.float32)
+_WHITE = jnp.array([0.950456, 1.0, 1.088754], dtype=jnp.float32)
+
+
+def _srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def _linear_to_srgb(c: jnp.ndarray) -> jnp.ndarray:
+    c = jnp.clip(c, 0.0, 1.0)
+    return jnp.where(c <= 0.0031308, c * 12.92, 1.055 * c ** (1.0 / 2.4) - 0.055)
+
+
+def _lab_f(t: jnp.ndarray) -> jnp.ndarray:
+    delta = 6.0 / 29.0
+    return jnp.where(t > delta ** 3, jnp.cbrt(t), t / (3 * delta * delta) + 4.0 / 29.0)
+
+
+def _lab_f_inv(t: jnp.ndarray) -> jnp.ndarray:
+    delta = 6.0 / 29.0
+    return jnp.where(t > delta, t ** 3, 3 * delta * delta * (t - 4.0 / 29.0))
+
+
+def bgr_to_lab_u8(bgr: jnp.ndarray) -> jnp.ndarray:
+    """BGR uint8 → LAB uint8 with OpenCV's u8 scaling (L*255/100, a/b+128)."""
+    rgb = bgr[..., ::-1].astype(jnp.float32) / 255.0
+    lin = _srgb_to_linear(rgb)
+    xyz = jnp.einsum("...c,kc->...k", lin, _XYZ_FROM_RGB) / _WHITE
+    f = _lab_f(xyz)
+    l = 116.0 * f[..., 1] - 16.0
+    a = 500.0 * (f[..., 0] - f[..., 1])
+    b = 200.0 * (f[..., 1] - f[..., 2])
+    return jnp.stack([
+        _sat_u8(jnp.rint(l * 255.0 / 100.0).astype(jnp.int32)),
+        _sat_u8(jnp.rint(a + 128.0).astype(jnp.int32)),
+        _sat_u8(jnp.rint(b + 128.0).astype(jnp.int32)),
+    ], axis=-1)
+
+
+def lab_to_bgr_u8(lab: jnp.ndarray) -> jnp.ndarray:
+    """LAB uint8 (OpenCV scaling) → BGR uint8 (float path)."""
+    l = lab[..., 0].astype(jnp.float32) * (100.0 / 255.0)
+    a = lab[..., 1].astype(jnp.float32) - 128.0
+    b = lab[..., 2].astype(jnp.float32) - 128.0
+    fy = (l + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+    xyz = jnp.stack([_lab_f_inv(fx), _lab_f_inv(fy), _lab_f_inv(fz)], axis=-1) * _WHITE
+    lin = jnp.einsum("...c,kc->...k", xyz, _RGB_FROM_XYZ)
+    rgb = _linear_to_srgb(lin)
+    out = jnp.rint(rgb * 255.0).astype(jnp.int32)
+    return _sat_u8(out)[..., ::-1]

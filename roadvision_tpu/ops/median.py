@@ -1,0 +1,78 @@
+"""Batched median filter — TPU-native replacement for ``cv2.medianBlur``.
+
+Reference call sites: src/preprocess/ops/median_derain.py:14 (CPU) and
+src/preprocess/ops_cuda/cuda_median_derain.py:27,41 (CUDA) — SURVEY.md §2.3.
+Semantics preserved: odd ksize in [3, 9], replicate border (OpenCV's
+medianBlur border mode), exact uint8 median (window size is odd so no
+averaging is involved).
+
+TPU strategy, fully vectorized over (batch, H, W, C):
+
+  * ``k == 3`` (the config default) — the classic 19-comparator median-of-9
+    exchange network (Paeth / Graphics Gems) over 9 shifted views: pure
+    ``min``/``max`` VPU ops, no sort, no gather; XLA fuses the shifted
+    slices into one elementwise chain.
+  * ``k >= 5`` — k² shifted views stacked on a leading axis and selected via
+    ``jnp.sort``'s middle element. Exact and simple; the k=3 default is the
+    hot path, larger kernels are the reference's rarely-used "derain"
+    placeholder settings.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _replicate_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Replicate-pad the two spatial axes of a (..., H, W, C) array."""
+    widths = [(0, 0)] * x.ndim
+    widths[-3] = (pad, pad)
+    widths[-2] = (pad, pad)
+    return jnp.pad(x, widths, mode="edge")
+
+
+def _shifted_views(xp: jnp.ndarray, k: int, h: int, w: int):
+    """The k² window elements as shifted slices of the padded array."""
+    return [xp[..., dy:dy + h, dx:dx + w, :]
+            for dy in range(k) for dx in range(k)]
+
+
+def _median9(p):
+    """Median of 9 arrays via the 19-exchange network (elementwise)."""
+    p = list(p)
+
+    def ex(i, j):
+        lo = jnp.minimum(p[i], p[j])
+        hi = jnp.maximum(p[i], p[j])
+        p[i], p[j] = lo, hi
+
+    ex(1, 2); ex(4, 5); ex(7, 8)
+    ex(0, 1); ex(3, 4); ex(6, 7)
+    ex(1, 2); ex(4, 5); ex(7, 8)
+    ex(0, 3); ex(5, 8); ex(4, 7)
+    ex(3, 6); ex(1, 4); ex(2, 5)
+    ex(4, 7); ex(4, 2); ex(6, 4)
+    ex(4, 2)
+    return p[4]
+
+
+@functools.partial(jax.jit, static_argnames=("ksize",))
+def median_blur_u8(x: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
+    """Median-filter a (..., H, W, C) uint8 array with an odd k in [3, 9].
+
+    ksize normalization matches the reference op (even → +1, clamp [3, 9];
+    src/preprocess/ops/median_derain.py:11-13).
+    """
+    k = int(ksize)
+    if k % 2 == 0:
+        k += 1
+    k = max(3, min(k, 9))
+    h, w = x.shape[-3], x.shape[-2]
+    xp = _replicate_pad(x, k // 2)
+    views = _shifted_views(xp, k, h, w)
+    if k == 3:
+        return _median9(views)
+    stack = jnp.stack(views, axis=0)
+    return jnp.sort(stack, axis=0)[(k * k) // 2]
