@@ -1,0 +1,29 @@
+"""Preprocess op contract (reference: src/preprocess/base.py:4-16).
+
+Ops take ``**params`` at construction and are callable on BGR uint8 frames.
+The TPU-native extension is :meth:`PreprocessOp.apply_batch`: a jit-traceable
+function over a *batch* of frames ``(..., H, W, 3) uint8`` that runs entirely
+on device. The scalar ``__call__(image)`` host API is preserved and simply
+routes a single frame through the batched path.
+"""
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class PreprocessOp(ABC):
+    """Base class for preprocess ops. ``__call__(image) -> image`` on BGR u8."""
+
+    def __init__(self, **params: Any):
+        self.params = params
+
+    @abstractmethod
+    def apply_batch(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """Device path: (..., H, W, 3) uint8 → same shape uint8, traceable."""
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        return np.asarray(self.apply_batch(jnp.asarray(image)))

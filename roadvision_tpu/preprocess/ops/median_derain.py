@@ -1,0 +1,17 @@
+"""Median-blur "derain" op (reference: src/preprocess/ops/median_derain.py).
+
+ksize normalization preserved: even → +1, clamped to [3, 9]. The kernel
+itself lives in ops/median.py (median-of-9 exchange network for k=3).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ...ops.median import median_blur_u8
+from ..base import PreprocessOp
+
+
+class MedianDerain(PreprocessOp):
+    def apply_batch(self, frames: jnp.ndarray) -> jnp.ndarray:
+        k = int(self.params.get("ksize", 3))
+        return median_blur_u8(frames, ksize=k)

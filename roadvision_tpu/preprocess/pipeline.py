@@ -1,0 +1,73 @@
+"""Pluggable preprocess pipeline (reference: src/preprocess/pipeline.py:7-45).
+
+Semantics preserved:
+  - built from ``cfg.chain = [{name, params}, ...]`` via the registry;
+  - disabled or empty chain → identity;
+  - optional low-contrast auto-gate: when enabled, the WHOLE chain is
+    skipped for frames whose gray-level span (max-min) is >= contrast_thresh
+    (i.e. the chain only runs on low-contrast frames, pipeline.py:37-40);
+  - ops fold left-to-right;
+  - ``ts`` accepted and ignored (pipeline.py:32).
+
+TPU-native form: :meth:`apply_batch` is a single jitted function over a
+frame batch. The auto-gate becomes a per-frame mask and a ``jnp.where``
+select — both branches are computed on device (static shapes, no host
+round-trip), which is the XLA-idiomatic way to express per-element
+control flow.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.color import bgr_to_gray_u8
+from .registry import get_op_class
+
+
+class PreprocessPipeline:
+    def __init__(self, config: Dict[str, Any]):
+        self.enabled = bool(config.get("enabled", True))
+        self.chain_cfg = config.get("chain", []) or []
+        self.auto_gate_cfg = config.get("auto_gate", {}) or {}
+        self.ops = []
+        for node in self.chain_cfg:
+            cls = get_op_class(node.get("name"))
+            self.ops.append(cls(**(node.get("params", {}) or {})))
+        self._jitted = jax.jit(self._batch_fn)
+
+    @property
+    def identity(self) -> bool:
+        return not self.enabled or not self.ops
+
+    def _gate_mask(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """True where the chain should run (per frame)."""
+        gray = bgr_to_gray_u8(frames).astype(jnp.int32)
+        span = (jnp.max(gray, axis=(-2, -1)) - jnp.min(gray, axis=(-2, -1)))
+        thresh = float(self.auto_gate_cfg.get("contrast_thresh", 20.0))
+        return span.astype(jnp.float32) < thresh
+
+    def _batch_fn(self, frames: jnp.ndarray) -> jnp.ndarray:
+        out = frames
+        for op in self.ops:
+            out = op.apply_batch(out)
+        if self.auto_gate_cfg.get("enable_low_contrast_gate", False):
+            run = self._gate_mask(frames)
+            # broadcast per-frame mask over (H, W, 3)
+            run = run.reshape(run.shape + (1, 1, 1))
+            out = jnp.where(run, out, frames)
+        return out
+
+    def apply_batch(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """Device path: (..., H, W, 3) uint8 → processed uint8 batch."""
+        if self.identity:
+            return frames
+        return self._jitted(frames)
+
+    def __call__(self, image: np.ndarray, ts: Optional[float] = None) -> np.ndarray:
+        """Host single-frame API, parity with the reference (ts ignored)."""
+        if self.identity:
+            return image
+        return np.asarray(self._jitted(jnp.asarray(image)))

@@ -1,0 +1,84 @@
+"""Pipeline semantics: chain build, auto-gate, registry errors."""
+import numpy as np
+import pytest
+
+from roadvision_tpu.preprocess import PreprocessPipeline, get_op_class
+from roadvision_tpu.preprocess.ops import CLAHEDehaze, MedianDerain
+
+
+def _cfg(enabled=True, chain=None, gate=False, thresh=20.0):
+    return {
+        "enabled": enabled,
+        "chain": chain if chain is not None else [
+            {"name": "CLAHEDehaze",
+             "params": {"space": "YCrCb", "clip_limit": 2.0, "tile_grid": 8}},
+            {"name": "MedianDerain", "params": {"ksize": 3}},
+        ],
+        "auto_gate": {"enable_low_contrast_gate": gate,
+                      "contrast_thresh": thresh},
+    }
+
+
+def _frame(seed=0, h=48, w=64, lo=0, hi=256):
+    return np.random.RandomState(seed).randint(lo, hi, (h, w, 3), dtype=np.uint8)
+
+
+def test_registry_lookup_and_cuda_aliases():
+    assert get_op_class("CLAHEDehaze") is CLAHEDehaze
+    assert get_op_class("CUDACLAHEDehaze") is CLAHEDehaze
+    assert get_op_class("MedianDerain") is MedianDerain
+    assert get_op_class("CUDAMedianDerain") is MedianDerain
+    with pytest.raises(KeyError, match="Available"):
+        get_op_class("NoSuchOp")
+
+
+def test_disabled_or_empty_is_identity():
+    img = _frame()
+    assert PreprocessPipeline(_cfg(enabled=False))(img) is img
+    assert PreprocessPipeline(_cfg(chain=[]))(img) is img
+
+
+def test_chain_folds_left_to_right():
+    img = _frame(1)
+    pipe = PreprocessPipeline(_cfg())
+    manual = MedianDerain(ksize=3)(CLAHEDehaze(space="YCrCb", clip_limit=2.0,
+                                               tile_grid=8)(img))
+    np.testing.assert_array_equal(pipe(img), manual)
+
+
+def test_auto_gate_skips_high_contrast():
+    high = _frame(2)  # full-range noise → span ~255 → gate skips chain
+    pipe = PreprocessPipeline(_cfg(gate=True, thresh=20.0))
+    np.testing.assert_array_equal(pipe(high), high)
+
+
+def test_auto_gate_processes_low_contrast():
+    low = _frame(3, lo=100, hi=110)  # span < 20 → chain runs
+    gated = PreprocessPipeline(_cfg(gate=True, thresh=20.0))
+    ungated = PreprocessPipeline(_cfg(gate=False))
+    np.testing.assert_array_equal(gated(low), ungated(low))
+    assert not np.array_equal(np.asarray(gated(low)), low)
+
+
+def test_batched_gate_is_per_frame():
+    high = _frame(4)
+    low = _frame(5, lo=100, hi=110)
+    batch = np.stack([high, low])
+    pipe = PreprocessPipeline(_cfg(gate=True, thresh=20.0))
+    out = np.asarray(pipe.apply_batch(batch))
+    np.testing.assert_array_equal(out[0], high)      # skipped
+    np.testing.assert_array_equal(out[1], pipe(low))  # processed
+
+
+def test_batch_matches_per_frame():
+    frames = np.stack([_frame(i) for i in range(3)])
+    pipe = PreprocessPipeline(_cfg())
+    out = np.asarray(pipe.apply_batch(frames))
+    for i in range(3):
+        np.testing.assert_array_equal(out[i], pipe(frames[i]))
+
+
+def test_ts_param_accepted_and_ignored():
+    img = _frame(6)
+    pipe = PreprocessPipeline(_cfg())
+    np.testing.assert_array_equal(pipe(img, ts=123.456), pipe(img))
