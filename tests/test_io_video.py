@@ -1,0 +1,102 @@
+"""Host IO: sources, batch reads, FPS meter, MJPEG-AVI recorder."""
+import struct
+
+import numpy as np
+import pytest
+
+from roadvision_tpu.io_video import (FPSMeter, MJPEGAVIWriter, NpyWriter,
+                                     SyntheticRoadSource, VideoSource,
+                                     make_writer)
+
+
+def test_synthetic_source_deterministic_and_bounded():
+    src = SyntheticRoadSource(320, 240, num_vehicles=3)
+    ok, img = src.read_frame()
+    assert ok and img.shape == (240, 320, 3) and img.dtype == np.uint8
+    np.testing.assert_array_equal(src.render(0), SyntheticRoadSource(320, 240, 3).render(0))
+    boxes = src.gt_boxes(5)
+    assert boxes
+    for x1, y1, x2, y2, v in boxes:
+        assert 0 <= x1 < x2 <= 320 and 0 <= y1 < y2 <= 240
+
+
+def test_videosource_synthetic_read_and_batch():
+    vs = VideoSource(source="synthetic:2", width=160, height=120,
+                     num_frames=5)
+    fr = vs.read()
+    assert fr.ok and fr.image.shape == (120, 160, 3) and fr.ts > 0
+    frames, ts, m = vs.read_batch(10)
+    assert m == 4  # 5 total, 1 already consumed
+    assert frames.shape == (4, 120, 160, 3)
+    assert (np.diff(ts) >= 0).all()
+    frames, ts, m = vs.read_batch(4)
+    assert m == 0
+
+
+def test_npy_source_roundtrip(tmp_path):
+    stack = np.random.RandomState(0).randint(0, 255, (6, 32, 48, 3), np.uint8)
+    p = tmp_path / "clip.npy"
+    np.save(p, stack)
+    vs = VideoSource(source=str(p))
+    frames, _, m = vs.read_batch(100)
+    assert m == 6
+    np.testing.assert_array_equal(frames, stack)
+
+
+def test_image_dir_source(tmp_path):
+    from PIL import Image
+    for i in range(3):
+        arr = np.full((16, 16, 3), i * 40, np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img_{i}.png")
+    vs = VideoSource(source=str(tmp_path))
+    frames, _, m = vs.read_batch(10)
+    assert m == 3 and frames.shape == (3, 16, 16, 3)
+    assert frames[1].mean() == 40
+
+
+def test_fps_meter_ema():
+    m = FPSMeter(alpha=0.1)
+    assert m.tick(now=1.0) == 0.0
+    fps = m.tick(now=1.1)  # inst = 10
+    assert abs(fps - 1.0) < 1e-9  # 0.9*0 + 0.1*10
+    fps = m.tick(now=1.2)
+    assert abs(fps - (0.9 * 1.0 + 0.1 * 10.0)) < 1e-9
+
+
+def test_mjpeg_avi_writer_valid_riff(tmp_path):
+    path = tmp_path / "out.avi"
+    w = MJPEGAVIWriter(str(path), fps=15)
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        w.write(rng.randint(0, 255, (48, 64, 3), np.uint8))
+    w.release()
+    data = path.read_bytes()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    riff_size = struct.unpack("<I", data[4:8])[0]
+    assert riff_size == len(data) - 8
+    assert b"MJPG" in data and b"movi" in data and b"idx1" in data
+    assert data.count(b"00dc") >= 8  # 4 chunks + 4 index entries
+    # every JPEG frame present
+    assert data.count(b"\xff\xd8\xff") == 4
+
+
+def test_npy_writer(tmp_path):
+    path = tmp_path / "out.npy"
+    w = NpyWriter(str(path))
+    frames = [np.full((8, 8, 3), i, np.uint8) for i in range(3)]
+    for f in frames:
+        w.write(f)
+    w.release()
+    np.testing.assert_array_equal(np.load(path), np.stack(frames))
+
+
+def test_make_writer_mp4_fallback(tmp_path):
+    w = make_writer(str(tmp_path / "clip.mp4"), fps=30)
+    w.write(np.zeros((16, 16, 3), np.uint8))
+    w.release()
+    assert (tmp_path / "clip.avi").exists() or (tmp_path / "clip.mp4").exists()
+
+
+def test_make_writer_unknown_format(tmp_path):
+    with pytest.raises(ValueError):
+        make_writer(str(tmp_path / "x.webm"))
