@@ -1,0 +1,413 @@
+"""SORT multi-object tracking as a vectorized, jit-compiled TPU step.
+
+Re-design of the reference tracker (src/track/sort_tracker.py) for XLA:
+Python object lists become a fixed-capacity slot array (``SortState``) whose
+entire update — Kalman predict, IoU matrix, greedy association, Kalman
+update, metrics, pruning, track creation — is one traced function with
+static shapes, suitable for ``jax.lax.scan`` over the time axis
+(SURVEY.md §2.5: the "sequence dimension" of this domain is video time).
+
+Exact behavioral parity with the reference's quirks (SURVEY.md §2.2):
+  * measurement z = [cx, cy, s=w·h, r=w/h], w/h floored at 1e-3
+    (sort_tracker.py:22-30); inverse with 1e-6 floors (:33-41);
+  * 7-dim state [cx,cy,s,r,vcx,vcy,vs]; H = [I₄ 0]; R = diag(1,1,10,10);
+    P₀ = diag(10,10,10,10,1e4,1e4,1e4) (:44-52);
+  * real-timestamp dt, clamped ≥ 1e-3, rebuilt per step:
+    F[0,4]=F[1,5]=F[2,6]=dt; Q = diag(.04dt², .04dt², .04dt², 0, dt, dt, dt)
+    (:103-113) — note Q[3,3] = 0 (aspect has no process noise);
+  * association is GREEDY global argmax over the IoU matrix (first-flat-index
+    tie-breaking like np.argmax), accept while max ≥ iou_threshold, zero out
+    row+col (:182-210) — NOT Hungarian;
+  * every unmatched detection gets a new track and an ID immediately; IDs
+    start at 1 and increment in detection order (:253-269) — min_hits is
+    tracked but never gates output (:92-98,143-145);
+  * unmatched tracks only reset hit_streak (:134-135); coasting tracks emit
+    nothing;
+  * prune when ts − last_update_ts > max_staleness (:271-276);
+  * per-track metrics: ground-project the DET bbox bottom-center, distance
+    clamped to max_distance, history windowed by speed_window seconds and
+    capped at 32 entries, speed = first→last displacement / elapsed (≥1e-3 s)
+    in m/s, ×3.6 for km/h (:147-168, :246-247);
+  * KF update uses filterpy's Joseph-form covariance
+    P ← (I−KH)P(I−KH)ᵀ + KRKᵀ.
+
+Timestamps are float32 on device — callers must rebase to a small epoch
+(the host wrapper subtracts the stream start time) because raw unix times
+exceed f32 integer precision.
+
+Capacity overflow (more simultaneous new detections than free slots) keeps
+ID assignment identical but silently drops the overflow tracks — the
+reference grows without bound; choose tpu.track_slots ≥ max_det for strict
+parity.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+HISTORY = 32  # position history capacity (reference caps at 32, :158-159)
+STATE_DIM = 7
+MEAS_DIM = 4
+
+_R = jnp.diag(jnp.array([1.0, 1.0, 10.0, 10.0], jnp.float32))
+_P0 = jnp.diag(jnp.array([10.0, 10.0, 10.0, 10.0, 1e4, 1e4, 1e4], jnp.float32))
+_I7 = jnp.eye(STATE_DIM, dtype=jnp.float32)
+# E: positions of dt in F (cx←vcx, cy←vcy, s←vs)
+_E = jnp.zeros((STATE_DIM, STATE_DIM), jnp.float32).at[0, 4].set(1.0) \
+    .at[1, 5].set(1.0).at[2, 6].set(1.0)
+
+
+class SortState(NamedTuple):
+    mean: jnp.ndarray        # (T, 7) f32
+    cov: jnp.ndarray         # (T, 7, 7) f32
+    alive: jnp.ndarray       # (T,) bool
+    ids: jnp.ndarray         # (T,) i32
+    last_predict_ts: jnp.ndarray  # (T,) f32
+    last_update_ts: jnp.ndarray   # (T,) f32
+    hits: jnp.ndarray        # (T,) i32
+    hit_streak: jnp.ndarray  # (T,) i32
+    cls_id: jnp.ndarray      # (T,) i32
+    conf: jnp.ndarray        # (T,) f32
+    dist: jnp.ndarray        # (T,) f32 current_distance (NaN = None)
+    speed: jnp.ndarray       # (T,) f32 current_speed m/s (NaN = None)
+    hist_ts: jnp.ndarray     # (T, 32) f32 ring buffer
+    hist_x: jnp.ndarray      # (T, 32) f32
+    hist_y: jnp.ndarray      # (T, 32) f32
+    hist_head: jnp.ndarray   # (T,) i32
+    hist_len: jnp.ndarray    # (T,) i32
+    next_id: jnp.ndarray     # () i32
+
+
+class SortOutput(NamedTuple):
+    track_id: jnp.ndarray    # (D,) i32 (0 = no id / invalid det)
+    distance_m: jnp.ndarray  # (D,) f32 (NaN = None)
+    speed_kmh: jnp.ndarray   # (D,) f32 (NaN = None)
+
+
+def init_state(num_slots: int) -> SortState:
+    t = num_slots
+    return SortState(
+        mean=jnp.zeros((t, STATE_DIM), jnp.float32),
+        cov=jnp.tile(_P0[None], (t, 1, 1)),
+        alive=jnp.zeros((t,), bool),
+        ids=jnp.zeros((t,), jnp.int32),
+        last_predict_ts=jnp.zeros((t,), jnp.float32),
+        last_update_ts=jnp.zeros((t,), jnp.float32),
+        hits=jnp.zeros((t,), jnp.int32),
+        hit_streak=jnp.zeros((t,), jnp.int32),
+        cls_id=jnp.zeros((t,), jnp.int32),
+        conf=jnp.zeros((t,), jnp.float32),
+        dist=jnp.full((t,), jnp.nan, jnp.float32),
+        speed=jnp.full((t,), jnp.nan, jnp.float32),
+        hist_ts=jnp.zeros((t, HISTORY), jnp.float32),
+        hist_x=jnp.zeros((t, HISTORY), jnp.float32),
+        hist_y=jnp.zeros((t, HISTORY), jnp.float32),
+        hist_head=jnp.zeros((t,), jnp.int32),
+        hist_len=jnp.zeros((t,), jnp.int32),
+        next_id=jnp.int32(1),  # IDs start at 1 (:180)
+    )
+
+
+def bbox_to_z(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) xyxy → (..., 4) [cx, cy, s, r] with 1e-3 floors (:22-30)."""
+    w = jnp.maximum(1e-3, boxes[..., 2] - boxes[..., 0])
+    h = jnp.maximum(1e-3, boxes[..., 3] - boxes[..., 1])
+    cx = boxes[..., 0] + 0.5 * w
+    cy = boxes[..., 1] + 0.5 * h
+    return jnp.stack([cx, cy, w * h, w / h], axis=-1)
+
+
+def x_to_bbox(mean: jnp.ndarray) -> jnp.ndarray:
+    """(..., 7) state → (..., 4) xyxy with 1e-6 floors (:33-41)."""
+    cx, cy, s, r = mean[..., 0], mean[..., 1], mean[..., 2], mean[..., 3]
+    w = jnp.sqrt(jnp.maximum(1e-6, s * r))
+    h = s / jnp.maximum(1e-6, w)
+    return jnp.stack([cx - 0.5 * w, cy - 0.5 * h,
+                      cx + 0.5 * w, cy + 0.5 * h], axis=-1)
+
+
+def iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU (Ta, 4) × (Db, 4) → (Ta, Db), one vectorized op.
+
+    Replaces the reference's double Python loop (:73-80), its per-frame CPU
+    hot spot. Degenerate denominators → 0 (:68-69).
+    """
+    ax1, ay1, ax2, ay2 = (a[:, None, i] for i in range(4))
+    bx1, by1, bx2, by2 = (b[None, :, i] for i in range(4))
+    iw = jnp.maximum(0.0, jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1))
+    ih = jnp.maximum(0.0, jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1))
+    inter = iw * ih
+    area_a = jnp.maximum(0.0, ax2 - ax1) * jnp.maximum(0.0, ay2 - ay1)
+    area_b = jnp.maximum(0.0, bx2 - bx1) * jnp.maximum(0.0, by2 - by1)
+    denom = area_a + area_b - inter
+    return jnp.where(denom > 0.0, inter / jnp.where(denom > 0, denom, 1.0), 0.0)
+
+
+def greedy_associate(iou: jnp.ndarray, alive: jnp.ndarray,
+                     dvalid: jnp.ndarray, thresh: float) -> jnp.ndarray:
+    """Greedy global-argmax matching (:197-208). Returns det→track (D,) i32,
+    -1 for unmatched. First-flat-index tie-breaking matches np.argmax."""
+    num_t, num_d = iou.shape
+    masked = jnp.where(alive[:, None] & dvalid[None, :], iou, -1.0)
+
+    def body(_, carry):
+        mat, det2trk = carry
+        idx = jnp.argmax(mat)
+        t, d = idx // num_d, idx % num_d
+        v = mat.reshape(-1)[idx]
+        accept = (v >= thresh) & (v > -0.5)
+        det2trk = det2trk.at[d].set(jnp.where(accept, t.astype(jnp.int32),
+                                              det2trk[d]))
+        row = (jnp.arange(num_t) == t)[:, None]
+        col = (jnp.arange(num_d) == d)[None, :]
+        mat = jnp.where(accept & (row | col), -1.0, mat)
+        return mat, det2trk
+
+    _, det2trk = jax.lax.fori_loop(
+        0, min(num_t, num_d), body,
+        (masked, jnp.full((num_d,), -1, jnp.int32)))
+    return det2trk
+
+
+def _kf_predict(mean, cov, dt):
+    """Batched KF predict with per-track dt (already clamped)."""
+    f = _I7[None] + dt[:, None, None] * _E[None]
+    q_diag = jnp.stack([0.04 * dt * dt] * 3 + [jnp.zeros_like(dt)]
+                       + [dt] * 3, axis=-1)
+    new_mean = jnp.einsum("tij,tj->ti", f, mean)
+    new_cov = jnp.einsum("tij,tjk,tlk->til", f, cov, f) \
+        + q_diag[:, :, None] * _I7[None]
+    return new_mean, new_cov
+
+
+def _kf_update(mean, cov, z):
+    """Batched KF update, H = [I4 0], Joseph-form covariance (filterpy)."""
+    ph = cov[:, :, :MEAS_DIM]                      # P Hᵀ (T,7,4)
+    s = cov[:, :MEAS_DIM, :MEAS_DIM] + _R[None]    # (T,4,4)
+    k = jnp.linalg.solve(s, ph.transpose(0, 2, 1)).transpose(0, 2, 1)  # (T,7,4)
+    innov = z - mean[:, :MEAS_DIM]
+    new_mean = mean + jnp.einsum("tij,tj->ti", k, innov)
+    kh = jnp.zeros_like(cov).at[:, :, :MEAS_DIM].set(k)
+    i_kh = _I7[None] - kh
+    new_cov = jnp.einsum("tij,tjk,tlk->til", i_kh, cov, i_kh) \
+        + jnp.einsum("tij,jk,tlk->til", k, _R, k)
+    return new_mean, new_cov
+
+
+def _history_append_and_window(state: SortState, sel, ts, gx, gy, window):
+    """Append (ts, gx, gy) to selected tracks' ring buffers, expire entries
+    older than `window` seconds, and compute the windowed speed (:147-168)."""
+    t_slots = state.hist_ts.shape[0]
+    head, length = state.hist_head, state.hist_len
+    full = length >= HISTORY
+    # append position: one past the last entry; on a full buffer that wraps
+    # onto the oldest entry, which is dropped (cap-at-32 semantics)
+    write_pos = (head + length) % HISTORY
+    head_after = jnp.where(sel & full, (head + 1) % HISTORY, head)
+    len_after = jnp.where(sel & ~full, length + 1, length)
+
+    rows = jnp.arange(t_slots)
+    hist_ts = state.hist_ts.at[rows, write_pos].set(
+        jnp.where(sel, ts, state.hist_ts[rows, write_pos]))
+    hist_x = state.hist_x.at[rows, write_pos].set(
+        jnp.where(sel, gx, state.hist_x[rows, write_pos]))
+    hist_y = state.hist_y.at[rows, write_pos].set(
+        jnp.where(sel, gy, state.hist_y[rows, write_pos]))
+
+    # expire the (time-ordered) prefix strictly older than the window
+    slot = jnp.arange(HISTORY)[None, :]
+    order = (slot - head_after[:, None]) % HISTORY
+    in_buf = order < len_after[:, None]
+    expired = in_buf & ((ts - hist_ts) > window)
+    n_exp = jnp.sum(expired, axis=-1).astype(jnp.int32)
+    head_new = jnp.where(sel, (head_after + n_exp) % HISTORY, head_after)
+    len_new = jnp.where(sel, len_after - n_exp, len_after)
+
+    # speed from first→last surviving entries
+    first = head_new
+    last = (head_new + jnp.maximum(len_new - 1, 0)) % HISTORY
+    t0 = hist_ts[rows, first]
+    t1 = hist_ts[rows, last]
+    dx = hist_x[rows, last] - hist_x[rows, first]
+    dy = hist_y[rows, last] - hist_y[rows, first]
+    spd = jnp.hypot(dx, dy) / jnp.maximum(1e-3, t1 - t0)
+    speed = jnp.where(len_new >= 2, spd, jnp.nan)
+
+    return state._replace(hist_ts=hist_ts, hist_x=hist_x, hist_y=hist_y,
+                          hist_head=head_new, hist_len=len_new), speed
+
+
+def make_sort_step(iou_threshold: float, max_staleness: float,
+                   speed_window: float, min_hits: int = 3):
+    """Build the jit-traceable single-frame SORT step.
+
+    Returned signature:
+      step(state, boxes (D,4), cls (D,), conf (D,), dvalid (D,), ts (),
+           proj) -> (state', SortOutput)
+    where proj is None (no projector) or (H (3,3), origin (2,), maxd ()).
+    """
+    thresh = float(iou_threshold)
+    staleness = float(max_staleness)
+    window = max(0.05, float(speed_window))  # _Track floor (:93)
+    del min_hits  # tracked in state but never gates output (parity quirk)
+
+    from ..geometry.projector import project_boxes_device
+
+    def step(state: SortState, boxes, cls_id, conf, dvalid, ts, proj=None):
+        num_t = state.mean.shape[0]
+        num_d = boxes.shape[0]
+        rows = jnp.arange(num_t)
+
+        # 1. predict all alive tracks at frame ts (:228-229)
+        dt = jnp.maximum(1e-3, ts - state.last_predict_ts)
+        pmean, pcov = _kf_predict(state.mean, state.cov, dt)
+        mean = jnp.where(state.alive[:, None], pmean, state.mean)
+        cov = jnp.where(state.alive[:, None, None], pcov, state.cov)
+        last_predict_ts = jnp.where(state.alive, ts, state.last_predict_ts)
+        state = state._replace(mean=mean, cov=cov,
+                               last_predict_ts=last_predict_ts)
+
+        # 2. greedy association on IoU of predicted boxes vs det boxes
+        track_boxes = x_to_bbox(state.mean)
+        det2trk = greedy_associate(iou_matrix(track_boxes, boxes),
+                                   state.alive, dvalid, thresh)
+        matched_d = det2trk >= 0
+        # inverse map track→det (association is one-to-one); unmatched dets
+        # scatter out-of-bounds and are dropped
+        trk2det = jnp.full((num_t,), -1, jnp.int32).at[
+            jnp.where(matched_d, det2trk, num_t)
+        ].set(jnp.arange(num_d, dtype=jnp.int32), mode="drop")
+        matched_t = trk2det >= 0
+
+        # 3. KF update for matched tracks (:234-238)
+        det_idx = jnp.clip(trk2det, 0, num_d - 1)
+        z = bbox_to_z(boxes)[det_idx]
+        umean, ucov = _kf_update(state.mean, state.cov, z)
+        sel_t = matched_t[:, None]
+        state = state._replace(
+            mean=jnp.where(sel_t, umean, state.mean),
+            cov=jnp.where(matched_t[:, None, None], ucov, state.cov),
+            last_update_ts=jnp.where(matched_t, ts, state.last_update_ts),
+            hits=state.hits + matched_t.astype(jnp.int32),
+            hit_streak=jnp.where(matched_t, state.hit_streak + 1,
+                                 jnp.where(state.alive, 0, state.hit_streak)),
+            cls_id=jnp.where(matched_t, cls_id[det_idx], state.cls_id),
+            conf=jnp.where(matched_t, conf[det_idx], state.conf),
+        )
+
+        # 4. metrics for matched tracks using the DET bbox (:239-247)
+        if proj is not None:
+            h_mat, origin, maxd = proj
+            ground, gvalid = project_boxes_device(h_mat, boxes[det_idx])
+            ok = matched_t & gvalid
+            gdist = jnp.minimum(
+                jnp.hypot(ground[:, 0] - origin[0], ground[:, 1] - origin[1]),
+                maxd)
+            # ground invalid → distance/speed None, history untouched (:149-152)
+            new_dist = jnp.where(ok, gdist,
+                                 jnp.where(matched_t, jnp.nan, state.dist))
+            state, w_speed = _history_append_and_window(
+                state, ok, ts, ground[:, 0], ground[:, 1], window)
+            new_speed = jnp.where(ok, w_speed,
+                                  jnp.where(matched_t, jnp.nan, state.speed))
+            state = state._replace(dist=new_dist, speed=new_speed)
+
+        # 5. prune stale tracks (:271-276) — before creation so freed slots
+        # are reusable this frame; observably identical order (SURVEY §2.2)
+        state = state._replace(
+            alive=state.alive & ((ts - state.last_update_ts) <= staleness))
+
+        # 6. create tracks for unmatched valid dets, IDs in det order (:253-269)
+        is_new = dvalid & ~matched_d
+        rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # (D,)
+        new_ids = state.next_id + rank
+        free_order = jnp.argsort(state.alive.astype(jnp.int32),
+                                 stable=True)  # free slots first, index order
+        n_free = jnp.sum(~state.alive)
+        fits = is_new & (rank < n_free)
+        slot = jnp.where(fits, free_order[jnp.clip(rank, 0, num_t - 1)], num_t)
+
+        znew = bbox_to_z(boxes)
+        init_mean = jnp.concatenate(
+            [znew, jnp.zeros((num_d, 3), jnp.float32)], axis=-1)
+        state = state._replace(
+            mean=state.mean.at[slot].set(init_mean, mode="drop"),
+            cov=state.cov.at[slot].set(_P0[None], mode="drop"),
+            alive=state.alive.at[slot].set(True, mode="drop"),
+            ids=state.ids.at[slot].set(new_ids, mode="drop"),
+            last_predict_ts=state.last_predict_ts.at[slot].set(ts, mode="drop"),
+            last_update_ts=state.last_update_ts.at[slot].set(ts, mode="drop"),
+            hits=state.hits.at[slot].set(1, mode="drop"),
+            hit_streak=state.hit_streak.at[slot].set(1, mode="drop"),
+            cls_id=state.cls_id.at[slot].set(cls_id, mode="drop"),
+            conf=state.conf.at[slot].set(conf, mode="drop"),
+            dist=state.dist.at[slot].set(jnp.nan, mode="drop"),
+            speed=state.speed.at[slot].set(jnp.nan, mode="drop"),
+            hist_head=state.hist_head.at[slot].set(0, mode="drop"),
+            hist_len=state.hist_len.at[slot].set(0, mode="drop"),
+            next_id=state.next_id + jnp.sum(is_new, dtype=jnp.int32),
+        )
+
+        # metrics for brand-new tracks (first history entry; speed None,
+        # single-point history — :261-266)
+        if proj is not None:
+            h_mat, origin, maxd = proj
+            ground_d, gvalid_d = project_boxes_device(h_mat, boxes)
+            created_t = jnp.zeros((num_t,), bool).at[slot].set(fits, mode="drop")
+            src_det = jnp.full((num_t,), 0, jnp.int32).at[slot].set(
+                jnp.arange(num_d, dtype=jnp.int32), mode="drop")
+            okc = created_t & gvalid_d[src_det]
+            gdist_t = jnp.minimum(
+                jnp.hypot(ground_d[src_det, 0] - origin[0],
+                          ground_d[src_det, 1] - origin[1]), maxd)
+            state = state._replace(
+                dist=jnp.where(okc, gdist_t,
+                               jnp.where(created_t, jnp.nan, state.dist)))
+            state, _ = _history_append_and_window(
+                state, okc, ts, ground_d[src_det, 0], ground_d[src_det, 1],
+                window)
+
+        # 7. per-detection outputs
+        trk_of_d = jnp.clip(det2trk, 0, num_t - 1)
+        out_id = jnp.where(matched_d, state.ids[trk_of_d],
+                           jnp.where(is_new, new_ids, 0))
+        if proj is not None:
+            slot_of_new = jnp.clip(slot, 0, num_t - 1)
+            out_dist = jnp.where(
+                matched_d, state.dist[trk_of_d],
+                jnp.where(fits, state.dist[slot_of_new], jnp.nan))
+            out_spd = jnp.where(
+                matched_d, state.speed[trk_of_d],
+                jnp.where(fits, state.speed[slot_of_new], jnp.nan))
+        else:
+            out_dist = jnp.full((num_d,), jnp.nan, jnp.float32)
+            out_spd = jnp.full((num_d,), jnp.nan, jnp.float32)
+        out = SortOutput(
+            track_id=jnp.where(dvalid, out_id, 0).astype(jnp.int32),
+            distance_m=jnp.where(dvalid, out_dist, jnp.nan),
+            speed_kmh=jnp.where(dvalid, out_spd * 3.6, jnp.nan),
+        )
+        return state, out
+
+    return step
+
+
+def make_sort_scan(iou_threshold: float, max_staleness: float,
+                   speed_window: float, min_hits: int = 3,
+                   with_projector: bool = False):
+    """lax.scan over a frame sequence: (state, (boxes (F,D,4), cls, conf,
+    valid, ts (F,)), proj?) → (state, SortOutput stacked over F)."""
+    step = make_sort_step(iou_threshold, max_staleness, speed_window, min_hits)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def scan(state: SortState, boxes, cls_id, conf, dvalid, ts, proj=None):
+        def body(st, frame):
+            b, c, cf, v, t = frame
+            return step(st, b, c, cf, v, t,
+                        proj if with_projector else None)
+        return jax.lax.scan(body, state, (boxes, cls_id, conf, dvalid, ts))
+
+    return scan
