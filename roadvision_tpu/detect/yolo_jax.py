@@ -1,0 +1,110 @@
+"""Native JAX YOLOv8 detector backend.
+
+Drop-in for the reference's Ultralytics wrapper
+(src/detect/yolo_ultralytics.py:6-60) with the same config surface
+(model/device/conf_thres/iou_thres/max_det/classes_keep) and ``infer(bgr) ->
+List[Detection]`` contract. The whole per-batch step — letterbox →
+backbone/head forward → DFL decode → class-aware NMS → classes_keep
+post-filter → box rescale to source coordinates — is ONE jitted function
+over a frame batch, specialized per input shape.
+
+Weights come from the configured ``.pt``/``.npz`` checkpoint when present
+(imported and BN-fused by models/yolo/weights.py); otherwise the graph runs
+with random init (shape/NMS invariants still hold — the weights-free CI
+mode of SURVEY.md §4).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.yolo import weights as yolo_weights
+from ..models.yolo import yolov8
+from ..ops.letterbox import letterbox_u8, scale_boxes
+from ..ops.nms import nms_batch
+from .base import Detector
+from .types import COCO_NAMES, Detection, DetectionBatch
+
+
+def _size_from_model_name(name: str) -> str:
+    base = str(name).lower()
+    for s in ("n", "s", "m", "l", "x"):
+        if f"yolov8{s}" in base:
+            return s
+    return "n"
+
+
+class YOLOJax(Detector):
+    def __init__(self, cfg: Dict[str, Any]):
+        self.conf = float(cfg.get("conf_thres", 0.25))
+        self.iou = float(cfg.get("iou_thres", 0.7))
+        self.max_det = int(cfg.get("max_det", 100))
+        self.keep = tuple(sorted(int(x) for x in cfg.get("classes_keep", [])))
+        self.imgsz = int(cfg.get("imgsz", 640))
+        device = cfg.get("device", "auto")
+        compute = str(cfg.get("compute_dtype", "bfloat16"))
+        self.dtype = jnp.bfloat16 if compute == "bfloat16" else jnp.float32
+        if device == "cpu":
+            self.dtype = jnp.float32
+
+        model_ref = cfg.get("model", "yolov8n.pt")
+        size_hint = _size_from_model_name(model_ref)
+        self.params, self.size, self.loaded = yolo_weights.load_params(
+            model_ref, size=size_hint)
+        if not self.loaded:
+            print(f"[roadvision] weights '{model_ref}' not found — running "
+                  f"yolov8{self.size} with random init")
+        self.nc = self.params["22"]["cv3"][0][2]["b"].shape[0]
+        self.names = {i: n for i, n in enumerate(COCO_NAMES)} \
+            if self.nc == len(COCO_NAMES) else {i: str(i) for i in range(self.nc)}
+        self._jit_cache: Dict[Tuple[int, int, int], Any] = {}
+
+    # ------------------------------------------------------------------
+    def _build_fn(self, shape: Tuple[int, int, int]):
+        size, nc, dtype = self.size, self.nc, self.dtype
+        conf, iou, max_det, keep = self.conf, self.iou, self.max_det, self.keep
+        imgsz = self.imgsz
+        h, w = shape[1], shape[2]
+        params = self.params
+
+        @jax.jit
+        def run(params, frames_u8):
+            imgs, ratio, pad = letterbox_u8(frames_u8, size=imgsz)
+            boxes640, scores = yolov8.forward(params, imgs, size=size, nc=nc,
+                                              dtype=dtype)
+            b, c, k, v = nms_batch(boxes640, scores, conf_thres=conf,
+                                   iou_thres=iou, max_det=max_det,
+                                   pre_topk=300,
+                                   classes_keep=keep if keep else None)
+            b = scale_boxes(b, ratio, pad, (h, w))
+            return b, c, k, v
+
+        return functools.partial(run, params)
+
+    def _fn_for(self, frames: np.ndarray):
+        key = tuple(frames.shape[:3])
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_fn(frames.shape)
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------------
+    def infer_batch(self, frames_u8: np.ndarray) -> DetectionBatch:
+        """(B, H, W, 3) BGR uint8 → DetectionBatch with (B, max_det) arrays."""
+        fn = self._fn_for(frames_u8)
+        b, c, k, v = fn(jnp.asarray(frames_u8))
+        return DetectionBatch(np.asarray(b), np.asarray(c),
+                              np.asarray(k), np.asarray(v))
+
+    def infer(self, bgr: np.ndarray) -> List[Detection]:
+        batch = self.infer_batch(bgr[None])
+        single = DetectionBatch(batch.boxes[0], batch.conf[0],
+                                batch.cls_id[0], batch.valid[0])
+        names = [self.names.get(i, str(i)) for i in range(self.nc)]
+        return single.to_detections(names)
+
+    def close(self) -> None:
+        self._jit_cache.clear()

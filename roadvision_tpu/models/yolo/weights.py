@@ -1,0 +1,222 @@
+"""YOLOv8 checkpoint import: ultralytics ``.pt`` state dicts → JAX pytree.
+
+The reference ships ``yolov8n.pt`` and loads it through the Ultralytics
+wrapper with ``model.fuse()`` (src/detect/yolo_ultralytics.py:16-17). Here
+the torch state dict is converted once at load time: conv+BN pairs are fused
+(eps=1e-3, the ultralytics BatchNorm2d setting), OIHW kernels transposed to
+HWIO, and keys mapped onto the layer-indexed param tree of yolov8.py.
+
+Accepted inputs: a mapping of tensors/arrays (a state dict), a ``.pt`` file
+(plain state dict via ``torch.load(weights_only=True)``, or a full
+ultralytics checkpoint when the ultralytics package is importable), or an
+``.npz`` exported by :func:`export_npz`.
+"""
+from __future__ import annotations
+
+import math
+import re
+from pathlib import Path
+from typing import Any, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from .yolov8 import REG_MAX, arch_spec, init_params
+
+_CONV_LAYERS = ("0", "1", "3", "5", "7", "16", "19")
+_C2F_LAYERS = ("2", "4", "6", "8", "12", "15", "18", "21")
+BN_EPS = 1e-3
+
+
+def _to_np(v) -> np.ndarray:
+    if hasattr(v, "detach"):
+        return v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def _fuse(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, jnp.ndarray]:
+    """Fuse `{prefix}.conv` + `{prefix}.bn` into HWIO weight + bias."""
+    w = _to_np(sd[f"{prefix}.conv.weight"]).astype(np.float64)  # OIHW
+    if f"{prefix}.bn.weight" in sd:
+        gamma = _to_np(sd[f"{prefix}.bn.weight"]).astype(np.float64)
+        beta = _to_np(sd[f"{prefix}.bn.bias"]).astype(np.float64)
+        mean = _to_np(sd[f"{prefix}.bn.running_mean"]).astype(np.float64)
+        var = _to_np(sd[f"{prefix}.bn.running_var"]).astype(np.float64)
+        scale = gamma / np.sqrt(var + BN_EPS)
+        w = w * scale[:, None, None, None]
+        b = beta - mean * scale
+    elif f"{prefix}.conv.bias" in sd:
+        b = _to_np(sd[f"{prefix}.conv.bias"]).astype(np.float64)
+    else:
+        b = np.zeros(w.shape[0], np.float64)
+    return {"w": jnp.asarray(w.transpose(2, 3, 1, 0), jnp.float32),
+            "b": jnp.asarray(b, jnp.float32)}
+
+
+def _plain(sd: Mapping[str, np.ndarray], wkey: str, bkey: str):
+    w = _to_np(sd[wkey]).astype(np.float32)
+    b = (_to_np(sd[bkey]).astype(np.float32) if bkey in sd
+         else np.zeros(w.shape[0], np.float32))
+    return {"w": jnp.asarray(w.transpose(2, 3, 1, 0)),
+            "b": jnp.asarray(b)}
+
+
+def _c2f(sd, i: str) -> Dict[str, Any]:
+    out = {"cv1": _fuse(sd, f"{i}.cv1"), "cv2": _fuse(sd, f"{i}.cv2"), "m": []}
+    j = 0
+    while f"{i}.m.{j}.cv1.conv.weight" in sd:
+        out["m"].append({"cv1": _fuse(sd, f"{i}.m.{j}.cv1"),
+                         "cv2": _fuse(sd, f"{i}.m.{j}.cv2")})
+        j += 1
+    return out
+
+
+def _normalize_keys(sd: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        kk = k
+        while not re.match(r"^\d+\.", kk):
+            if "." not in kk:
+                break
+            head, kk = kk.split(".", 1)
+            if head not in ("model", "module", "_orig_mod"):
+                kk = k  # unknown prefix: keep original and bail
+                break
+        out[kk] = v
+    return out
+
+
+def state_dict_to_params(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert an ultralytics YOLOv8 detection state dict to our pytree."""
+    sd = _normalize_keys(sd)
+    p: Dict[str, Any] = {}
+    for i in _CONV_LAYERS:
+        p[i] = _fuse(sd, i)
+    for i in _C2F_LAYERS:
+        p[i] = _c2f(sd, i)
+    p["9"] = {"cv1": _fuse(sd, "9.cv1"), "cv2": _fuse(sd, "9.cv2")}
+    det: Dict[str, Any] = {"cv2": [], "cv3": []}
+    for lvl in range(3):
+        det["cv2"].append([
+            _fuse(sd, f"22.cv2.{lvl}.0"),
+            _fuse(sd, f"22.cv2.{lvl}.1"),
+            _plain(sd, f"22.cv2.{lvl}.2.weight", f"22.cv2.{lvl}.2.bias"),
+        ])
+        det["cv3"].append([
+            _fuse(sd, f"22.cv3.{lvl}.0"),
+            _fuse(sd, f"22.cv3.{lvl}.1"),
+            _plain(sd, f"22.cv3.{lvl}.2.weight", f"22.cv3.{lvl}.2.bias"),
+        ])
+    p["22"] = det
+    return p
+
+
+def infer_size_from_state_dict(sd: Mapping[str, Any]) -> str:
+    """Model size from the stem width (layer 0 output channels)."""
+    sd = _normalize_keys(sd)
+    c0 = _to_np(sd["0.conv.weight"]).shape[0]
+    return {16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}[int(c0)]
+
+
+def load_params(path_or_sd, size: str = "n", nc: int = 80,
+                allow_random: bool = True):
+    """Load params from a checkpoint; fall back to random init.
+
+    Returns (params, size, loaded: bool).
+    """
+    sd = None
+    if isinstance(path_or_sd, Mapping) and path_or_sd:
+        sd = path_or_sd
+    elif isinstance(path_or_sd, (str, Path)):
+        p = Path(path_or_sd)
+        if p.exists():
+            if p.suffix == ".npz":
+                raw = dict(np.load(p))
+                if raw and all(k.startswith("L") for k in raw):
+                    params = import_npz(p)  # our own exported pytree
+                    c0 = params["0"]["w"].shape[-1]
+                    size = {16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}[int(c0)]
+                    return params, size, True
+                sd = raw
+            else:
+                sd = _load_torch(p)
+    if sd is not None:
+        try:
+            size = infer_size_from_state_dict(sd)
+            return state_dict_to_params(sd), size, True
+        except KeyError as exc:
+            if not allow_random:
+                raise
+            print(f"[roadvision] checkpoint key mismatch ({exc}); "
+                  f"using random init")
+    if not allow_random:
+        raise FileNotFoundError(f"cannot load weights from {path_or_sd}")
+    import jax
+    return init_params(jax.random.PRNGKey(0), size, nc), size, False
+
+
+def _load_torch(path: Path):
+    import torch
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        try:
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+        except Exception as exc:
+            print(f"[roadvision] failed to load {path}: {exc}")
+            return None
+    if isinstance(obj, dict) and "model" in obj and hasattr(obj["model"],
+                                                            "state_dict"):
+        return {k: v.float() for k, v in obj["model"].state_dict().items()}
+    if isinstance(obj, dict) and all(hasattr(v, "shape") for v in obj.values()):
+        return obj
+    if hasattr(obj, "state_dict"):
+        return obj.state_dict()
+    return None
+
+
+def export_npz(params, path) -> None:
+    """Flatten the param pytree to an .npz (portable, torch-free).
+
+    Top-level layer keys are prefixed with "L" so that on import, any
+    remaining all-digit dict level can be unambiguously restored to a list
+    (C2f "m" and Detect "cv2"/"cv3" entries).
+    """
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}.{k}" if prefix else f"L{k}")
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, f"{prefix}.{i}")
+        else:
+            flat[prefix] = np.asarray(node)
+    walk(params, "")
+    np.savez(path, **flat)
+
+
+def import_npz(path) -> Dict[str, Any]:
+    flat = dict(np.load(path))
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split(".")
+        node = root
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = jnp.asarray(val)
+
+    def restore(tree):
+        if not isinstance(tree, dict):
+            return tree
+        if tree and all(k.isdigit() for k in tree):
+            return [restore(tree[str(i)]) for i in range(len(tree))]
+        return {k: restore(v) for k, v in tree.items()}
+
+    return {k[1:]: restore(v) for k, v in root.items()}  # strip "L"
+
+
+def random_params(size: str = "n", nc: int = 80, seed: int = 0):
+    import jax
+    return init_params(jax.random.PRNGKey(seed), size, nc)

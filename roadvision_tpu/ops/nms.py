@@ -1,0 +1,100 @@
+"""Fixed-shape class-aware NMS as XLA ops.
+
+TPU-native replacement for the torchvision NMS that ultralytics runs inside
+``model.predict`` (reference: src/detect/yolo_ultralytics.py:28-35 —
+SURVEY.md §2.3): conf filter → per-anchor best class → class-offset boxes →
+greedy score-descending suppression → cap at max_det.
+
+Variable-length candidate sets become a static top-K selection plus a
+validity mask: ``jax.lax.top_k`` over scores, one (K, K) IoU matrix, and a
+sequential keep-mask ``fori_loop`` (K iterations of pure vector ops — the
+loop-carried dependence is inherent to exact greedy NMS; K is small).
+
+Semantics pinned to the reference stack:
+  * score = max over classes, candidate iff score > conf_thres (strict >);
+  * class-aware via the max-coordinate offset trick (offset 7680, the
+    torchvision/ultralytics ``max_wh``);
+  * suppress when IoU > iou_thres (strict >, torchvision semantics);
+  * ``classes_keep`` filtering happens AFTER NMS and max_det, exactly like
+    the reference's post-predict Python filter (yolo_ultralytics.py:48-50),
+    so suppression ran over all classes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+MAX_WH = 7680.0  # class-offset magnitude (ultralytics max_wh)
+
+
+def _iou_matrix_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
+    x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
+    area = jnp.maximum(0.0, x2 - x1) * jnp.maximum(0.0, y2 - y1)
+    iw = jnp.maximum(0.0, jnp.minimum(x2[:, None], x2[None, :])
+                     - jnp.maximum(x1[:, None], x1[None, :]))
+    ih = jnp.maximum(0.0, jnp.minimum(y2[:, None], y2[None, :])
+                     - jnp.maximum(y1[:, None], y1[None, :]))
+    inter = iw * ih
+    union = area[:, None] + area[None, :] - inter
+    return jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("conf_thres", "iou_thres", "max_det",
+                                    "pre_topk", "classes_keep"))
+def nms_single(boxes: jnp.ndarray, scores: jnp.ndarray,
+               conf_thres: float = 0.25, iou_thres: float = 0.7,
+               max_det: int = 100, pre_topk: int = 300,
+               classes_keep: Optional[Tuple[int, ...]] = None):
+    """One image. boxes (N, 4) xyxy, scores (N, nc) per-class probabilities.
+
+    Returns fixed-shape (boxes (max_det, 4), conf (max_det,),
+    cls (max_det,) i32, valid (max_det,) bool), score-descending.
+    """
+    conf = jnp.max(scores, axis=-1)
+    cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    cand = conf > conf_thres
+
+    k = min(pre_topk, boxes.shape[0])
+    sel_scores, sel_idx = jax.lax.top_k(jnp.where(cand, conf, -1.0), k)
+    sel_boxes = boxes[sel_idx]
+    sel_cls = cls[sel_idx]
+    sel_valid = sel_scores > 0.0  # -1 fill = filtered out
+
+    offset = sel_cls.astype(jnp.float32)[:, None] * MAX_WH
+    iou = _iou_matrix_xyxy(sel_boxes + offset)
+
+    # greedy suppression: entries are score-sorted; box i survives iff no
+    # surviving earlier box overlaps it above the threshold
+    suppress_pair = (iou > iou_thres) & sel_valid[:, None] & sel_valid[None, :]
+
+    def body(i, keep):
+        alive_earlier = keep & (jnp.arange(k) < i)
+        suppressed = jnp.any(suppress_pair[:, i] & alive_earlier)
+        return keep.at[i].set(keep[i] & ~suppressed)
+
+    keep = jax.lax.fori_loop(0, k, body, sel_valid)
+
+    # compact the kept entries to the front (stable by score order)
+    order = jnp.argsort(~keep, stable=True)
+    kept_boxes = sel_boxes[order][:max_det]
+    kept_conf = sel_scores[order][:max_det]
+    kept_cls = sel_cls[order][:max_det]
+    kept_valid = keep[order][:max_det]
+
+    if classes_keep:
+        allowed = jnp.zeros((scores.shape[-1],), bool)
+        for c in classes_keep:
+            allowed = allowed.at[int(c)].set(True)
+        kept_valid = kept_valid & allowed[kept_cls]
+
+    return kept_boxes, kept_conf, kept_cls, kept_valid
+
+
+def nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray, **kw):
+    """vmapped NMS over a leading batch axis."""
+    fn = lambda b, s: nms_single(b, s, **kw)  # noqa: E731
+    return jax.vmap(fn)(boxes, scores)
