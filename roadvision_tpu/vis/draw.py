@@ -1,0 +1,193 @@
+"""Detection/tracking overlay rendering (reference: src/vis/draw.py).
+
+Host-side numpy rasterizer — overlay on decoded frames is host work, not
+TPU work (SURVEY.md §2.3: "host-side overlay on returned frames"). No cv2
+dependency: rectangles are strided slice fills; text uses the 5×7 bitmap
+font scaled to approximate cv2's HERSHEY_SIMPLEX metrics at the configured
+``font_scale``.
+
+Behavior preserved:
+  * per-class color from the same 10-entry table keyed cls_id % 10
+    (draw.py:11-22,37);
+  * None/degenerate boxes skipped (:35-40);
+  * top label "ID {tid} | {cls} {conf:.2f}" on a filled color box with
+    white text (:43-47, 59-79);
+  * bottom label "{dist:.1f} m / {speed:.1f} km/h" (:49-56, 82-102);
+  * edge clamping of label boxes.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Optional, Tuple
+
+import numpy as np
+
+from ..detect.types import Detection
+from .font5x7 import GLYPH_H, render_text_mask
+
+COLOR_TABLE: Tuple[Tuple[int, int, int], ...] = (
+    (255, 128, 64), (0, 255, 255), (80, 175, 76), (255, 0, 255),
+    (0, 128, 255), (255, 64, 64), (64, 255, 64), (128, 128, 255),
+    (255, 200, 0), (0, 255, 128),
+)
+
+
+def _font_scale_to_zoom(font_scale: float) -> int:
+    # HERSHEY_SIMPLEX cap height ≈ 22 px at scale 1.0; our glyph is 7 px
+    return max(1, int(round(font_scale * 22 / GLYPH_H)))
+
+
+def draw_rect(img: np.ndarray, x1: int, y1: int, x2: int, y2: int,
+              color, thickness: int = 2) -> None:
+    """Axis-aligned rectangle outline, clipped to the image."""
+    h, w = img.shape[:2]
+    t = max(1, int(thickness))
+    color = np.asarray(color, img.dtype)
+
+    def fill(ya, yb, xa, xb):
+        ya, yb = max(0, ya), min(h, yb)
+        xa, xb = max(0, xa), min(w, xb)
+        if ya < yb and xa < xb:
+            img[ya:yb, xa:xb] = color
+
+    fill(y1 - t // 2, y1 + (t + 1) // 2, x1, x2 + 1)          # top
+    fill(y2 - t // 2, y2 + (t + 1) // 2, x1, x2 + 1)          # bottom
+    fill(y1, y2 + 1, x1 - t // 2, x1 + (t + 1) // 2)          # left
+    fill(y1, y2 + 1, x2 - t // 2, x2 + (t + 1) // 2)          # right
+
+
+def fill_rect(img: np.ndarray, x1: int, y1: int, x2: int, y2: int, color):
+    h, w = img.shape[:2]
+    x1, x2 = max(0, x1), min(w, x2)
+    y1, y2 = max(0, y1), min(h, y2)
+    if x1 < x2 and y1 < y2:
+        img[y1:y2, x1:x2] = np.asarray(color, img.dtype)
+
+
+def put_text(img: np.ndarray, text: str, org: Tuple[int, int],
+             color, font_scale: float = 0.6,
+             outline: Optional[Tuple[int, int, int]] = None) -> None:
+    """Draw text with its BASELINE-left at ``org`` (cv2.putText convention)."""
+    zoom = _font_scale_to_zoom(font_scale)
+    mask = render_text_mask(text, zoom)
+    th, tw = mask.shape
+    x, y = int(org[0]), int(org[1]) - th  # top of glyphs
+    h, w = img.shape[:2]
+    if outline is not None:
+        om = np.zeros((th + 2, tw + 2), bool)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                om[dy:dy + th, dx:dx + tw] |= mask
+        _blit(img, om, x - 1, y - 1, outline)
+    _blit(img, mask, x, y, color)
+
+
+def _blit(img, mask, x, y, color):
+    h, w = img.shape[:2]
+    th, tw = mask.shape
+    ya, xa = max(0, y), max(0, x)
+    yb, xb = min(h, y + th), min(w, x + tw)
+    if ya >= yb or xa >= xb:
+        return
+    sub = mask[ya - y:yb - y, xa - x:xb - x]
+    region = img[ya:yb, xa:xb]
+    region[sub] = np.asarray(color, img.dtype)
+
+
+def text_size(text: str, font_scale: float = 0.6) -> Tuple[Tuple[int, int], int]:
+    """((width, height), baseline) approximating cv2.getTextSize."""
+    zoom = _font_scale_to_zoom(font_scale)
+    w = (len(text) * 6 - 1) * zoom if text else 0
+    h = GLYPH_H * zoom
+    return (w, h), max(2, zoom)
+
+
+def draw_detections(image: np.ndarray, detections: Iterable[Detection],
+                    thickness: int = 2, font_scale: float = 0.6) -> None:
+    """Draw boxes, IDs, distance and speed in place (draw.py:25-56)."""
+    thickness = max(1, int(thickness))
+    for det in detections:
+        if det is None:
+            continue
+        color = COLOR_TABLE[det.cls_id % len(COLOR_TABLE)]
+        x1, y1, x2, y2 = map(int, (det.x1, det.y1, det.x2, det.y2))
+        if x2 <= x1 or y2 <= y1:
+            continue
+        draw_rect(image, x1, y1, x2, y2, color, thickness)
+
+        cls_name = det.cls_name or str(det.cls_id)
+        label = f"{cls_name} {det.conf:.2f}" if det.conf is not None else cls_name
+        if det.track_id is not None:
+            label = f"ID {det.track_id} | {label}"
+        _label_top(image, label, (x1, y1), color, font_scale)
+
+        metrics = []
+        if det.distance_m is not None:
+            metrics.append(f"{det.distance_m:.1f} m")
+        if det.speed_kmh is not None:
+            metrics.append(f"{det.speed_kmh:.1f} km/h")
+        if metrics:
+            _label_bottom(image, " / ".join(metrics), (x1, y2 + 4), color,
+                          font_scale)
+
+
+def _label_top(img, text, topleft, color, font_scale):
+    if not text:
+        return
+    x, y = max(0, int(topleft[0])), max(0, int(topleft[1]))
+    (tw, th), baseline = text_size(text, font_scale)
+    pad = 2
+    box_top = max(0, y - th - baseline - pad * 2)
+    fill_rect(img, x, box_top, x + tw + pad * 2, y, color)
+    put_text(img, text, (x + pad, max(box_top + th, pad + th)),
+             (255, 255, 255), font_scale)
+
+
+def _label_bottom(img, text, bottomleft, color, font_scale):
+    if not text:
+        return
+    x, y = max(0, int(bottomleft[0])), max(0, int(bottomleft[1]))
+    (tw, th), baseline = text_size(text, font_scale)
+    pad = 2
+    box_top = min(max(0, y), img.shape[0] - th - baseline - pad * 2)
+    box_bottom = min(img.shape[0], box_top + th + baseline + pad * 2)
+    fill_rect(img, x, box_top, x + tw + pad * 2, box_bottom, color)
+    put_text(img, text, (x + pad,
+                         min(img.shape[0] - baseline - 1,
+                             box_top + th + baseline)),
+             (255, 255, 255), font_scale)
+
+
+def make_canvas(raw_bgr: np.ndarray, proc_bgr: np.ndarray, layout: str = "h",
+                divider_px: int = 4, label_raw: str = "RAW",
+                label_proc: str = "PROC", fps: Optional[float] = None,
+                show_fps: bool = True) -> np.ndarray:
+    """RAW/PROC compare canvas (reference: main_preview.py:12-34)."""
+    h, w = raw_bgr.shape[:2]
+    divider_px = max(0, int(divider_px))
+
+    def put_label(img, org, text, color=(50, 220, 50)):
+        put_text(img, text, org, color, font_scale=0.8, outline=(0, 0, 0))
+
+    if layout.lower() == "v":
+        parts = [raw_bgr]
+        if divider_px:
+            parts.append(np.full((divider_px, w, 3), (40, 40, 40), np.uint8))
+        parts.append(proc_bgr)
+        canvas = np.vstack(parts)
+        put_label(canvas, (10, 30), label_raw)
+        put_label(canvas, (10, h + divider_px + 30), label_proc,
+                  color=(0, 200, 255))
+    else:
+        parts = [raw_bgr]
+        if divider_px:
+            parts.append(np.full((h, divider_px, 3), (40, 40, 40), np.uint8))
+        parts.append(proc_bgr)
+        canvas = np.hstack(parts)
+        put_label(canvas, (10, 30), label_raw)
+        put_label(canvas, (w + divider_px + 10, 30), label_proc,
+                  color=(0, 200, 255))
+
+    if show_fps and fps is not None:
+        put_label(canvas, (10, max(60, h - 10)), f"FPS: {fps:.1f}",
+                  color=(0, 255, 255))
+    return canvas

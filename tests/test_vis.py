@@ -1,0 +1,56 @@
+"""Overlay rasterizer + compare canvas geometry."""
+import numpy as np
+
+from roadvision_tpu.detect.types import Detection
+from roadvision_tpu.vis import COLOR_TABLE, draw_detections, make_canvas
+from roadvision_tpu.vis.font5x7 import render_text_mask
+
+
+def test_font_renders_nonempty():
+    m = render_text_mask("ID 3 | CAR 0.85", scale=2)
+    assert m.any() and m.shape[0] == 14
+
+
+def test_draw_detections_paints_box_and_skips_degenerate():
+    img = np.zeros((100, 120, 3), np.uint8)
+    dets = [
+        Detection(10, 40, 60, 90, 0.9, 2, "car", track_id=3,
+                  distance_m=12.3, speed_kmh=45.6),
+        Detection(70, 40, 70, 90, 0.9, 0, "person"),  # degenerate: skipped
+        None,
+    ]
+    draw_detections(img, dets)
+    color = np.array(COLOR_TABLE[2], np.uint8)
+    # box edge painted with the class color
+    assert (img[40, 10:60] == color).all(axis=-1).any()
+    # degenerate box area untouched (above the first det's clamped
+    # bottom-label box, which spans y>=80)
+    assert (img[60:78, 69:72] == 0).all()
+    # labels contain white text pixels
+    assert (img == 255).all(axis=-1).any()
+
+
+def test_make_canvas_h_layout_geometry():
+    raw = np.full((48, 64, 3), 10, np.uint8)
+    proc = np.full((48, 64, 3), 200, np.uint8)
+    canvas = make_canvas(raw, proc, layout="h", divider_px=4, fps=30.0)
+    assert canvas.shape == (48, 64 + 4 + 64, 3)
+    np.testing.assert_array_equal(canvas[40, 64:68], [[40, 40, 40]] * 4)
+    assert (canvas[47, :10] == 10).all()    # raw region (below labels)
+    assert (canvas[24, 100] == 200).all()   # proc region
+
+
+def test_make_canvas_v_layout_geometry():
+    raw = np.full((40, 64, 3), 10, np.uint8)
+    proc = np.full((40, 64, 3), 200, np.uint8)
+    canvas = make_canvas(raw, proc, layout="v", divider_px=6, fps=None,
+                         show_fps=False)
+    assert canvas.shape == (40 + 6 + 40, 64, 3)
+    np.testing.assert_array_equal(canvas[42, 0], [40, 40, 40])
+
+
+def test_make_canvas_no_divider():
+    raw = np.zeros((32, 32, 3), np.uint8)
+    canvas = make_canvas(raw, raw.copy(), layout="h", divider_px=0,
+                         show_fps=False)
+    assert canvas.shape == (32, 64, 3)
