@@ -36,8 +36,9 @@ def test_make_canvas_h_layout_geometry():
     canvas = make_canvas(raw, proc, layout="h", divider_px=4, fps=30.0)
     assert canvas.shape == (48, 64 + 4 + 64, 3)
     np.testing.assert_array_equal(canvas[40, 64:68], [[40, 40, 40]] * 4)
-    assert (canvas[47, :10] == 10).all()    # raw region (below labels)
-    assert (canvas[24, 100] == 200).all()   # proc region
+    # raw region between the RAW label (rows ≤30) and FPS overlay (rows ≥39)
+    assert (canvas[35, :10] == 10).all()
+    assert (canvas[35, 100] == 200).all()   # proc region
 
 
 def test_make_canvas_v_layout_geometry():
