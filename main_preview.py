@@ -1,0 +1,119 @@
+"""Realtime preview driver (reference: main_preview.py).
+
+Wires capture → preprocess → detect → track → geometry → overlay → compare
+canvas → optional recording, with the reference's config gates and soft-fail
+semantics, but batched through the TPU engine (one device round-trip per
+batch). The preview window requires OpenCV; without it, use --record or
+--max-frames for headless runs (q/Esc quit only applies to the cv2 window).
+
+Usage:
+  python main_preview.py [--config configs/default.yaml] [--max-frames N]
+                         [--record out.avi] [--no-show]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np  # noqa: E402
+
+from roadvision_tpu.config import load_config  # noqa: E402
+from roadvision_tpu.io_video import FPSMeter, VideoSource, make_writer  # noqa: E402
+from roadvision_tpu.runtime import PipelineEngine  # noqa: E402
+from roadvision_tpu.utils import get_logger  # noqa: E402
+from roadvision_tpu.vis import draw_detections, make_canvas  # noqa: E402
+
+log = get_logger("roadvision.preview")
+
+try:
+    import cv2  # type: ignore
+    _HAS_CV2 = True
+except Exception:
+    cv2 = None
+    _HAS_CV2 = False
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--record", default=None,
+                    help="override preview.record.path and enable recording")
+    ap.add_argument("--no-show", action="store_true")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+    cam_cfg = cfg.get("camera", {})
+    preview_cfg = cfg.get("preview", {})
+    compare_cfg = preview_cfg.get("compare", {}) or {}
+    record_cfg = preview_cfg.get("record", {}) or {}
+    vis_cfg = cfg.get("vis", {}) or {}
+    draw_cfg = vis_cfg.get("draw", {}) or {}
+
+    vs = VideoSource(
+        source=cam_cfg.get("source", 0),
+        width=cam_cfg.get("width", 1280),
+        height=cam_cfg.get("height", 720),
+        fps_request=cam_cfg.get("fps_request", 30),
+        backend=cam_cfg.get("backend", "auto"),
+        num_frames=args.max_frames,
+    )
+    fpsm = FPSMeter(alpha=0.1)
+    engine = PipelineEngine(cfg)
+
+    writer = None
+    want_record = bool(record_cfg.get("enable", False)) or args.record
+    if want_record:
+        path = args.record or record_cfg.get("path", "out_compare.avi")
+        writer = make_writer(path, fps=record_cfg.get("fps", 30))
+        log.info("recording to %s", path)
+
+    want_compare = bool(compare_cfg.get("enable", True))
+    layout = compare_cfg.get("layout", "h")
+    divider_px = int(compare_cfg.get("divider_px", 4))
+    show = _HAS_CV2 and not args.no_show
+
+    n_frames = 0
+    try:
+        for res in engine.stream(vs, max_frames=args.max_frames):
+            proc = np.ascontiguousarray(res.proc)
+            if draw_cfg.get("det", True) and res.detections:
+                draw_detections(proc, res.detections,
+                                thickness=int(draw_cfg.get("thickness", 2)),
+                                font_scale=float(draw_cfg.get("font_scale", 0.6)))
+            fps = fpsm.tick(res.ts)
+
+            if want_compare:
+                canvas = make_canvas(
+                    res.raw, proc, layout=layout, divider_px=divider_px,
+                    label_raw=compare_cfg.get("label_raw", "RAW"),
+                    label_proc=compare_cfg.get("label_proc", "PROC"),
+                    fps=fps, show_fps=bool(preview_cfg.get("show_fps", True)))
+            else:
+                canvas = proc
+
+            if writer:
+                writer.write(canvas)
+            if show:
+                cv2.imshow("Compare Preview" if want_compare else "Preview",
+                           canvas)
+                key = cv2.waitKey(1) & 0xFF
+                if key in (27, ord("q")):
+                    break
+            n_frames += 1
+    finally:
+        if writer:
+            writer.release()
+        vs.release()
+        if show:
+            cv2.destroyAllWindows()
+        log.info("processed %d frames; stage times: %s",
+                 n_frames, engine.timer.summary())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,3 @@
+from .engine import FrameResult, PipelineEngine
+
+__all__ = ["PipelineEngine", "FrameResult"]

@@ -1,0 +1,247 @@
+"""Batched pipeline engine — the TPU-native inversion of the reference loop.
+
+The reference processes one frame at a time through five Python stages with
+two host↔device round-trips per frame (SURVEY.md §3.1). Here the WHOLE
+per-batch step — preprocess chain → letterbox → YOLOv8 forward → DFL decode
+→ NMS → box rescale → SORT scan over the batch's time axis → geometry — is
+a single jit-compiled function:
+
+    host decode → one uint8 transfer → [device: everything] → one transfer back
+
+Tracking is sequential in time by nature; inside the step it is a
+``lax.scan`` over the batch's frames carrying the fixed-capacity track
+state, which also persists on device across batches (SURVEY.md §2.5: the
+sequence dimension of this domain is video time). The host thread only
+decodes, overlaps the next batch's decode with device compute (double
+buffering), and rasterizes overlays on returned frames.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Any, Dict, Iterator, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..detect.types import COCO_NAMES, Detection
+from ..detect.yolo_jax import YOLOJax
+from ..geometry import HomographyProjector, build_projector
+from ..geometry.projector import distance_device, project_boxes_device
+from ..io_video.capture import VideoSource
+from ..ops.letterbox import letterbox_u8, scale_boxes
+from ..ops.nms import nms_batch
+from ..models.yolo import yolov8
+from ..preprocess import PreprocessPipeline
+from ..track.sort_tpu import SortState, init_state, make_sort_step
+from ..utils import StageTimer, get_logger
+
+log = get_logger("roadvision.engine")
+
+
+class FrameResult(NamedTuple):
+    raw: np.ndarray          # (H, W, 3) uint8 BGR
+    proc: np.ndarray         # (H, W, 3) uint8 BGR
+    detections: List[Detection]
+    ts: float
+
+
+class PipelineEngine:
+    """Config-driven end-to-end engine with the reference's soft-fail
+    construction semantics (main_preview.py:61-78): tracker/projector build
+    failures degrade to None with a warning."""
+
+    def __init__(self, cfg: Dict[str, Any]):
+        self.cfg = cfg
+        tpu_cfg = cfg.get("tpu", {}) or {}
+        self.batch_size = int(tpu_cfg.get("batch_size", 8))
+        self.track_slots = int(tpu_cfg.get("track_slots", 64))
+
+        self.pipeline = PreprocessPipeline(cfg.get("preprocess", {}) or {})
+
+        det_cfg = dict(cfg.get("detect", {}) or {})
+        self.detector: Optional[YOLOJax] = None
+        if det_cfg.get("enabled", False):
+            self.detector = YOLOJax(det_cfg)
+        self.max_det = int(det_cfg.get("max_det", 100))
+
+        track_cfg = cfg.get("tracking", {}) or {}
+        self.track_enabled = bool(track_cfg.get("enabled", False)) \
+            and self.detector is not None
+        self._sort_step = None
+        if self.track_enabled:
+            try:
+                self._sort_step = make_sort_step(
+                    float(track_cfg.get("iou_threshold", 0.3)),
+                    float(track_cfg.get("max_staleness", 1.0)),
+                    float(track_cfg.get("speed_window", 0.75)),
+                    int(track_cfg.get("min_hits", 3)))
+            except Exception as exc:  # soft fail (main_preview.py:66-70)
+                log.warning("tracker init failed: %s", exc)
+                self.track_enabled = False
+
+        geom_cfg = cfg.get("geometry", {}) or {}
+        self.projector: Optional[HomographyProjector] = None
+        if geom_cfg.get("enabled", False):
+            try:
+                proj = build_projector(geom_cfg)
+                if isinstance(proj, HomographyProjector):
+                    self.projector = proj
+            except Exception as exc:  # soft fail (main_preview.py:74-78)
+                log.warning("projector init failed: %s", exc)
+
+        self.sort_state: Optional[SortState] = \
+            init_state(self.track_slots) if self.track_enabled else None
+        self._t0: Optional[float] = None
+        self._jit_cache: Dict[Tuple[int, int, int], Any] = {}
+        self.timer = StageTimer()
+
+    # ------------------------------------------------------------------
+    def _build_step(self, shape: Tuple[int, int, int]):
+        b, h, w = shape
+        pre = self.pipeline
+        det = self.detector
+        sort_step = self._sort_step
+        proj = self.projector.device_params() if self.projector else None
+        track = self.track_enabled
+        max_det = det.max_det if det else self.max_det
+
+        def step(params, sort_state, frames_u8, ts):
+            proc = frames_u8 if pre.identity else pre._batch_fn(frames_u8)
+            if det is None:
+                z = jnp.zeros((b, max_det), jnp.float32)
+                empty = (jnp.zeros((b, max_det, 4), jnp.float32), z,
+                         jnp.zeros((b, max_det), jnp.int32),
+                         jnp.zeros((b, max_det), bool),
+                         jnp.zeros((b, max_det), jnp.int32),
+                         jnp.full((b, max_det), jnp.nan),
+                         jnp.full((b, max_det), jnp.nan))
+                return proc, empty, sort_state
+
+            imgs, ratio, pad = letterbox_u8(proc, size=det.imgsz)
+            boxes640, scores = yolov8.forward(params, imgs, size=det.size,
+                                              nc=det.nc, dtype=det.dtype)
+            boxes, conf, cls_id, valid = nms_batch(
+                boxes640, scores, conf_thres=det.conf, iou_thres=det.iou,
+                max_det=det.max_det, pre_topk=300,
+                classes_keep=det.keep if det.keep else None)
+            boxes = scale_boxes(boxes, ratio, pad, (h, w))
+
+            if track:
+                def body(st, frame):
+                    fb, fc, fcf, fv, ft = frame
+                    return sort_step(st, fb, fc, fcf, fv, ft, proj)
+                sort_state, outs = jax.lax.scan(
+                    body, sort_state, (boxes, cls_id, conf, valid, ts))
+                ids, dist, speed = outs.track_id, outs.distance_m, outs.speed_kmh
+            else:
+                ids = jnp.zeros((b, det.max_det), jnp.int32)
+                if proj is not None:
+                    # projector-only distance (main_preview.py:105-109)
+                    h_mat, origin, maxd = proj
+                    ground, gvalid = project_boxes_device(h_mat, boxes)
+                    dist = distance_device(ground, gvalid & valid, origin, maxd)
+                else:
+                    dist = jnp.full((b, det.max_det), jnp.nan)
+                speed = jnp.full((b, det.max_det), jnp.nan)
+
+            return proc, (boxes, conf, cls_id, valid, ids, dist, speed), \
+                sort_state
+
+        return jax.jit(step, donate_argnums=(1,))
+
+    def _step_for(self, shape):
+        if shape not in self._jit_cache:
+            self._jit_cache[shape] = self._build_step(shape)
+        return self._jit_cache[shape]
+
+    # ------------------------------------------------------------------
+    def process_batch(self, frames: np.ndarray,
+                      timestamps: np.ndarray) -> List[FrameResult]:
+        """(B, H, W, 3) BGR uint8 + (B,) float64 stamps → per-frame results."""
+        b, h, w = frames.shape[:3]
+        if self._t0 is None:
+            self._t0 = float(timestamps[0])
+        ts_rel = (timestamps - self._t0).astype(np.float32)
+
+        step = self._step_for((b, h, w))
+        params = self.detector.params if self.detector else {}
+        with self.timer.stage("device_step"):
+            proc, det_arrays, self.sort_state = step(
+                params, self.sort_state, jnp.asarray(frames),
+                jnp.asarray(ts_rel))
+            proc = np.asarray(proc)
+            arrays = [np.asarray(a) for a in det_arrays]
+
+        boxes, conf, cls_id, valid, ids, dist, speed = arrays
+        names = list(COCO_NAMES)
+        results = []
+        with self.timer.stage("host_unpack"):
+            for i in range(b):
+                dets: List[Detection] = []
+                for j in range(boxes.shape[1]):
+                    if not valid[i, j]:
+                        continue
+                    k = int(cls_id[i, j])
+                    dets.append(Detection(
+                        float(boxes[i, j, 0]), float(boxes[i, j, 1]),
+                        float(boxes[i, j, 2]), float(boxes[i, j, 3]),
+                        float(conf[i, j]), k,
+                        names[k] if 0 <= k < len(names) else str(k),
+                        track_id=int(ids[i, j]) if ids[i, j] > 0 else None,
+                        distance_m=(float(dist[i, j])
+                                    if np.isfinite(dist[i, j]) else None),
+                        speed_kmh=(float(speed[i, j])
+                                   if np.isfinite(speed[i, j]) else None)))
+                results.append(FrameResult(frames[i], proc[i], dets,
+                                           float(timestamps[i])))
+        return results
+
+    # ------------------------------------------------------------------
+    def stream(self, source: VideoSource,
+               max_frames: Optional[int] = None) -> Iterator[FrameResult]:
+        """Double-buffered streaming: decode batch i+1 while computing i."""
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def reader():
+            count = 0
+            while not stop.is_set():
+                n = self.batch_size
+                if max_frames is not None:
+                    n = min(n, max_frames - count)
+                    if n <= 0:
+                        break
+                with self.timer.stage("decode"):
+                    frames, ts, m = source.read_batch(n)
+                if m == 0:
+                    break
+                q.put((frames, ts))
+                count += m
+            q.put(None)
+
+        thread = threading.Thread(target=reader, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                frames, ts = item
+                yield from self.process_batch(frames, ts)
+        finally:
+            stop.set()
+            # drain so the reader thread can exit
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=2.0)
+
+    def reset(self) -> None:
+        if self.track_enabled:
+            self.sort_state = init_state(self.track_slots)
+        self._t0 = None

@@ -1,0 +1,4 @@
+from .logging import get_logger
+from .timing import StageTimer
+
+__all__ = ["StageTimer", "get_logger"]

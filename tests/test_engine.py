@@ -1,0 +1,93 @@
+"""End-to-end integration: synthetic video through the fused engine step
+(SURVEY.md §4 integration tier)."""
+import numpy as np
+
+from roadvision_tpu.config import DEFAULTS, merge
+from roadvision_tpu.io_video import VideoSource
+from roadvision_tpu.runtime import PipelineEngine
+
+
+def _cfg(**over):
+    cfg = merge(DEFAULTS, {
+        "camera": {"source": "synthetic:3", "width": 160, "height": 128},
+        "preprocess": {"enabled": True, "chain": [
+            {"name": "CLAHEDehaze", "params": {"space": "YCrCb",
+                                               "clip_limit": 2.0,
+                                               "tile_grid": 8}},
+            {"name": "MedianDerain", "params": {"ksize": 3}},
+        ]},
+        "detect": {"enabled": True, "model": "missing.pt", "device": "cpu",
+                   "max_det": 10, "imgsz": 160, "classes_keep": []},
+        "tracking": {"enabled": True},
+        "geometry": {"enabled": True, "projector": {
+            "type": "homography",
+            "image_points": [[0, 128], [160, 128], [0, 50], [160, 50]],
+            "world_points": [[0, 0], [6.4, 0], [0, 40], [6.4, 40]],
+            "origin": [3.2, 0.0], "max_distance": 100.0}},
+        "tpu": {"batch_size": 4, "track_slots": 16},
+    })
+    return merge(cfg, over)
+
+
+def test_engine_full_pipeline_runs():
+    cfg = _cfg()
+    engine = PipelineEngine(cfg)
+    vs = VideoSource(source="synthetic:3", width=160, height=128,
+                     num_frames=8)
+    results = list(engine.stream(vs, max_frames=8))
+    assert len(results) == 8
+    for r in results:
+        assert r.raw.shape == (128, 160, 3)
+        assert r.proc.shape == (128, 160, 3)
+        assert r.raw.dtype == np.uint8 and r.proc.dtype == np.uint8
+    # preprocess actually changed the frames
+    assert not np.array_equal(results[0].raw, results[0].proc)
+
+
+def test_engine_track_state_persists_across_batches():
+    engine = PipelineEngine(_cfg())
+    vs = VideoSource(source="synthetic:3", width=160, height=128,
+                     num_frames=8)
+    list(engine.stream(vs, max_frames=8))
+    if engine.track_enabled:
+        # next_id advanced only if something was detected; state is device-side
+        assert int(engine.sort_state.next_id) >= 1
+
+
+def test_engine_detect_disabled():
+    cfg = _cfg(detect={"enabled": False})
+    engine = PipelineEngine(cfg)
+    vs = VideoSource(source="synthetic:2", width=160, height=128,
+                     num_frames=4)
+    results = list(engine.stream(vs, max_frames=4))
+    assert len(results) == 4
+    assert all(r.detections == [] for r in results)
+
+
+def test_engine_preprocess_disabled_identity():
+    cfg = _cfg(preprocess={"enabled": False}, detect={"enabled": False},
+               tracking={"enabled": False})
+    engine = PipelineEngine(cfg)
+    vs = VideoSource(source="synthetic:2", width=160, height=128,
+                     num_frames=4)
+    results = list(engine.stream(vs, max_frames=4))
+    for r in results:
+        np.testing.assert_array_equal(r.raw, r.proc)
+
+
+def test_engine_projector_soft_fail():
+    cfg = _cfg(geometry={"enabled": True,
+                         "projector": {"type": "homography",
+                                       "image_points": [], "world_points": []}})
+    engine = PipelineEngine(cfg)  # bad calibration → degraded, no raise
+    assert engine.projector is None
+
+
+def test_main_preview_headless(tmp_path):
+    import main_preview
+    out = tmp_path / "clip.avi"
+    rc = main_preview.main(["--max-frames", "6", "--no-show",
+                            "--record", str(out)])
+    assert rc == 0
+    data = out.read_bytes()
+    assert data[:4] == b"RIFF" and data.count(b"\xff\xd8\xff") == 6
