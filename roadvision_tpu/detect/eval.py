@@ -1,0 +1,109 @@
+"""Detection-quality metrics: AP / mAP over IoU thresholds.
+
+Tooling for the parity gate (BASELINE.md: "detection mAP ... parity with
+the CPU reference") — a standard 101-point-interpolated COCO-style AP
+implementation over Detection lists or (boxes, conf, cls) arrays, plus a
+simple box-match recall/precision report. Host-side numpy (evaluation is
+not a hot path).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    ax1, ay1, ax2, ay2 = a[:, 0:1], a[:, 1:2], a[:, 2:3], a[:, 3:4]
+    bx1, by1, bx2, by2 = b[None, :, 0], b[None, :, 1], b[None, :, 2], b[None, :, 3]
+    iw = np.maximum(0, np.minimum(ax2, bx2) - np.maximum(ax1, bx1))
+    ih = np.maximum(0, np.minimum(ay2, by2) - np.maximum(ay1, by1))
+    inter = iw * ih
+    area_a = np.maximum(0, ax2 - ax1) * np.maximum(0, ay2 - ay1)
+    area_b = np.maximum(0, bx2 - bx1) * np.maximum(0, by2 - by1)
+    union = area_a + area_b - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+
+
+def average_precision(pred_boxes: Sequence[np.ndarray],
+                      pred_conf: Sequence[np.ndarray],
+                      gt_boxes: Sequence[np.ndarray],
+                      iou_thres: float = 0.5) -> float:
+    """Single-class AP over a set of images (101-point interpolation).
+
+    pred_boxes[i]: (Ni, 4); pred_conf[i]: (Ni,); gt_boxes[i]: (Mi, 4).
+    """
+    records: List[Tuple[float, bool]] = []
+    total_gt = 0
+    for pb, pc, gb in zip(pred_boxes, pred_conf, gt_boxes):
+        pb, pc, gb = np.asarray(pb), np.asarray(pc), np.asarray(gb)
+        total_gt += len(gb)
+        order = np.argsort(-pc, kind="stable")
+        iou = _iou_matrix(pb, gb)
+        taken = np.zeros(len(gb), bool)
+        for i in order:
+            if len(gb) == 0:
+                records.append((float(pc[i]), False))
+                continue
+            j = int(np.argmax(np.where(taken, -1.0, iou[i])))
+            if iou[i, j] >= iou_thres and not taken[j]:
+                taken[j] = True
+                records.append((float(pc[i]), True))
+            else:
+                records.append((float(pc[i]), False))
+    if total_gt == 0:
+        return 0.0
+    if not records:
+        return 0.0
+    records.sort(key=lambda r: -r[0])
+    tp = np.cumsum([r[1] for r in records])
+    fp = np.cumsum([not r[1] for r in records])
+    recall = tp / total_gt
+    precision = tp / np.maximum(tp + fp, 1e-9)
+    # 101-point interpolated AP
+    ap = 0.0
+    for r in np.linspace(0, 1, 101):
+        mask = recall >= r
+        ap += float(precision[mask].max()) if mask.any() else 0.0
+    return ap / 101.0
+
+
+def mean_ap(per_class_preds: Dict[int, Tuple[list, list]],
+            per_class_gts: Dict[int, list],
+            iou_thresholds: Sequence[float] = (0.5,)) -> Dict[str, float]:
+    """mAP across classes and IoU thresholds.
+
+    per_class_preds[c] = (list of per-image boxes, list of per-image conf);
+    per_class_gts[c] = list of per-image gt boxes.
+    """
+    out = {}
+    for thr in iou_thresholds:
+        aps = []
+        for c, (boxes, confs) in per_class_preds.items():
+            gts = per_class_gts.get(c, [np.zeros((0, 4))] * len(boxes))
+            aps.append(average_precision(boxes, confs, gts, thr))
+        out[f"mAP@{thr:g}"] = float(np.mean(aps)) if aps else 0.0
+    return out
+
+
+def match_report(pred_boxes: np.ndarray, gt_boxes: np.ndarray,
+                 iou_thres: float = 0.5) -> Dict[str, float]:
+    """Greedy matched precision/recall for one image."""
+    iou = _iou_matrix(np.asarray(pred_boxes), np.asarray(gt_boxes))
+    matched = 0
+    taken = np.zeros(iou.shape[1], bool)
+    for i in range(iou.shape[0]):
+        if iou.shape[1] == 0:
+            break
+        j = int(np.argmax(np.where(taken, -1.0, iou[i])))
+        if iou[i, j] >= iou_thres and not taken[j]:
+            taken[j] = True
+            matched += 1
+    n_pred, n_gt = iou.shape
+    return {
+        "precision": matched / n_pred if n_pred else 0.0,
+        "recall": matched / n_gt if n_gt else 0.0,
+        "matched": matched, "n_pred": n_pred, "n_gt": n_gt,
+    }

@@ -210,7 +210,11 @@ def import_npz(path) -> Dict[str, Any]:
     def restore(tree):
         if not isinstance(tree, dict):
             return tree
-        if tree and all(k.isdigit() for k in tree):
+        # all-digit AND contiguous 0..n-1 keys → was a list (C2f "m",
+        # Detect branches). The layer-index dict has gaps (no 10/11/...)
+        # so it stays a dict.
+        if tree and all(k.isdigit() for k in tree) \
+                and sorted(int(k) for k in tree) == list(range(len(tree))):
             return [restore(tree[str(i)]) for i in range(len(tree))]
         return {k: restore(v) for k, v in tree.items()}
 

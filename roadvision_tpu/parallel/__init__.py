@@ -1,0 +1,5 @@
+from .sharding import (batch_sharding, make_mesh, param_shardings, replicated,
+                       shard_pytree)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "param_shardings",
+           "shard_pytree"]

@@ -1,0 +1,57 @@
+"""Checkpoint/resume for model + training state.
+
+The reference persists nothing (SURVEY.md §5 — its recorder is dead code).
+Here: model params round-trip through the portable .npz format
+(models/yolo/weights.py), and full training state (params + momentum +
+step counter) checkpoints via orbax when available with an .npz fallback —
+so training runs survive restarts on any host.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..models.yolo import weights as yolo_weights
+
+try:
+    import orbax.checkpoint as ocp
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    ocp = None
+    _HAS_ORBAX = False
+
+
+def save_train_state(path: str, params, momentum, step: int,
+                     use_orbax: Optional[bool] = None) -> str:
+    """Persist training state; returns the path written."""
+    p = Path(path)
+    if use_orbax is None:
+        use_orbax = _HAS_ORBAX and p.suffix == ""
+    if use_orbax:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(p.resolve(), {"params": params, "momentum": momentum,
+                                 "step": np.int64(step)}, force=True)
+        ckptr.wait_until_finished()
+        return str(p)
+    p = p if p.suffix == ".npz" else p.with_suffix(".npz")
+    p.parent.mkdir(parents=True, exist_ok=True)
+    yolo_weights.export_npz({"P": params, "M": momentum,
+                             "meta": {"step": np.asarray(step)}}, p)
+    return str(p)
+
+
+def load_train_state(path: str) -> Tuple[Any, Any, int]:
+    """Load (params, momentum, step) saved by :func:`save_train_state`."""
+    p = Path(path)
+    if p.is_dir():
+        if not _HAS_ORBAX:
+            raise RuntimeError("orbax checkpoint dir but orbax unavailable")
+        ckptr = ocp.StandardCheckpointer()
+        state = ckptr.restore(p.resolve())
+        return state["params"], state["momentum"], int(state["step"])
+    tree = yolo_weights.import_npz(p if p.suffix == ".npz"
+                                   else p.with_suffix(".npz"))
+    return tree["P"], tree["M"], int(np.asarray(tree["meta"]["step"]))
