@@ -1,0 +1,111 @@
+"""ctypes bindings for the native host ops, with transparent fallback.
+
+Compiles host_ops.cpp on first import (g++ -O3, cached next to the source);
+if no toolchain is available the callers keep their numpy paths. Disable
+explicitly with RVT_NATIVE=0.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "host_ops.cpp"
+_LIB = _HERE / "libhostops.so"
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    if os.environ.get("RVT_NATIVE", "1") == "0":
+        return None
+    try:
+        if (not _LIB.exists()
+                or _LIB.stat().st_mtime < _SRC.stat().st_mtime):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", str(_SRC),
+                 "-o", str(_LIB)],
+                check=True, capture_output=True, timeout=120)
+        return ctypes.CDLL(str(_LIB))
+    except Exception:
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is None:
+        _lib = _build()
+        if _lib is not None:
+            _declare(_lib)
+    return _lib
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rvt_fill_rect.argtypes = [u8p] + [ctypes.c_int] * 6 \
+        + [ctypes.c_uint8] * 3
+    lib.rvt_draw_rect.argtypes = [u8p] + [ctypes.c_int] * 7 \
+        + [ctypes.c_uint8] * 3
+    lib.rvt_blit_mask.argtypes = [u8p, ctypes.c_int, ctypes.c_int, u8p,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int] + [ctypes.c_uint8] * 3
+    lib.rvt_canvas_h.argtypes = [u8p, u8p, u8p] + [ctypes.c_int] * 3
+    lib.rvt_canvas_v.argtypes = [u8p, u8p, u8p] + [ctypes.c_int] * 3
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def fill_rect(img: np.ndarray, x1: int, y1: int, x2: int, y2: int, color):
+    lib = get_lib()
+    assert lib is not None and img.flags["C_CONTIGUOUS"]
+    h, w = img.shape[:2]
+    b, g, r = (int(c) & 0xFF for c in color)
+    lib.rvt_fill_rect(_ptr(img), h, w, int(x1), int(y1), int(x2), int(y2),
+                      b, g, r)
+
+
+def draw_rect(img: np.ndarray, x1: int, y1: int, x2: int, y2: int,
+              color, thickness: int = 2):
+    lib = get_lib()
+    assert lib is not None and img.flags["C_CONTIGUOUS"]
+    h, w = img.shape[:2]
+    b, g, r = (int(c) & 0xFF for c in color)
+    lib.rvt_draw_rect(_ptr(img), h, w, int(x1), int(y1), int(x2), int(y2),
+                      int(thickness), b, g, r)
+
+
+def blit_mask(img: np.ndarray, mask: np.ndarray, x: int, y: int, color):
+    lib = get_lib()
+    assert lib is not None and img.flags["C_CONTIGUOUS"]
+    h, w = img.shape[:2]
+    m = np.ascontiguousarray(mask.astype(np.uint8))
+    b, g, r = (int(c) & 0xFF for c in color)
+    lib.rvt_blit_mask(_ptr(img), h, w, _ptr(m), m.shape[0], m.shape[1],
+                      int(x), int(y), b, g, r)
+
+
+def canvas(raw: np.ndarray, proc: np.ndarray, layout: str = "h",
+           divider: int = 4) -> np.ndarray:
+    lib = get_lib()
+    assert lib is not None
+    h, w = raw.shape[:2]
+    raw = np.ascontiguousarray(raw)
+    proc = np.ascontiguousarray(proc)
+    if layout == "v":
+        out = np.empty((2 * h + divider, w, 3), np.uint8)
+        lib.rvt_canvas_v(_ptr(raw), _ptr(proc), _ptr(out), h, w, divider)
+    else:
+        out = np.empty((h, 2 * w + divider, 3), np.uint8)
+        lib.rvt_canvas_h(_ptr(raw), _ptr(proc), _ptr(out), h, w, divider)
+    return out

@@ -30,6 +30,20 @@ COLOR_TABLE: Tuple[Tuple[int, int, int], ...] = (
     (255, 200, 0), (0, 255, 128),
 )
 
+_NATIVE = None
+
+
+def _native():
+    """Lazy handle to the C++ host ops (runtime/native); False if absent."""
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from ..runtime import native as native_mod
+            _NATIVE = native_mod if native_mod.available() else False
+        except Exception:
+            _NATIVE = False
+    return _NATIVE
+
 
 def _font_scale_to_zoom(font_scale: float) -> int:
     # HERSHEY_SIMPLEX cap height ≈ 22 px at scale 1.0; our glyph is 7 px
@@ -39,6 +53,10 @@ def _font_scale_to_zoom(font_scale: float) -> int:
 def draw_rect(img: np.ndarray, x1: int, y1: int, x2: int, y2: int,
               color, thickness: int = 2) -> None:
     """Axis-aligned rectangle outline, clipped to the image."""
+    nat = _native()
+    if nat and img.flags["C_CONTIGUOUS"]:
+        nat.draw_rect(img, x1, y1, x2, y2, color, thickness)
+        return
     h, w = img.shape[:2]
     t = max(1, int(thickness))
     color = np.asarray(color, img.dtype)
@@ -56,6 +74,10 @@ def draw_rect(img: np.ndarray, x1: int, y1: int, x2: int, y2: int,
 
 
 def fill_rect(img: np.ndarray, x1: int, y1: int, x2: int, y2: int, color):
+    nat = _native()
+    if nat and img.flags["C_CONTIGUOUS"]:
+        nat.fill_rect(img, x1, y1, x2, y2, color)
+        return
     h, w = img.shape[:2]
     x1, x2 = max(0, x1), min(w, x2)
     y1, y2 = max(0, y1), min(h, y2)
@@ -82,6 +104,10 @@ def put_text(img: np.ndarray, text: str, org: Tuple[int, int],
 
 
 def _blit(img, mask, x, y, color):
+    nat = _native()
+    if nat and img.flags["C_CONTIGUOUS"]:
+        nat.blit_mask(img, mask, x, y, color)
+        return
     h, w = img.shape[:2]
     th, tw = mask.shape
     ya, xa = max(0, y), max(0, x)
@@ -168,21 +194,30 @@ def make_canvas(raw_bgr: np.ndarray, proc_bgr: np.ndarray, layout: str = "h",
     def put_label(img, org, text, color=(50, 220, 50)):
         put_text(img, text, org, color, font_scale=0.8, outline=(0, 0, 0))
 
+    nat = _native()
     if layout.lower() == "v":
-        parts = [raw_bgr]
-        if divider_px:
-            parts.append(np.full((divider_px, w, 3), (40, 40, 40), np.uint8))
-        parts.append(proc_bgr)
-        canvas = np.vstack(parts)
+        if nat:
+            canvas = nat.canvas(raw_bgr, proc_bgr, "v", divider_px)
+        else:
+            parts = [raw_bgr]
+            if divider_px:
+                parts.append(np.full((divider_px, w, 3), (40, 40, 40),
+                                     np.uint8))
+            parts.append(proc_bgr)
+            canvas = np.vstack(parts)
         put_label(canvas, (10, 30), label_raw)
         put_label(canvas, (10, h + divider_px + 30), label_proc,
                   color=(0, 200, 255))
     else:
-        parts = [raw_bgr]
-        if divider_px:
-            parts.append(np.full((h, divider_px, 3), (40, 40, 40), np.uint8))
-        parts.append(proc_bgr)
-        canvas = np.hstack(parts)
+        if nat:
+            canvas = nat.canvas(raw_bgr, proc_bgr, "h", divider_px)
+        else:
+            parts = [raw_bgr]
+            if divider_px:
+                parts.append(np.full((h, divider_px, 3), (40, 40, 40),
+                                     np.uint8))
+            parts.append(proc_bgr)
+            canvas = np.hstack(parts)
         put_label(canvas, (10, 30), label_raw)
         put_label(canvas, (w + divider_px + 10, 30), label_proc,
                   color=(0, 200, 255))
