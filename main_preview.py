@@ -21,6 +21,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np  # noqa: E402
 
 from roadvision_tpu.config import load_config  # noqa: E402
+from roadvision_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 from roadvision_tpu.io_video import FPSMeter, VideoSource, make_writer  # noqa: E402
 from roadvision_tpu.runtime import PipelineEngine  # noqa: E402
 from roadvision_tpu.utils import get_logger  # noqa: E402

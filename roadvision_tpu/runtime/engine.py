@@ -99,7 +99,15 @@ class PipelineEngine:
         self.timer = StageTimer()
 
     # ------------------------------------------------------------------
-    def _build_step(self, shape: Tuple[int, int, int]):
+    def _build_step(self, shape: Tuple[int, int, int],
+                    want_proc: bool = True):
+        return jax.jit(self.build_raw_step(shape, want_proc),
+                       donate_argnums=(1,))
+
+    def build_raw_step(self, shape: Tuple[int, int, int],
+                       want_proc: bool = True):
+        """The un-jitted traced step — composable inside larger jitted
+        loops (e.g. a device-resident lax.scan over many batches)."""
         b, h, w = shape
         pre = self.pipeline
         det = self.detector
@@ -147,32 +155,43 @@ class PipelineEngine:
                     dist = jnp.full((b, det.max_det), jnp.nan)
                 speed = jnp.full((b, det.max_det), jnp.nan)
 
-            return proc, (boxes, conf, cls_id, valid, ids, dist, speed), \
-                sort_state
+            # returning the processed frames costs a (B,H,W,3) device→host
+            # transfer; skip it when the caller only needs detections
+            out_frames = proc if want_proc else jnp.zeros((), jnp.uint8)
+            return out_frames, (boxes, conf, cls_id, valid, ids, dist,
+                                speed), sort_state
 
-        return jax.jit(step, donate_argnums=(1,))
+        return step
 
-    def _step_for(self, shape):
-        if shape not in self._jit_cache:
-            self._jit_cache[shape] = self._build_step(shape)
-        return self._jit_cache[shape]
+    def _step_for(self, shape, want_proc: bool = True):
+        key = (shape, want_proc)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_step(shape, want_proc)
+        return self._jit_cache[key]
 
     # ------------------------------------------------------------------
     def process_batch(self, frames: np.ndarray,
-                      timestamps: np.ndarray) -> List[FrameResult]:
-        """(B, H, W, 3) BGR uint8 + (B,) float64 stamps → per-frame results."""
+                      timestamps: np.ndarray,
+                      want_proc: bool = True,
+                      device_frames=None) -> List[FrameResult]:
+        """(B, H, W, 3) BGR uint8 + (B,) float64 stamps → per-frame results.
+
+        ``device_frames`` lets a prefetch thread start the host→device
+        transfer early; ``want_proc=False`` skips the processed-frame
+        return transfer (the detections are tiny)."""
         b, h, w = frames.shape[:3]
         if self._t0 is None:
             self._t0 = float(timestamps[0])
         ts_rel = (timestamps - self._t0).astype(np.float32)
 
-        step = self._step_for((b, h, w))
+        step = self._step_for((b, h, w), want_proc)
         params = self.detector.params if self.detector else {}
         with self.timer.stage("device_step"):
+            dev = device_frames if device_frames is not None \
+                else jnp.asarray(frames)
             proc, det_arrays, self.sort_state = step(
-                params, self.sort_state, jnp.asarray(frames),
-                jnp.asarray(ts_rel))
-            proc = np.asarray(proc)
+                params, self.sort_state, dev, jnp.asarray(ts_rel))
+            proc = np.asarray(proc) if want_proc else None
             arrays = [np.asarray(a) for a in det_arrays]
 
         boxes, conf, cls_id, valid, ids, dist, speed = arrays
@@ -195,14 +214,16 @@ class PipelineEngine:
                                     if np.isfinite(dist[i, j]) else None),
                         speed_kmh=(float(speed[i, j])
                                    if np.isfinite(speed[i, j]) else None)))
-                results.append(FrameResult(frames[i], proc[i], dets,
-                                           float(timestamps[i])))
+                results.append(FrameResult(
+                    frames[i], proc[i] if proc is not None else frames[i],
+                    dets, float(timestamps[i])))
         return results
 
     # ------------------------------------------------------------------
-    def stream(self, source: VideoSource,
-               max_frames: Optional[int] = None) -> Iterator[FrameResult]:
-        """Double-buffered streaming: decode batch i+1 while computing i."""
+    def stream(self, source: VideoSource, max_frames: Optional[int] = None,
+               want_proc: bool = True) -> Iterator[FrameResult]:
+        """Double-buffered streaming: decode + host→device transfer of
+        batch i+1 overlap with the device compute of batch i."""
         q: "queue.Queue" = queue.Queue(maxsize=2)
         stop = threading.Event()
 
@@ -218,7 +239,10 @@ class PipelineEngine:
                     frames, ts, m = source.read_batch(n)
                 if m == 0:
                     break
-                q.put((frames, ts))
+                # start the uint8 transfer now; jnp.asarray is async, so it
+                # overlaps the compute of the batch in flight
+                dev = jnp.asarray(frames)
+                q.put((frames, ts, dev))
                 count += m
             q.put(None)
 
@@ -229,8 +253,10 @@ class PipelineEngine:
                 item = q.get()
                 if item is None:
                     break
-                frames, ts = item
-                yield from self.process_batch(frames, ts)
+                frames, ts, dev = item
+                yield from self.process_batch(frames, ts,
+                                              want_proc=want_proc,
+                                              device_frames=dev)
         finally:
             stop.set()
             # drain so the reader thread can exit

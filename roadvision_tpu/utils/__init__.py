@@ -1,4 +1,5 @@
+from .cache import enable_compilation_cache
 from .logging import get_logger
 from .timing import StageTimer
 
-__all__ = ["StageTimer", "get_logger"]
+__all__ = ["StageTimer", "get_logger", "enable_compilation_cache"]

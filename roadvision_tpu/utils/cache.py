@@ -1,0 +1,23 @@
+"""Persistent XLA compilation cache.
+
+First compiles of the fused pipeline step are expensive (minutes through a
+remote-compile TPU attach); the persistent cache makes every subsequent
+process start warm. Called by the entrypoints (bench, preview driver,
+graft entry) — safe to call multiple times.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+_DEFAULT_DIR = os.environ.get("RVT_JAX_CACHE", os.path.expanduser("~/.jax_cache"))
+
+
+def enable_compilation_cache(path: str = _DEFAULT_DIR) -> None:
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
