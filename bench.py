@@ -71,9 +71,12 @@ def _sync(x):
     return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
 
 
+INNER_SCAN = 4  # fixed so the compiled graph is independent of ITERS
+
+
 def device_resident_fps(engine: PipelineEngine, width: int, height: int,
                         batch: int, iters: int) -> float:
-    """One jitted scan: render-on-device → pipeline step → carry state."""
+    """Jitted scan (fixed length) over render-on-device → pipeline step."""
     src = DeviceSyntheticSource(width, height, num_vehicles=6)
     render = src.make_render_fn(batch)
     raw_step = engine.build_raw_step((batch, height, width),
@@ -90,17 +93,19 @@ def device_resident_fps(engine: PipelineEngine, width: int, height: int,
             _, outs, st = raw_step(params, st, frames, ts)
             # tiny per-step output keeps the scan alive without traffic
             return st, outs[3].sum()
-        state, counts = jax.lax.scan(body, state, jnp.arange(iters))
+        state, counts = jax.lax.scan(body, state, jnp.arange(INNER_SCAN))
         return state, counts.sum()
 
+    outer = max(1, iters // INNER_SCAN)
     state = engine.sort_state
     state, c = run(params, state, jnp.int32(0))
     _sync(c)  # compile + warm
     t0 = time.perf_counter()
-    state, c = run(params, state, jnp.int32(iters * batch))
+    for k in range(outer):
+        state, c = run(params, state, jnp.int32((k + 1) * INNER_SCAN * batch))
     _sync(c)
     elapsed = time.perf_counter() - t0
-    return (iters * batch) / elapsed
+    return (outer * INNER_SCAN * batch) / elapsed
 
 
 def host_fed_fps(engine: PipelineEngine, width: int, height: int,
@@ -144,19 +149,24 @@ def main() -> int:
     iters = int(os.environ.get("RVT_BENCH_ITERS", "8"))
     host_iters = int(os.environ.get("RVT_BENCH_HOST_ITERS", "4"))
 
+    t_start = time.perf_counter()
     engine = PipelineEngine(_cfg(height, width, batch))
 
     fps = device_resident_fps(engine, width, height, batch, iters)
 
+    # secondary measurements are skipped when first compiles already ate
+    # the budget (cold caches on a remote-compile attach can take ~45 min)
+    budget_s = float(os.environ.get("RVT_BENCH_BUDGET_S", "1500"))
     host_fps = None
-    if host_iters > 0:
+    if host_iters > 0 and time.perf_counter() - t_start < budget_s:
         try:
             host_fps = host_fed_fps(engine, width, height, batch, host_iters)
         except Exception as exc:
             print(f"[bench] host-fed path failed: {exc}", file=sys.stderr)
 
     tflops = None
-    if os.environ.get("RVT_BENCH_CALIBRATE", "1") == "1":
+    if os.environ.get("RVT_BENCH_CALIBRATE", "1") == "1" \
+            and time.perf_counter() - t_start < budget_s:
         tflops = calibrate_tflops()
 
     print(json.dumps({

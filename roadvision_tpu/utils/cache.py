@@ -11,7 +11,10 @@ import os
 
 import jax
 
-_DEFAULT_DIR = os.environ.get("RVT_JAX_CACHE", os.path.expanduser("~/.jax_cache"))
+_DEFAULT_DIR = os.environ.get(
+    "RVT_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jax_cache"))
 
 
 def enable_compilation_cache(path: str = _DEFAULT_DIR) -> None:
