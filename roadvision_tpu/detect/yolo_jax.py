@@ -32,9 +32,10 @@ from .types import COCO_NAMES, Detection, DetectionBatch
 
 def _size_from_model_name(name: str) -> str:
     base = str(name).lower()
-    for s in ("n", "s", "m", "l", "x"):
-        if f"yolov8{s}" in base:
-            return s
+    for v in ("yolov8", "yolov5"):
+        for s in ("n", "s", "m", "l", "x"):
+            if f"{v}{s}" in base:
+                return s
     return "n"
 
 
@@ -53,29 +54,43 @@ class YOLOJax(Detector):
 
         model_ref = cfg.get("model", "yolov8n.pt")
         size_hint = _size_from_model_name(model_ref)
-        self.params, self.size, self.loaded = yolo_weights.load_params(
-            model_ref, size=size_hint)
+        arch_hint = "v5" if "yolov5" in str(model_ref).lower() else "v8"
+        self.params, self.arch, self.size, self.loaded = \
+            yolo_weights.load_params(model_ref, size=size_hint,
+                                     arch=arch_hint)
         if not self.loaded:
             print(f"[roadvision] weights '{model_ref}' not found — running "
-                  f"yolov8{self.size} with random init")
-        self.nc = self.params["22"]["cv3"][0][2]["b"].shape[0]
+                  f"yolo{self.arch}{self.size} with random init")
+        if self.arch == "v5":
+            no = self.params["24"]["m"][0]["b"].shape[0]
+            self.nc = no // 3 - 5
+        else:
+            self.nc = self.params["22"]["cv3"][0][2]["b"].shape[0]
         self.names = {i: n for i, n in enumerate(COCO_NAMES)} \
             if self.nc == len(COCO_NAMES) else {i: str(i) for i in range(self.nc)}
         self._jit_cache: Dict[Tuple[int, int, int], Any] = {}
 
     # ------------------------------------------------------------------
+    def forward_fn(self, params, imgs):
+        """Letterboxed images → (boxes, scores), arch-dispatched."""
+        if self.arch == "v5":
+            from ..models.yolo import yolov5
+            return yolov5.forward(params, imgs, size=self.size, nc=self.nc,
+                                  dtype=self.dtype)
+        return yolov8.forward(params, imgs, size=self.size, nc=self.nc,
+                              dtype=self.dtype)
+
     def _build_fn(self, shape: Tuple[int, int, int]):
-        size, nc, dtype = self.size, self.nc, self.dtype
         conf, iou, max_det, keep = self.conf, self.iou, self.max_det, self.keep
         imgsz = self.imgsz
         h, w = shape[1], shape[2]
         params = self.params
+        fwd = self.forward_fn
 
         @jax.jit
         def run(params, frames_u8):
             imgs, ratio, pad = letterbox_u8(frames_u8, size=imgsz)
-            boxes640, scores = yolov8.forward(params, imgs, size=size, nc=nc,
-                                              dtype=dtype)
+            boxes640, scores = fwd(params, imgs)
             b, c, k, v = nms_batch(boxes640, scores, conf_thres=conf,
                                    iou_thres=iou, max_det=max_det,
                                    pre_topk=300,

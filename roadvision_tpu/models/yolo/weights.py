@@ -118,11 +118,53 @@ def infer_size_from_state_dict(sd: Mapping[str, Any]) -> str:
     return {16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}[int(c0)]
 
 
+def detect_arch(sd: Mapping[str, Any]) -> str:
+    """"v8" (anchor-free Detect at layer 22) vs "v5" (anchored at 24)."""
+    sd = _normalize_keys(sd)
+    if any(k.startswith("24.m.") for k in sd):
+        return "v5"
+    return "v8"
+
+
+# ---------------------------------------------------------------------------
+# YOLOv5 import (C3 blocks, coupled anchored head at layer 24)
+# ---------------------------------------------------------------------------
+_V5_CONV_LAYERS = ("0", "1", "3", "5", "7", "10", "14", "18", "21")
+_V5_C3_LAYERS = ("2", "4", "6", "8", "13", "17", "20", "23")
+
+
+def _c3_import(sd, i: str) -> Dict[str, Any]:
+    out = {"cv1": _fuse(sd, f"{i}.cv1"), "cv2": _fuse(sd, f"{i}.cv2"),
+           "cv3": _fuse(sd, f"{i}.cv3"), "m": []}
+    j = 0
+    while f"{i}.m.{j}.cv1.conv.weight" in sd:
+        out["m"].append({"cv1": _fuse(sd, f"{i}.m.{j}.cv1"),
+                         "cv2": _fuse(sd, f"{i}.m.{j}.cv2")})
+        j += 1
+    return out
+
+
+def state_dict_to_params_v5(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    sd = _normalize_keys(sd)
+    p: Dict[str, Any] = {}
+    for i in _V5_CONV_LAYERS:
+        p[i] = _fuse(sd, i)
+    for i in _V5_C3_LAYERS:
+        p[i] = _c3_import(sd, i)
+    p["9"] = {"cv1": _fuse(sd, "9.cv1"), "cv2": _fuse(sd, "9.cv2")}
+    det = []
+    for lvl in range(3):
+        det.append(_plain(sd, f"24.m.{lvl}.weight", f"24.m.{lvl}.bias"))
+    p["24"] = {"m": det}
+    return p
+
+
 def load_params(path_or_sd, size: str = "n", nc: int = 80,
-                allow_random: bool = True):
+                allow_random: bool = True, arch: str = "v8"):
     """Load params from a checkpoint; fall back to random init.
 
-    Returns (params, size, loaded: bool).
+    Returns (params, arch ("v8"|"v5"), size, loaded: bool). The checkpoint
+    overrides the arch/size hints when present.
     """
     sd = None
     if isinstance(path_or_sd, Mapping) and path_or_sd:
@@ -136,14 +178,18 @@ def load_params(path_or_sd, size: str = "n", nc: int = 80,
                     params = import_npz(p)  # our own exported pytree
                     c0 = params["0"]["w"].shape[-1]
                     size = {16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}[int(c0)]
-                    return params, size, True
+                    arch = "v5" if "24" in params else "v8"
+                    return params, arch, size, True
                 sd = raw
             else:
                 sd = _load_torch(p)
     if sd is not None:
         try:
+            arch = detect_arch(sd)
             size = infer_size_from_state_dict(sd)
-            return state_dict_to_params(sd), size, True
+            params = (state_dict_to_params_v5(sd) if arch == "v5"
+                      else state_dict_to_params(sd))
+            return params, arch, size, True
         except KeyError as exc:
             if not allow_random:
                 raise
@@ -152,7 +198,10 @@ def load_params(path_or_sd, size: str = "n", nc: int = 80,
     if not allow_random:
         raise FileNotFoundError(f"cannot load weights from {path_or_sd}")
     import jax
-    return init_params(jax.random.PRNGKey(0), size, nc), size, False
+    if arch == "v5":
+        from .yolov5 import init_params as v5_init
+        return v5_init(jax.random.PRNGKey(0), size, nc), "v5", size, False
+    return init_params(jax.random.PRNGKey(0), size, nc), "v8", size, False
 
 
 def _load_torch(path: Path):

@@ -148,10 +148,11 @@ def init_params(key, size: str = "n", nc: int = 80) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 def _conv(x, p, stride: int = 1, act: bool = True,
-          dtype=jnp.float32) -> jnp.ndarray:
-    """Fused Conv(+bias)+SiLU, SAME padding for k∈{1,3}, NHWC/HWIO."""
+          dtype=jnp.float32, pad: int = None) -> jnp.ndarray:
+    """Fused Conv(+bias)+SiLU, autopad k//2 (override for e.g. the v5
+    6×6/p=2 stem), NHWC/HWIO."""
     k = p["w"].shape[0]
-    pad = k // 2
+    pad = k // 2 if pad is None else pad
     out = jax.lax.conv_general_dilated(
         x.astype(dtype), p["w"].astype(dtype),
         window_strides=(stride, stride),

@@ -129,8 +129,7 @@ class PipelineEngine:
                 return proc, empty, sort_state
 
             imgs, ratio, pad = letterbox_u8(proc, size=det.imgsz)
-            boxes640, scores = yolov8.forward(params, imgs, size=det.size,
-                                              nc=det.nc, dtype=det.dtype)
+            boxes640, scores = det.forward_fn(params, imgs)
             boxes, conf, cls_id, valid = nms_batch(
                 boxes640, scores, conf_thres=det.conf, iou_thres=det.iou,
                 max_det=det.max_det, pre_topk=300,

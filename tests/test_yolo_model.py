@@ -100,8 +100,8 @@ def test_npz_export_import_roundtrip(tmp_path):
     params = init_params(jax.random.PRNGKey(1), "n")
     path = tmp_path / "w.npz"
     weights.export_npz(params, path)
-    params2, size, loaded = weights.load_params(str(path))
-    assert loaded and size == "n"
+    params2, arch, size, loaded = weights.load_params(str(path))
+    assert loaded and size == "n" and arch == "v8"
     x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
     b1, s1 = forward(params, x, size="n")
     b2, s2 = forward(params2, x, size="n")
@@ -155,8 +155,8 @@ def test_state_dict_import_shapes():
                 torch.randn(w.shape[3], w.shape[2], 1, 1)
             sd[f"model.22.{branch}.{lvl}.2.bias"] = torch.randn(w.shape[3])
 
-    params, size, loaded = weights.load_params(sd)
-    assert loaded and size == "n"
+    params, arch, size, loaded = weights.load_params(sd)
+    assert loaded and size == "n" and arch == "v8"
     # tree structure identical to random init
     ref_td = jax.tree_util.tree_structure(ref)
     got_td = jax.tree_util.tree_structure(params)
