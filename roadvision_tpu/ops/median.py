@@ -58,17 +58,29 @@ def _median9(p):
     return p[4]
 
 
+def _use_pallas() -> bool:
+    import os
+    if os.environ.get("RVT_PALLAS", "1") == "0":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 @functools.partial(jax.jit, static_argnames=("ksize",))
 def median_blur_u8(x: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
     """Median-filter a (..., H, W, C) uint8 array with an odd k in [3, 9].
 
     ksize normalization matches the reference op (even → +1, clamp [3, 9];
-    src/preprocess/ops/median_derain.py:11-13).
+    src/preprocess/ops/median_derain.py:11-13). On TPU the k=3 default
+    dispatches to the Pallas tile kernel (ops/pallas_median.py, bit-exact
+    vs this path); set RVT_PALLAS=0 to force the jnp implementation.
     """
     k = int(ksize)
     if k % 2 == 0:
         k += 1
     k = max(3, min(k, 9))
+    if k == 3 and x.ndim >= 3 and _use_pallas():
+        from .pallas_median import median3_pallas
+        return median3_pallas(x)
     h, w = x.shape[-3], x.shape[-2]
     xp = _replicate_pad(x, k // 2)
     views = _shifted_views(xp, k, h, w)
