@@ -1,0 +1,78 @@
+"""CLI tools end-to-end on tiny synthetic data (CPU)."""
+import json
+
+import numpy as np
+import pytest
+
+
+def _make_yolo_dir(tmp_path, n=3, size=96):
+    from PIL import Image
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        img = rng.randint(0, 255, (size, size, 3), np.uint8)
+        img[20:50, 30:70] = (200, 30, 30)
+        Image.fromarray(img).save(tmp_path / "images" / f"im{i}.png")
+        # one box: cls 2, centered on the painted rect (normalized)
+        cx, cy = 50 / size, 35 / size
+        w, h = 40 / size, 30 / size
+        (tmp_path / "labels" / f"im{i}.txt").write_text(
+            f"2 {cx} {cy} {w} {h}\n")
+    return tmp_path
+
+
+def test_dataset_loader_yolo_dir(tmp_path):
+    from roadvision_tpu.detect.dataset import load_yolo_dir
+    root = _make_yolo_dir(tmp_path)
+    imgs, boxes, cls, mask = load_yolo_dir(root, imgsz=96, max_boxes=5)
+    assert imgs.shape == (3, 96, 96, 3)
+    assert mask.sum() == 3 and (cls[mask] == 2).all()
+    np.testing.assert_allclose(boxes[0, 0], [30, 20, 70, 50], atol=1.5)
+
+
+def test_dataset_synthetic_batches():
+    from roadvision_tpu.detect.dataset import synthetic_batches
+    gen = synthetic_batches(2, imgsz=96, max_boxes=8)
+    imgs, boxes, cls, mask = next(gen)
+    assert imgs.shape == (2, 96, 96, 3)
+    assert mask.any() and (cls[mask] == 2).all()
+    valid = boxes[mask]
+    assert (valid[:, 2] > valid[:, 0]).all()
+
+
+def test_train_cli_synthetic(tmp_path):
+    import tools.train as train
+    rc = train.main(["--data", "synthetic", "--steps", "2", "--imgsz", "96",
+                     "--batch", "2", "--weights", "none.pt",
+                     "--out", str(tmp_path / "run.npz"), "--log-every", "1"])
+    assert rc == 0
+    assert (tmp_path / "run.npz").exists()
+    assert (tmp_path / "run.weights.npz").exists()
+    # saved weights load back as a v8 tree
+    from roadvision_tpu.models.yolo import weights
+    params, arch, size, loaded = weights.load_params(
+        str(tmp_path / "run.weights.npz"))
+    assert loaded and arch == "v8"
+
+
+def test_detect_cli_synthetic(tmp_path):
+    import tools.detect as detect
+    out = tmp_path / "out"
+    rc = detect.main(["--source", "synthetic:2", "--frames", "2",
+                      "--out", str(out), "--weights", "none.pt",
+                      "--imgsz", "96", "--json"])
+    assert rc == 0
+    assert (out / "frame_00000.jpg").exists()
+    recs = json.loads((out / "detections.json").read_text())
+    assert len(recs) == 2
+
+
+def test_eval_map_cli(tmp_path, capsys):
+    import tools.eval_map as ev
+    root = _make_yolo_dir(tmp_path)
+    rc = ev.main(["--data", str(root), "--weights", "none.pt",
+                  "--imgsz", "96", "--limit", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "mAP@0.5" in out and 0.0 <= out["mAP@0.5"] <= 1.0

@@ -1,0 +1,121 @@
+"""Fine-tune the JAX YOLOv8 detector (e.g. on fog-augmented data).
+
+The reference system is inference-only; this closes the loop: train /
+fine-tune on a YOLO-format dataset (images/ + labels/ *.txt) or on the
+built-in synthetic road scenes, with checkpointing and optional multi-chip
+data parallelism over a device mesh.
+
+Usage:
+  python tools/train.py --data synthetic --steps 50 --imgsz 320 \
+      --batch 8 --out runs/ft.npz
+  python tools/train.py --data /path/to/yolo_dir --weights yolov8n.pt \
+      --steps 500 --lr 5e-4 --dp 4
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from roadvision_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+from roadvision_tpu.detect.dataset import load_yolo_dir, synthetic_batches  # noqa: E402
+from roadvision_tpu.models.yolo import weights as yolo_weights  # noqa: E402
+from roadvision_tpu.models.yolo.train import init_momentum, make_train_step  # noqa: E402
+from roadvision_tpu.runtime.checkpoint import save_train_state  # noqa: E402
+from roadvision_tpu.utils import get_logger  # noqa: E402
+
+log = get_logger("roadvision.train")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="synthetic",
+                    help="'synthetic' or a YOLO-format directory")
+    ap.add_argument("--weights", default="yolov8n.pt",
+                    help=".pt/.npz to start from (random init if missing)")
+    ap.add_argument("--size", default=None, help="model size n/s/m/l/x")
+    ap.add_argument("--nc", type=int, default=80)
+    ap.add_argument("--imgsz", type=int, default=320)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default="runs/trained.npz")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel devices (mesh batch sharding)")
+    ap.add_argument("--log-every", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    size_hint = args.size or "n"
+    params, arch, size, loaded = yolo_weights.load_params(
+        args.weights, size=size_hint, nc=args.nc)
+    if arch != "v8":
+        raise SystemExit("training currently supports the v8 head (DFL loss)")
+    log.info("model yolov8%s (%s weights)", size,
+             "pretrained" if loaded else "random")
+
+    momentum = init_momentum(params)
+    step = make_train_step(size, args.nc, lr=args.lr)
+
+    if args.dp > 1:
+        from roadvision_tpu.parallel import (batch_sharding, make_mesh,
+                                             param_shardings, shard_pytree)
+        mesh = make_mesh(args.dp, model_parallel=1)
+        pshard = param_shardings(params, mesh)
+        params = shard_pytree(params, pshard)
+        momentum = shard_pytree(momentum, pshard)
+        bshard = batch_sharding(mesh, 4)
+    else:
+        bshard = None
+
+    if args.data == "synthetic":
+        batches = synthetic_batches(args.batch, imgsz=args.imgsz)
+        def next_batch():
+            return next(batches)
+    else:
+        imgs, boxes, cls, mask = load_yolo_dir(args.data, imgsz=args.imgsz)
+        n = imgs.shape[0]
+        log.info("dataset: %d images", n)
+        rng = np.random.RandomState(0)
+
+        def next_batch():
+            idx = rng.randint(0, n, args.batch)
+            return imgs[idx], boxes[idx], cls[idx], mask[idx]
+
+    t0 = time.time()
+    for it in range(1, args.steps + 1):
+        images, gt_boxes, gt_cls, gt_mask = next_batch()
+        x = jnp.asarray(images, jnp.float32) / 255.0
+        if bshard is not None:
+            x = jax.device_put(x, bshard)
+        params, momentum, loss, aux = step(
+            params, momentum, x, jnp.asarray(gt_boxes),
+            jnp.asarray(gt_cls), jnp.asarray(gt_mask))
+        if it % args.log_every == 0 or it == args.steps:
+            log.info("step %d/%d loss=%.4f box=%.3f cls=%.3f dfl=%.3f "
+                     "fg=%d (%.1fs)", it, args.steps, float(loss),
+                     float(aux["box"]), float(aux["cls"]),
+                     float(aux["dfl"]), int(aux["num_fg"]),
+                     time.time() - t0)
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    path = save_train_state(str(out), params, momentum, args.steps)
+    yolo_weights.export_npz(params, out.with_suffix(".weights.npz"))
+    log.info("saved training state to %s and weights to %s",
+             path, out.with_suffix(".weights.npz"))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
