@@ -47,6 +47,8 @@ def main(argv=None) -> int:
     ap.add_argument("--record", default=None,
                     help="override preview.record.path and enable recording")
     ap.add_argument("--no-show", action="store_true")
+    ap.add_argument("--profile", default=None,
+                    help="capture a jax.profiler device trace to this dir")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -80,6 +82,13 @@ def main(argv=None) -> int:
     divider_px = int(compare_cfg.get("divider_px", 4))
     show = _HAS_CV2 and not args.no_show
 
+    profile_ctx = None
+    if args.profile:
+        from roadvision_tpu.utils.profiler import trace
+        profile_ctx = trace(args.profile)
+        profile_ctx.__enter__()
+        log.info("profiling to %s", args.profile)
+
     n_frames = 0
     try:
         for res in engine.stream(vs, max_frames=args.max_frames):
@@ -109,6 +118,8 @@ def main(argv=None) -> int:
                     break
             n_frames += 1
     finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
         if writer:
             writer.release()
         vs.release()
