@@ -228,22 +228,26 @@ class PipelineEngine:
 
         def reader():
             count = 0
-            while not stop.is_set():
-                n = self.batch_size
-                if max_frames is not None:
-                    n = min(n, max_frames - count)
-                    if n <= 0:
+            try:
+                while not stop.is_set():
+                    n = self.batch_size
+                    if max_frames is not None:
+                        n = min(n, max_frames - count)
+                        if n <= 0:
+                            break
+                    with self.timer.stage("decode"):
+                        frames, ts, m = source.read_batch(n)
+                    if m == 0:
                         break
-                with self.timer.stage("decode"):
-                    frames, ts, m = source.read_batch(n)
-                if m == 0:
-                    break
-                # start the uint8 transfer now; jnp.asarray is async, so it
-                # overlaps the compute of the batch in flight
-                dev = jnp.asarray(frames)
-                q.put((frames, ts, dev))
-                count += m
-            q.put(None)
+                    # start the uint8 transfer now; jnp.asarray is async,
+                    # so it overlaps the compute of the batch in flight
+                    dev = jnp.asarray(frames)
+                    q.put((frames, ts, dev))
+                    count += m
+            except Exception as exc:  # decode failure ends the stream
+                log.warning("frame source failed: %s", exc)
+            finally:
+                q.put(None)  # always unblock the consumer
 
         thread = threading.Thread(target=reader, daemon=True)
         thread.start()

@@ -42,8 +42,9 @@ def main(argv=None) -> int:
     images, gt_boxes, gt_cls, gt_mask = load_yolo_dir(
         args.data, imgsz=args.imgsz, limit=args.limit)
 
-    preds = defaultdict(lambda: ([], []))
-    gts = defaultdict(list)
+    # first pass: collect raw per-frame records, then build per-class lists
+    # aligned over ALL frames (a class may first appear mid-dataset)
+    records = []
     classes = set()
     for i in range(images.shape[0]):
         bgr = images[i][..., ::-1]
@@ -51,15 +52,20 @@ def main(argv=None) -> int:
         boxes = batch.boxes[0][batch.valid[0]]
         conf = batch.conf[0][batch.valid[0]]
         cls = batch.cls_id[0][batch.valid[0]]
-        frame_gt_cls = gt_cls[i][gt_mask[i]]
-        classes.update(int(c) for c in np.unique(frame_gt_cls))
+        fg_boxes = gt_boxes[i][gt_mask[i]]
+        fg_cls = gt_cls[i][gt_mask[i]]
+        records.append((boxes, conf, cls, fg_boxes, fg_cls))
+        classes.update(int(c) for c in np.unique(fg_cls))
         classes.update(int(c) for c in np.unique(cls))
+
+    preds = {c: ([], []) for c in classes}
+    gts = defaultdict(list)
+    for boxes, conf, cls, fg_boxes, fg_cls in records:
         for c in classes:
             sel = cls == c
             preds[c][0].append(boxes[sel])
             preds[c][1].append(conf[sel])
-            gsel = frame_gt_cls == c
-            gts[c].append(gt_boxes[i][gt_mask[i]][gsel])
+            gts[c].append(fg_boxes[fg_cls == c])
 
     thresholds = [float(t) for t in args.iou_thres.split(",")]
     result = mean_ap({c: preds[c] for c in preds}, dict(gts), thresholds)
