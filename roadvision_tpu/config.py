@@ -91,7 +91,7 @@ DEFAULTS: Dict[str, Any] = {
     "tpu": {
         "batch_size": 8,          # frames per device step
         "track_slots": 64,        # fixed-capacity track array (SORT scan)
-        "compute_dtype": "float32",
+        "compute_dtype": "bfloat16",
         "mesh": {                 # multi-chip batch sharding (optional)
             "enable": False,
             "axis": "data",

@@ -60,9 +60,14 @@ def load_yolo_dir(root: str, imgsz: int = 640, max_boxes: int = 50,
         lbl = (lbl_dir / (p.stem + ".txt")) if lbl_dir.is_dir() \
             else p.with_suffix(".txt")
         if lbl.exists():
-            for i, line in enumerate(lbl.read_text().splitlines()):
-                if i >= max_boxes or not line.strip():
-                    continue
+            lines = [ln for ln in lbl.read_text().splitlines() if ln.strip()]
+            if len(lines) > max_boxes:
+                print(f"[roadvision] {p.name}: {len(lines)} labels truncated "
+                      f"to max_boxes={max_boxes} — raise max_boxes for "
+                      f"correct eval/training on crowded scenes")
+            for i, line in enumerate(lines):
+                if i >= max_boxes:
+                    break
                 parts = line.split()
                 c = int(float(parts[0]))
                 cx, cy, bw, bh = (float(v) for v in parts[1:5])

@@ -196,11 +196,11 @@ class OpenCVSource(_BaseSource):
 def _resolve(source, width, height, fps_request, num_frames=None) -> _BaseSource:
     if isinstance(source, str):
         low = source.lower()
-        if low.startswith("synthetic"):
-            # "synthetic" or "synthetic:<num_vehicles>"
-            n = 4
-            if ":" in source:
-                n = int(source.split(":", 1)[1])
+        # exactly "synthetic" or "synthetic:<num_vehicles>" — a real asset
+        # named e.g. "synthetic_fog.npy" must NOT be hijacked
+        if low == "synthetic" or (low.startswith("synthetic:")
+                                  and low.split(":", 1)[1].isdigit()):
+            n = int(low.split(":", 1)[1]) if ":" in low else 4
             return SyntheticRoadSource(width, height, num_vehicles=n,
                                        num_frames=num_frames)
         p = Path(source)
@@ -212,16 +212,36 @@ def _resolve(source, width, height, fps_request, num_frames=None) -> _BaseSource
 
 
 class VideoSource:
-    """Reference-compatible facade (src/io_video/capture.py:10-24)."""
+    """Reference-compatible facade (src/io_video/capture.py:10-24).
+
+    Timestamp semantics: live cameras keep the reference's wall-clock
+    stamp-at-read (capture.py:18-21). Paced media (files, image dirs, the
+    synthetic source) get frame-paced PTS — ``t0 + index / fps`` — because
+    the batched prefetch decodes in bursts and decode-time stamps would
+    corrupt every dt-derived quantity downstream (Kalman F/Q, speed
+    windows, the FPS meter). The reference never hits this because its
+    loop is processing-paced; PTS is what its math assumed.
+    """
 
     def __init__(self, source=0, width=1280, height=720, fps_request=30,
                  backend: str = "auto", num_frames: Optional[int] = None):
         del backend  # reserved, as in the reference
         self._src = _resolve(source, width, height, fps_request, num_frames)
+        self._is_camera = isinstance(self._src, OpenCVSource) \
+            and isinstance(source, int)
+        self._fps = max(1e-3, float(fps_request or 30))
+        self._t0 = time.time()
+        self._idx = 0
 
     def read(self) -> Frame:
         ok, img = self._src.read_frame()
-        return Frame(ok, img, time.time())
+        if self._is_camera:
+            ts = time.time()
+        else:
+            ts = self._t0 + self._idx / self._fps
+        if ok:
+            self._idx += 1
+        return Frame(ok, img, ts)
 
     def read_batch(self, n: int) -> Tuple[np.ndarray, np.ndarray, int]:
         """Read up to ``n`` frames into one contiguous block.

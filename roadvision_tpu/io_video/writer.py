@@ -20,7 +20,7 @@ from __future__ import annotations
 import io
 import struct
 from pathlib import Path
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -36,83 +36,99 @@ def _fourcc(s: str) -> bytes:
     return s.encode("ascii")
 
 
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    pad = b"\0" if len(payload) % 2 else b""
+    return tag + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _lst(kind: bytes, payload: bytes) -> bytes:
+    body = kind + payload
+    pad = b"\0" if len(body) % 2 else b""
+    return b"LIST" + struct.pack("<I", len(body)) + body + pad
+
+
 class MJPEGAVIWriter:
-    """Minimal single-stream MJPG AVI muxer (RIFF: hdrl, movi, idx1)."""
+    """Minimal single-stream MJPG AVI muxer (RIFF: hdrl, movi, idx1).
+
+    Streams frame chunks straight to disk as they arrive (constant memory,
+    only per-frame index entries are buffered) and back-patches the
+    RIFF/movi sizes and headers at release() — long recordings neither
+    balloon RAM nor vanish wholesale on a crash (the movi data up to the
+    last flush is on disk)."""
+
+    _HDRL_SIZE = None  # computed lazily; header area is fixed-size
 
     def __init__(self, path: str, fps: float = 30.0, quality: int = 90):
         self.path = Path(path)
         self.fps = max(1.0, float(fps))
         self.quality = int(quality)
-        self._chunks: List[bytes] = []
-        self._size = None  # (w, h)
+        self._fh = None
+        self._size = None           # (w, h)
+        self._index: List[Tuple[int, int]] = []  # (offset-in-movi, length)
+        self._movi_bytes = 4        # 'movi' fourcc
+        self._max_chunk = 0
+
+    def _headers(self, w: int, h: int, n: int, max_size: int) -> bytes:
+        avih = struct.pack(
+            "<14I",
+            int(1e6 / self.fps), int(max(1, max_size) * self.fps), 0,
+            0x10,                          # AVIF_HASINDEX
+            n, 0, 1, max(1, max_size), w, h, 0, 0, 0, 0)
+        strh = _fourcc("vids") + _fourcc("MJPG") + struct.pack(
+            "<IHHIIIIIIiI4H",
+            0, 0, 0, 0, 1, int(self.fps), 0, n, max(1, max_size), -1, 0,
+            0, 0, w, h)
+        strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                           w * h * 3, 0, 0, 0, 0)
+        return _lst(b"hdrl", _chunk(b"avih", avih)
+                    + _lst(b"strl", _chunk(b"strh", strh)
+                           + _chunk(b"strf", strf)))
+
+    def _open(self, w: int, h: int) -> None:
+        self._fh = open(self.path, "wb")
+        hdrl = self._headers(w, h, 0, 0)
+        self._hdrl_len = len(hdrl)
+        self._fh.write(b"RIFF" + struct.pack("<I", 0) + b"AVI " + hdrl)
+        self._movi_start = self._fh.tell()
+        self._fh.write(b"LIST" + struct.pack("<I", 4) + b"movi")
 
     def write(self, frame_bgr: np.ndarray) -> None:
         from PIL import Image
         h, w = frame_bgr.shape[:2]
         if self._size is None:
             self._size = (w, h)
+            self._open(w, h)
         elif self._size != (w, h):
             raise ValueError("frame size changed mid-stream")
         buf = io.BytesIO()
         Image.fromarray(frame_bgr[..., ::-1]).save(buf, format="JPEG",
                                                    quality=self.quality)
-        self._chunks.append(buf.getvalue())
+        data = buf.getvalue()
+        self._index.append((self._movi_bytes, len(data)))
+        self._fh.write(_chunk(b"00dc", data))
+        self._movi_bytes += len(_chunk(b"00dc", data))
+        self._max_chunk = max(self._max_chunk, len(data))
 
     def release(self) -> None:
-        if self._size is None:
+        if self._fh is None:
             return
         w, h = self._size
-        n = len(self._chunks)
-        max_size = max(len(c) for c in self._chunks)
-
-        def chunk(tag: bytes, payload: bytes) -> bytes:
-            pad = b"\0" if len(payload) % 2 else b""
-            return tag + struct.pack("<I", len(payload)) + payload + pad
-
-        def lst(kind: bytes, payload: bytes) -> bytes:
-            body = kind + payload
-            pad = b"\0" if len(body) % 2 else b""
-            return b"LIST" + struct.pack("<I", len(body)) + body + pad
-
-        avih = struct.pack(
-            "<14I",
-            int(1e6 / self.fps),           # dwMicroSecPerFrame
-            int(max_size * self.fps),      # dwMaxBytesPerSec
-            0,                             # dwPaddingGranularity
-            0x10,                          # dwFlags: AVIF_HASINDEX
-            n, 0, 1,                       # totalframes, initial, streams
-            max_size, w, h, 0, 0, 0, 0)    # sugg. buffer, w, h, reserved
-        strh = _fourcc("vids") + _fourcc("MJPG") + struct.pack(
-            "<IHHIIIIIIiI4H",
-            0,                             # dwFlags
-            0, 0,                          # wPriority, wLanguage
-            0,                             # dwInitialFrames
-            1, int(self.fps),              # dwScale, dwRate (fps = rate/scale)
-            0, n,                          # dwStart, dwLength
-            max_size,                      # dwSuggestedBufferSize
-            -1, 0,                         # dwQuality (-1 default), dwSampleSize
-            0, 0, w, h)                    # rcFrame (l, t, r, b)
-        strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
-                           w * h * 3, 0, 0, 0, 0)
-        hdrl = lst(b"hdrl", chunk(b"avih", avih)
-                   + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-
-        movi_body = b"movi"
-        idx_entries = []
-        offset = 4  # relative to start of 'movi' fourcc
-        for data in self._chunks:
-            c = chunk(b"00dc", data)
-            idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10,
-                                           offset, len(data)))
-            movi_body += c
-            offset += len(c)
-        movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
-        idx1 = chunk(b"idx1", b"".join(idx_entries))
-
-        riff_body = b"AVI " + hdrl + movi + idx1
-        with open(self.path, "wb") as fh:
-            fh.write(b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body)
-        self._chunks = []
+        n = len(self._index)
+        idx1 = _chunk(b"idx1", b"".join(
+            struct.pack("<4sIII", b"00dc", 0x10, off, length)
+            for off, length in self._index))
+        self._fh.write(idx1)
+        riff_size = self._fh.tell() - 8
+        # back-patch: RIFF size, headers (frame count etc.), movi size
+        self._fh.seek(4)
+        self._fh.write(struct.pack("<I", riff_size))
+        self._fh.seek(12)
+        self._fh.write(self._headers(w, h, n, self._max_chunk))
+        self._fh.seek(self._movi_start + 4)
+        self._fh.write(struct.pack("<I", self._movi_bytes))
+        self._fh.close()
+        self._fh = None
+        self._index = []
 
 
 class NpyWriter:

@@ -62,7 +62,7 @@ def _use_pallas() -> bool:
     import os
     if os.environ.get("RVT_PALLAS", "1") == "0":
         return False
-    return jax.default_backend() not in ("cpu",)
+    return jax.default_backend() == "tpu"  # Mosaic-only primitives
 
 
 @functools.partial(jax.jit, static_argnames=("ksize",))

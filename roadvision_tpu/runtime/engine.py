@@ -62,6 +62,9 @@ class PipelineEngine:
         self.pipeline = PreprocessPipeline(cfg.get("preprocess", {}) or {})
 
         det_cfg = dict(cfg.get("detect", {}) or {})
+        # tpu.compute_dtype governs the conv path unless detect overrides it
+        det_cfg.setdefault("compute_dtype",
+                           tpu_cfg.get("compute_dtype", "bfloat16"))
         self.detector: Optional[YOLOJax] = None
         if det_cfg.get("enabled", False):
             self.detector = YOLOJax(det_cfg)
@@ -194,7 +197,11 @@ class PipelineEngine:
             arrays = [np.asarray(a) for a in det_arrays]
 
         boxes, conf, cls_id, valid, ids, dist, speed = arrays
-        names = list(COCO_NAMES)
+        if self.detector is not None:
+            names = [self.detector.names.get(i, str(i))
+                     for i in range(self.detector.nc)]
+        else:
+            names = list(COCO_NAMES)
         results = []
         with self.timer.stage("host_unpack"):
             for i in range(b):

@@ -32,10 +32,9 @@ class SortTracker(Tracker):
         self.speed_window = float(cfg.get("speed_window", 0.75))
         self.det_capacity = int(cfg.get("det_capacity", 100))
         self.track_slots = int(cfg.get("track_slots", 64))
+        # one jitted step serves both paths: jax.jit specializes on the
+        # proj pytree structure (None vs (H, origin, maxd))
         self._step = jax.jit(make_sort_step(
-            self.iou_threshold, self.max_staleness, self.speed_window,
-            self.min_hits))
-        self._step_proj = jax.jit(make_sort_step(
             self.iou_threshold, self.max_staleness, self.speed_window,
             self.min_hits))
         self._state: SortState = init_state(self.track_slots)
@@ -83,12 +82,8 @@ class SortTracker(Tracker):
                 raise TypeError("device tracker requires a HomographyProjector")
             proj = projector.device_params()
 
-        if proj is None:
-            self._state, out = self._step(self._state, boxes, cls_id, conf,
-                                          valid, ts, None)
-        else:
-            self._state, out = self._step_proj(self._state, boxes, cls_id,
-                                               conf, valid, ts, proj)
+        self._state, out = self._step(self._state, boxes, cls_id, conf,
+                                      valid, ts, proj)
 
         ids = np.asarray(out.track_id)
         dist = np.asarray(out.distance_m)
