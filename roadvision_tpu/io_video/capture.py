@@ -206,6 +206,9 @@ def _resolve(source, width, height, fps_request, num_frames=None) -> _BaseSource
         p = Path(source)
         if p.suffix in (".npy", ".npz"):
             return NpyVideoSource(source)
+        if p.suffix == ".y4m":
+            from .y4m import Y4MReader
+            return Y4MReader(source)
         if p.is_dir():
             return ImageDirSource(source)
     return OpenCVSource(source, width, height, fps_request)
@@ -229,7 +232,9 @@ class VideoSource:
         self._src = _resolve(source, width, height, fps_request, num_frames)
         self._is_camera = isinstance(self._src, OpenCVSource) \
             and isinstance(source, int)
-        self._fps = max(1e-3, float(fps_request or 30))
+        # a file's own frame rate (e.g. the y4m header) wins over the request
+        self._fps = max(1e-3, float(getattr(self._src, "fps", None)
+                                    or fps_request or 30))
         self._t0 = time.time()
         self._idx = 0
 

@@ -170,6 +170,9 @@ def make_writer(path: str, fps: float = 30.0):
         return NpyWriter(path, fps)
     if suffix == ".avi":
         return MJPEGAVIWriter(path, fps)
+    if suffix == ".y4m":
+        from .y4m import Y4MWriter
+        return Y4MWriter(path, fps)
     if suffix == ".mp4":
         if _HAS_CV2:
             return _CV2Writer(path, fps)

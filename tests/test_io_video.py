@@ -100,3 +100,36 @@ def test_make_writer_mp4_fallback(tmp_path):
 def test_make_writer_unknown_format(tmp_path):
     with pytest.raises(ValueError):
         make_writer(str(tmp_path / "x.webm"))
+
+
+def test_y4m_roundtrip(tmp_path):
+    from roadvision_tpu.io_video import Y4MReader, Y4MWriter
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 255, (32, 48, 3), np.uint8) for _ in range(3)]
+    path = tmp_path / "clip.y4m"
+    w = Y4MWriter(str(path), fps=25)
+    for f in frames:
+        w.write(f)
+    w.release()
+    head = path.read_bytes()[:40]
+    assert head.startswith(b"YUV4MPEG2 W48 H32 F25:1")
+    r = Y4MReader(str(path))
+    back = list(r)
+    assert len(back) == 3 and r.fps == 25.0
+    for orig, got in zip(frames, back):
+        # BT.601 limited-range roundtrip loses a little precision
+        err = np.abs(got.astype(int) - orig.astype(int))
+        assert err.mean() < 2.0 and np.percentile(err, 99) <= 6
+
+
+def test_y4m_via_videosource_and_writer(tmp_path):
+    from roadvision_tpu.io_video import VideoSource, make_writer
+    path = tmp_path / "clip.y4m"
+    w = make_writer(str(path), fps=30)
+    for i in range(4):
+        w.write(np.full((16, 16, 3), 50 + i * 20, np.uint8))
+    w.release()
+    vs = VideoSource(source=str(path))
+    frames, ts, m = vs.read_batch(10)
+    assert m == 4 and frames.shape == (4, 16, 16, 3)
+    assert abs(int(frames[2].mean()) - 90) <= 2
