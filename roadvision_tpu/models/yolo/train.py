@@ -196,9 +196,11 @@ def optax_sigmoid_bce(logits, labels):
 
 
 def make_train_step(size: str = "n", nc: int = 80, lr: float = 1e-3,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, clip_norm: float = 10.0):
     """SGD-with-momentum train step (pure jax — no optax state pytree
-    surprises under sharding). Returns step(params, momentum, batch)."""
+    surprises under sharding), with global-norm gradient clipping and a
+    non-finite guard (a NaN batch is skipped rather than poisoning the
+    momentum). Returns step(params, momentum, batch)."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, momentum, images, gt_boxes, gt_cls, gt_mask):
@@ -206,10 +208,16 @@ def make_train_step(size: str = "n", nc: int = 80, lr: float = 1e-3,
             return detection_loss(p, images, gt_boxes, gt_cls, gt_mask,
                                   size=size, nc=nc, dtype=dtype)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                             for g in jax.tree_util.tree_leaves(grads)))
+        ok = jnp.isfinite(gnorm) & jnp.isfinite(loss)
+        scale = jnp.where(ok, jnp.minimum(1.0, clip_norm / (gnorm + 1e-9)),
+                          0.0)
         new_mom = jax.tree_util.tree_map(
-            lambda m, g: 0.9 * m + g, momentum, grads)
+            lambda m, g: 0.9 * m + scale * g, momentum, grads)
         new_params = jax.tree_util.tree_map(
             lambda p, m: p - lr * m, params, new_mom)
+        aux = dict(aux, grad_norm=gnorm)
         return new_params, new_mom, loss, aux
 
     return step
