@@ -127,6 +127,69 @@ def host_fed_fps(engine: PipelineEngine, width: int, height: int,
     return n / (time.perf_counter() - t0)
 
 
+def sort_only_fps(batch_frames: int = 256, dets_per_frame: int = 12,
+                  capacity: int = 100, slots: int = 64) -> float:
+    """BASELINE config 3: SORT over synthetic detections (fps of tracker
+    updates, one lax.scan per call)."""
+    from roadvision_tpu.track.sort_tpu import init_state, make_sort_step
+    rng = np.random.RandomState(0)
+    boxes = np.zeros((batch_frames, capacity, 4), np.float32)
+    valid = np.zeros((batch_frames, capacity), bool)
+    pos = rng.uniform(50, 800, (dets_per_frame, 2))
+    vel = rng.uniform(-4, 4, (dets_per_frame, 2))
+    for f in range(batch_frames):
+        for d in range(dets_per_frame):
+            x, y = pos[d] + vel[d] * f
+            boxes[f, d] = (x, y, x + 50, y + 45)
+            valid[f, d] = True
+    cls = np.full((batch_frames, capacity), 2, np.int32)
+    conf = np.full((batch_frames, capacity), 0.9, np.float32)
+    ts = np.arange(batch_frames, dtype=np.float32) / 30.0
+    step = make_sort_step(0.35, 1.2, 0.8)
+
+    @jax.jit
+    def scan(state):
+        def body(st, fr):
+            return step(st, *fr, None)
+        return jax.lax.scan(body, state,
+                            (jnp.asarray(boxes), jnp.asarray(cls),
+                             jnp.asarray(conf), jnp.asarray(valid),
+                             jnp.asarray(ts)))
+    st, outs = scan(init_state(slots))
+    _sync(outs.track_id)
+    t0 = time.perf_counter()
+    st, outs = scan(init_state(slots))
+    _sync(outs.track_id)
+    return batch_frames / (time.perf_counter() - t0)
+
+
+def geometry_only_fps(n_boxes: int = 100, iters: int = 50) -> float:
+    """BASELINE config 4: batched homography projection + distance."""
+    from roadvision_tpu.geometry import build_projector
+    from roadvision_tpu.geometry.projector import (distance_device,
+                                                   project_boxes_device)
+    proj = build_projector({"projector": {
+        "type": "homography",
+        "image_points": [[0, 1080], [1920, 1080], [0, 432], [1920, 432]],
+        "world_points": [[0, 0], [20, 0], [0, 120], [20, 120]],
+        "origin": [10.0, 0.0], "max_distance": 1000.0}})
+    h_mat, origin, maxd = proj.device_params()
+    rng = np.random.RandomState(0)
+    boxes = jnp.asarray(rng.uniform(0, 1000, (n_boxes, 4)), jnp.float32)
+
+    @jax.jit
+    def run(b):
+        g, v = project_boxes_device(h_mat, b)
+        return distance_device(g, v, origin, maxd)
+    _sync(run(boxes))
+    t0 = time.perf_counter()
+    out = boxes
+    for _ in range(iters):
+        out = jnp.concatenate([run(out)[:, None]] * 4, -1)
+    _sync(out)
+    return iters / (time.perf_counter() - t0)
+
+
 def calibrate_tflops() -> float:
     k = 4096
     a = jnp.ones((k, k), jnp.bfloat16)
@@ -148,9 +211,33 @@ def main() -> int:
     batch = int(os.environ.get("RVT_BENCH_BATCH", "8"))
     iters = int(os.environ.get("RVT_BENCH_ITERS", "8"))
     host_iters = int(os.environ.get("RVT_BENCH_HOST_ITERS", "4"))
+    mode = os.environ.get("RVT_BENCH_MODE", "full")
+
+    # BASELINE.md configs 1-4 as standalone modes ("full" = config 5)
+    if mode == "sort":
+        fps = sort_only_fps()
+        print(json.dumps({"metric": "sort_tracker_fps",
+                          "value": round(fps, 2), "unit": "frames/sec",
+                          "vs_baseline": round(fps / NORTH_STAR_FPS, 4)}))
+        return 0
+    if mode == "geometry":
+        rate = geometry_only_fps()
+        print(json.dumps({"metric": "homography_batch100_calls_per_sec",
+                          "value": round(rate, 2), "unit": "calls/sec",
+                          "vs_baseline": round(rate / NORTH_STAR_FPS, 4)}))
+        return 0
+    cfg_over = {}
+    if mode == "preprocess":  # config 1: chain alone, 720p intent
+        cfg_over = {"detect": {"enabled": False},
+                    "tracking": {"enabled": False},
+                    "geometry": {"enabled": False}}
+    elif mode == "detect":    # config 2: detection on batched frames
+        cfg_over = {"preprocess": {"enabled": False},
+                    "tracking": {"enabled": False},
+                    "geometry": {"enabled": False}}
 
     t_start = time.perf_counter()
-    engine = PipelineEngine(_cfg(height, width, batch))
+    engine = PipelineEngine(merge(_cfg(height, width, batch), cfg_over))
 
     fps = device_resident_fps(engine, width, height, batch, iters)
 
@@ -169,8 +256,9 @@ def main() -> int:
             and time.perf_counter() - t_start < budget_s:
         tflops = calibrate_tflops()
 
+    tag = "pipeline" if mode == "full" else mode
     print(json.dumps({
-        "metric": f"pipeline_{res}p_fps_per_chip",
+        "metric": f"{tag}_{res}p_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
