@@ -76,3 +76,31 @@ def test_eval_map_cli(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "mAP@0.5" in out and 0.0 <= out["mAP@0.5"] <= 1.0
+
+
+def test_shipped_synthetic_weights_detect():
+    """The shipped demo checkpoint (trained fully in-framework on the TPU:
+    tools/train.py, 6k steps, TAL+CIoU/DFL/BCE, grad clipping) must detect
+    synthetic vehicles — an end-to-end regression for train→save→load→infer."""
+    from pathlib import Path
+    import numpy as np
+    from roadvision_tpu.detect import build_detector
+    from roadvision_tpu.detect.dataset import synthetic_batches
+    from roadvision_tpu.detect.eval import match_report
+
+    w = Path(__file__).resolve().parent.parent / "assets" / \
+        "yolov8n_synthetic_256.npz"
+    det = build_detector({"backend": "ultralytics", "model": str(w),
+                          "conf_thres": 0.25, "iou_thres": 0.7,
+                          "max_det": 20, "imgsz": 256, "classes_keep": []})
+    assert det.loaded
+    images, gt_boxes, gt_cls, gt_mask = next(
+        synthetic_batches(4, imgsz=256, max_boxes=12, seed=123))
+    matched = total = 0
+    for i in range(4):
+        batch = det.infer_batch(images[i][..., ::-1][None])
+        rep = match_report(batch.boxes[0][batch.valid[0]],
+                           gt_boxes[i][gt_mask[i]], 0.5)
+        matched += rep["matched"]
+        total += rep["n_gt"]
+    assert total > 0 and matched / total > 0.7, (matched, total)
