@@ -79,9 +79,12 @@ def device_resident_fps(engine: PipelineEngine, width: int, height: int,
     """Jitted scan (fixed length) over render-on-device → pipeline step."""
     src = DeviceSyntheticSource(width, height, num_vehicles=6)
     render = src.make_render_fn(batch)
+    # without a detector the detections are all-zero placeholders; keep the
+    # processed frames alive via a checksum so XLA can't DCE the preprocess
+    consume_proc = engine.detector is None
     raw_step = engine.build_raw_step((batch, height, width),
-                                     want_proc=False)
-    params = engine.detector.params
+                                     want_proc=consume_proc)
+    params = engine.detector.params if engine.detector else {}
     fps_den = 30.0
 
     @jax.jit
@@ -90,9 +93,13 @@ def device_resident_fps(engine: PipelineEngine, width: int, height: int,
             base = idx0 + i * batch
             frames = render(base)
             ts = (base + jnp.arange(batch)).astype(jnp.float32) / fps_den
-            _, outs, st = raw_step(params, st, frames, ts)
+            proc, outs, st = raw_step(params, st, frames, ts)
             # tiny per-step output keeps the scan alive without traffic
-            return st, outs[3].sum()
+            chk = outs[3].sum().astype(jnp.float32)
+            if consume_proc:
+                chk = chk + (proc.astype(jnp.int32).sum() % 251
+                             ).astype(jnp.float32)
+            return st, chk
         state, counts = jax.lax.scan(body, state, jnp.arange(INNER_SCAN))
         return state, counts.sum()
 
@@ -235,6 +242,8 @@ def main() -> int:
         cfg_over = {"preprocess": {"enabled": False},
                     "tracking": {"enabled": False},
                     "geometry": {"enabled": False}}
+    elif mode == "nopre":     # config 5 minus the optional preprocess chain
+        cfg_over = {"preprocess": {"enabled": False}}
 
     t_start = time.perf_counter()
     engine = PipelineEngine(merge(_cfg(height, width, batch), cfg_over))
