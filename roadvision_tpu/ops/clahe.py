@@ -63,10 +63,15 @@ def _clip_redistribute(hist: jnp.ndarray, clip: int) -> jnp.ndarray:
 
 
 def _tile_luts(hist: jnp.ndarray, tile_area: int) -> jnp.ndarray:
-    """Inclusive CDF scaled by 255/tile_area, round-half-even, as int32."""
+    """Inclusive CDF scaled by 255/tile_area, round-half-even.
+
+    Stored as uint8 (values are 0..255 by construction) — the bilinear
+    apply gathers these tables once per pixel per tap, so narrow storage
+    quarters the dominant HBM gather traffic. Bit-exact either way."""
     cdf = jnp.cumsum(hist, axis=-1)
     scale = jnp.float32(255.0 / tile_area)
-    return jnp.clip(jnp.rint(cdf.astype(jnp.float32) * scale), 0, 255).astype(jnp.int32)
+    return jnp.clip(jnp.rint(cdf.astype(jnp.float32) * scale),
+                    0, 255).astype(jnp.uint8)
 
 
 def _interp_coords(size: int, tile: int, tiles: int):
