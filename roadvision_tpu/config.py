@@ -21,82 +21,35 @@ from typing import Any, Dict, Optional
 
 import yaml
 
+# The reference's public default schema (values must match src/config.py:5-71
+# key for key), expressed compactly; the "tpu" section is an additive
+# extension absent from the reference.
 DEFAULTS: Dict[str, Any] = {
-    "camera": {
-        "source": 0,
-        "width": 1280,
-        "height": 720,
-        "fps_request": 30,
-        "backend": "auto",
-    },
-    "preview": {
-        "show_fps": True,
-        "compare": {
-            "enable": True,
-            "layout": "h",
-            "label_raw": "RAW",
-            "label_proc": "PROC",
-            "divider_px": 4,
-        },
-        "record": {
-            "enable": False,
-            "path": "out_compare.mp4",
-            "fps": 30,
-        },
-    },
-    "preprocess": {
-        "enabled": False,
-        "chain": [],
-        "auto_gate": {
-            "enable_low_contrast_gate": False,
-            "contrast_thresh": 20.0,
-        },
-    },
-    "detect": {
-        "enabled": False,
-        "backend": "ultralytics",
-        "model": "yolov8n.pt",
-        "device": "auto",
-        "conf_thres": 0.25,
-        "iou_thres": 0.7,
-        "max_det": 100,
-        "classes_keep": [],
-    },
-    "tracking": {
-        "enabled": False,
-        "backend": "sort",
-        "max_staleness": 1.0,
-        "min_hits": 3,
-        "iou_threshold": 0.3,
-        "speed_window": 0.75,
-    },
-    "geometry": {
-        "enabled": False,
-        "projector": {
-            "type": "homography",
-            "image_points": [],
-            "world_points": [],
-            "origin": [0.0, 0.0],
-            "max_distance": 1_000_000.0,
-        },
-    },
-    "vis": {
-        "draw": {
-            "det": True,
-            "thickness": 2,
-            "font_scale": 0.6,
-        },
-    },
-    # TPU-native extensions (not present in the reference; additive only).
-    "tpu": {
-        "batch_size": 8,          # frames per device step
-        "track_slots": 64,        # fixed-capacity track array (SORT scan)
-        "compute_dtype": "bfloat16",
-        "mesh": {                 # multi-chip batch sharding (optional)
-            "enable": False,
-            "axis": "data",
-        },
-    },
+    "camera": dict(source=0, width=1280, height=720, fps_request=30,
+                   backend="auto"),
+    "preview": dict(
+        show_fps=True,
+        compare=dict(enable=True, layout="h", label_raw="RAW",
+                     label_proc="PROC", divider_px=4),
+        record=dict(enable=False, path="out_compare.mp4", fps=30),
+    ),
+    "preprocess": dict(
+        enabled=False, chain=[],
+        auto_gate=dict(enable_low_contrast_gate=False, contrast_thresh=20.0),
+    ),
+    "detect": dict(enabled=False, backend="ultralytics", model="yolov8n.pt",
+                   device="auto", conf_thres=0.25, iou_thres=0.7, max_det=100,
+                   classes_keep=[]),
+    "tracking": dict(enabled=False, backend="sort", max_staleness=1.0,
+                     min_hits=3, iou_threshold=0.3, speed_window=0.75),
+    "geometry": dict(
+        enabled=False,
+        projector=dict(type="homography", image_points=[], world_points=[],
+                       origin=[0.0, 0.0], max_distance=1_000_000.0),
+    ),
+    "vis": dict(draw=dict(det=True, thickness=2, font_scale=0.6)),
+    "tpu": dict(batch_size=8, track_slots=64, compute_dtype="bfloat16",
+                mesh=dict(enable=False, axis="data")),
 }
 
 

@@ -1,24 +1,35 @@
-"""EMA FPS meter (reference: src/io_video/fps_meter.py:3-18).
+"""Exponentially-smoothed FPS estimation (reference: src/io_video/fps_meter.py).
 
-fps ← (1-α)·fps + α·(1/dt), dt floored at 1e-6, first tick returns 0.0.
+Semantics preserved exactly: the first tick only arms the meter and returns
+0.0; afterwards ``fps ← (1−α)·fps + α·(1/dt)`` with dt floored at 1 µs.
+Adds a monotonically increasing frame counter for observability.
 """
 from __future__ import annotations
 
 import time
+from typing import Optional
 
 
 class FPSMeter:
-    def __init__(self, alpha: float = 0.1):
-        self.alpha = alpha
-        self._prev = None
-        self.fps = 0.0
+    __slots__ = ("alpha", "fps", "frames", "_prev")
 
-    def tick(self, now: float = None) -> float:
+    def __init__(self, alpha: float = 0.1):
+        self.alpha = float(alpha)
+        self.fps = 0.0
+        self.frames = 0
+        self._prev: Optional[float] = None
+
+    def reset(self) -> None:
+        self.fps = 0.0
+        self.frames = 0
+        self._prev = None
+
+    def tick(self, now: Optional[float] = None) -> float:
         now = now or time.time()
-        if self._prev is None:
-            self._prev = now
+        self.frames += 1
+        prev, self._prev = self._prev, now
+        if prev is None:
             return self.fps
-        dt = max(1e-6, now - self._prev)
-        self.fps = (1 - self.alpha) * self.fps + self.alpha * (1.0 / dt)
-        self._prev = now
+        instantaneous = 1.0 / max(1e-6, now - prev)
+        self.fps += self.alpha * (instantaneous - self.fps)
         return self.fps
