@@ -55,3 +55,18 @@ def test_make_canvas_no_divider():
     canvas = make_canvas(raw, raw.copy(), layout="h", divider_px=0,
                          show_fps=False)
     assert canvas.shape == (32, 64, 3)
+
+
+def test_legacy_draw_detections():
+    """Parity stub for the reference's dead bis/draw.py: boxes + class
+    label only, no id/distance/speed labels."""
+    from roadvision_tpu.vis import legacy
+    img = np.zeros((60, 80, 3), np.uint8)
+    legacy.draw_detections(img, [
+        Detection(10, 20, 50, 50, 0.9, 2, "car", track_id=7,
+                  distance_m=5.0, speed_kmh=10.0)])
+    color = np.array(COLOR_TABLE[2], np.uint8)
+    assert (img[20, 10:50] == color).all(axis=-1).any()   # box drawn
+    assert (img == 255).all(axis=-1).any()                 # label text
+    # no bottom metrics label: area below the box stays empty
+    assert (img[52:, 10:50] == 0).all()
