@@ -41,3 +41,28 @@ def test_vmapped_streams_match_independent():
                                           np.asarray(souts.track_id))
     # streams have independent id counters
     assert int(mstate.next_id[0]) >= 1
+
+
+def test_multi_stream_with_shared_projector():
+    from roadvision_tpu.geometry import build_projector
+    proj = build_projector({"projector": {
+        "type": "homography",
+        "image_points": [[0, 480], [640, 480], [0, 80], [640, 80]],
+        "world_points": [[0, 0], [6.4, 0], [0, 40], [6.4, 40]],
+        "origin": [3.2, 0.0], "max_distance": 100.0}})
+    step = make_multi_sort_step(0.3, 1.0, 0.75, with_projector=True)
+    state = init_multi_state(2, 8)
+    boxes = np.zeros((2, 4, 4), np.float32)
+    boxes[:, 0] = (300, 200, 340, 280)
+    valid = np.zeros((2, 4), bool)
+    valid[:, 0] = True
+    state, outs = step(state, jnp.asarray(boxes),
+                       jnp.zeros((2, 4), jnp.int32),
+                       jnp.full((2, 4), 0.9, jnp.float32),
+                       jnp.asarray(valid), jnp.zeros((2,), jnp.float32),
+                       proj.device_params())
+    ids = np.asarray(outs.track_id)
+    dist = np.asarray(outs.distance_m)
+    assert (ids[:, 0] == 1).all()           # per-stream id counters
+    assert np.isfinite(dist[:, 0]).all()    # projector applied per stream
+    np.testing.assert_allclose(dist[0, 0], dist[1, 0], atol=1e-5)

@@ -170,3 +170,9 @@ def test_state_dict_import_shapes():
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
     boxes, scores = forward(params, x, size="n")
     assert boxes.shape[1] == 8 * 8 + 4 * 4 + 2 * 2
+
+
+def test_param_count_yolov8s():
+    params = init_params(jax.random.PRNGKey(0), "s")
+    n = count_params(params)
+    assert 10.5e6 < n < 11.5e6, n  # ultralytics yolov8s ~11.2M

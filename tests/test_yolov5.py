@@ -102,3 +102,9 @@ def test_v5_backend_runs():
     frame = np.random.RandomState(0).randint(0, 255, (96, 128, 3), np.uint8)
     out = det.infer(frame)
     assert isinstance(out, list)
+
+
+def test_param_count_yolov5s():
+    params = yolov5.init_params(jax.random.PRNGKey(0), "s")
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    assert 6.5e6 < n < 7.6e6, n  # ultralytics yolov5s ~7.2M
