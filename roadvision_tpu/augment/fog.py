@@ -37,39 +37,52 @@ FOG_PRESETS = {
 }
 
 
+def _value_noise_octave(rng, out_hw, lattice_hw) -> np.ndarray:
+    """One octave: a coarse uniform-random lattice bilinearly resampled.
+
+    Rows are lerped first, then columns, with the a+(b-a)*t form; lattice
+    samples are drawn once per octave from ``rng``.
+    """
+    h, w = out_hw
+    gh, gw = lattice_hw
+    lattice = rng.rand(gh + 1, gw + 1).astype(np.float32)
+    yy = np.linspace(0.0, gh, h, endpoint=False)
+    xx = np.linspace(0.0, gw, w, endpoint=False)
+    yi = yy.astype(np.intp)
+    xi = xx.astype(np.intp)
+    fy = (yy - yi).astype(np.float32)[:, None]
+    fx = (xx - xi).astype(np.float32)[None, :]
+
+    def lerp_cols(rows: np.ndarray) -> np.ndarray:
+        left = rows[:, xi]
+        return left + (rows[:, np.minimum(xi + 1, gw)] - left) * fx
+
+    upper = lerp_cols(lattice[yi])
+    lower = lerp_cols(lattice[np.minimum(yi + 1, gh)])
+    return upper + (lower - upper) * fy
+
+
 def rand_perlin(h: int, w: int, scale: int = 128, octaves: int = 2,
                 persistence: float = 0.5, lacunarity: float = 2.0,
                 seed: Optional[int] = None) -> np.ndarray:
-    """Multi-octave bilinear value noise in [0, 1] (fog.py:8-46)."""
+    """Multi-octave bilinear value noise in [0, 1] (fog.py:8-46).
+
+    Octave o uses a lattice of ~(h, w)·lacunarity^o / scale cells and
+    weight persistence^o; the weighted sum is min-max normalized.
+    """
     rng = np.random.RandomState(seed) if seed is not None else np.random
-    base = np.zeros((h, w), np.float32)
-    freq = 1.0 / max(1, scale)
-    amp, norm = 1.0, 0.0
-    for _ in range(max(1, octaves)):
-        gh = max(1, int(h * freq))
-        gw = max(1, int(w * freq))
-        grid = rng.rand(gh + 1, gw + 1).astype(np.float32)
-        ys = np.linspace(0, gh, h, endpoint=False)
-        xs = np.linspace(0, gw, w, endpoint=False)
-        y0 = np.floor(ys).astype(int)
-        x0 = np.floor(xs).astype(int)
-        y1 = np.clip(y0 + 1, 0, gh)
-        x1 = np.clip(x0 + 1, 0, gw)
-        wy = (ys - y0).astype(np.float32)[:, None]
-        wx = (xs - x0).astype(np.float32)[None, :]
-        g00 = grid[np.ix_(y0, x0)]
-        g01 = grid[np.ix_(y0, x1)]
-        g10 = grid[np.ix_(y1, x0)]
-        g11 = grid[np.ix_(y1, x1)]
-        val = (g00 * (1 - wx) + g01 * wx) * (1 - wy) \
-            + (g10 * (1 - wx) + g11 * wx) * wy
-        base += amp * val
-        norm += amp
-        amp *= persistence
-        freq *= lacunarity
-    base /= max(1e-6, norm)
-    span = max(1e-6, base.max() - base.min())
-    return ((base - base.min()) / span).astype(np.float32)
+    fields, weights = [], []
+    cell_density = 1.0 / max(1, scale)
+    for octave in range(max(1, octaves)):
+        lattice_hw = (max(1, int(h * cell_density)),
+                      max(1, int(w * cell_density)))
+        fields.append(_value_noise_octave(rng, (h, w), lattice_hw))
+        weights.append(persistence ** octave)
+        cell_density *= lacunarity
+    mixed = sum(wt * f for wt, f in zip(weights, fields))
+    mixed /= max(1e-6, sum(weights))
+    lo, hi = float(mixed.min()), float(mixed.max())
+    return ((mixed - lo) / max(1e-6, hi - lo)).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -31,38 +31,51 @@ def _imwrite_bgr(path: Path, bgr: np.ndarray) -> None:
     Image.fromarray(bgr[..., ::-1]).save(path)
 
 
+# Per-level constructor overrides used by the reference CLI (notably
+# global_veil=0.5 vs the synthesizer's 0.06 default) — behavior parity.
+_CLI_OVERRIDES = dict(
+    y_h_ratio=0.42,
+    perlin_scale_ratio=0.18,
+    perlin_octaves=2,
+    horizon_softness=0.07,
+    global_veil=0.5,
+    depth_blur_max=4.0,
+)
+
+_IMAGE_SUFFIXES = frozenset({".jpg", ".jpeg", ".png"})
+
+
+def _synthesize_all_levels(img, levels, seed):
+    """A fresh synthesizer per level, as the reference tool constructs."""
+    for lv in levels:
+        synth = EnhancedFogSynthesizer(level=lv, seed=seed, **_CLI_OVERRIDES)
+        hazy, _ = synth.synthesize(img)
+        yield lv, hazy
+
+
 def process_folder(inp, outp, levels=("light", "medium", "heavy"),
-                   limit=None, seed=None):
+                   limit=None, seed=None, progress_every=25):
     inp, outp = Path(inp), Path(outp)
     outp.mkdir(parents=True, exist_ok=True)
-    files = [p for p in sorted(inp.rglob("*"))
-             if p.suffix.lower() in (".jpg", ".png", ".jpeg")]
-    if limit:
-        files = files[:limit]
+    files = sorted(p for p in inp.rglob("*")
+                   if p.suffix.lower() in _IMAGE_SUFFIXES)
+    files = files[:limit] if limit else files
 
-    for i, p in enumerate(files, 1):
+    done = 0
+    for p in files:
         img = _imread_bgr(p)
         if img is None:
-            print("Skip unreadable:", p)
+            print(f"[fog_batch] unreadable image, skipping: {p}")
             continue
-        for lv in levels:
-            synth = EnhancedFogSynthesizer(
-                level=lv,
-                y_h_ratio=0.42,
-                perlin_scale_ratio=0.18,
-                perlin_octaves=2,
-                horizon_softness=0.07,
-                global_veil=0.5,
-                depth_blur_max=4.0,
-                seed=seed,
-            )
-            hazy, _meta = synth.synthesize(img)
-            rel = p.relative_to(inp)
-            out_dir = outp / lv / rel.parent
-            out_dir.mkdir(parents=True, exist_ok=True)
-            _imwrite_bgr(out_dir / rel.name, hazy)
-        if i % 20 == 0:
-            print(f"[{i}/{len(files)}] {p}")
+        rel = p.relative_to(inp)
+        for lv, hazy in _synthesize_all_levels(img, levels, seed):
+            dest = outp / lv / rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            _imwrite_bgr(dest, hazy)
+        done += 1
+        if done % progress_every == 0:
+            print(f"[fog_batch] {done}/{len(files)} images done "
+                  f"(latest: {rel})")
 
 
 if __name__ == "__main__":

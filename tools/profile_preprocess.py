@@ -1,0 +1,238 @@
+"""Per-stage preprocess profiler for the TPU attach.
+
+Times each preprocess component and a set of candidate gather-free
+re-formulations (bin-sweep LUT apply, sweep histogram) so kernel work is
+guided by measurement, not guesswork. Prints one line per candidate.
+
+Timing method (see CLAUDE.md): chained dependencies inside one jitted
+fori_loop + a scalar fetch at the end — `block_until_ready` is unreliable
+on this backend.
+
+Run: python tools/profile_preprocess.py [--res 720] [--batch 4] [--iters 8]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from roadvision_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def timed(name, fn, *args, iters=8, warmup=1):
+    """Compile, warm up, then time `iters` sequential dispatches."""
+    jitted = jax.jit(fn)
+    t0 = time.perf_counter()
+    out = jitted(*args)
+    scalar = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    compile_s = time.perf_counter() - t0
+    for _ in range(warmup):
+        out = jitted(*args)
+        scalar = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jitted(*args)
+    scalar = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    dt = (time.perf_counter() - t0) / iters
+    print(f"[profile] {name:32s} {dt * 1e3:9.2f} ms  "
+          f"(compile {compile_s:.1f}s, probe {scalar})", flush=True)
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=720)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--only", type=str, default="")
+    args = ap.parse_args()
+
+    h = args.res
+    w = {480: 854, 720: 1280, 1080: 1920}[args.res]
+    b = args.batch
+    gy = gx = 8
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randint(0, 256, (b, h, w, 3), dtype=np.uint8))
+    plane = jnp.asarray(rng.randint(0, 256, (b, h, w), dtype=np.uint8))
+    luts = jnp.asarray(rng.randint(0, 256, (b, gy, gx, 256), dtype=np.uint8))
+    print(f"[profile] device={jax.devices()[0].platform} res={h}p batch={b}",
+          flush=True)
+
+    from roadvision_tpu.ops import clahe as C
+    from roadvision_tpu.ops.color import bgr_to_ycrcb_u8, ycrcb_to_bgr_u8
+
+    want = set(args.only.split(",")) if args.only else None
+
+    def sel(name):
+        return want is None or name in want
+
+    it = args.iters
+
+    # --- microbenchmarks -------------------------------------------------
+    if sel("gather"):
+        table = jnp.asarray(rng.randint(0, 256, (b, gy * gx * 256),
+                                        dtype=np.uint8))
+        idx = jnp.asarray(rng.randint(0, gy * gx * 256, (b, h * w)),
+                          dtype=jnp.int32)
+
+        def micro_gather(tb, ix):
+            g = jnp.take_along_axis(tb, ix, axis=1)
+            return jnp.sum(g.astype(jnp.int32))
+
+        timed("micro: gather 16K-table", micro_gather, table, idx, iters=it)
+
+    if sel("scatter"):
+        keys = jnp.asarray(
+            rng.randint(0, b * gy * gx * 256, (b * h * w,)), dtype=jnp.int32)
+
+        def micro_scatter(k):
+            return jnp.sum(jnp.bincount(k, length=b * gy * gx * 256))
+
+        timed("micro: bincount scatter", micro_scatter, keys, iters=it)
+
+    # --- current stages ---------------------------------------------------
+    if sel("color"):
+        def color_rt(x):
+            return ycrcb_to_bgr_u8(bgr_to_ycrcb_u8(x))
+        timed("color: ycrcb roundtrip", color_rt, frames, iters=it)
+
+    if sel("clahe"):
+        timed("clahe: full (current)",
+              lambda p: C.clahe_u8(p, 2.0, (gy, gx)), plane, iters=it)
+
+    if sel("hist"):
+        def hist_current(p):
+            return C.compute_tile_luts(p, 2.0, (gy, gx))
+        timed("clahe: hist+lut (bincount)", hist_current, plane, iters=it)
+
+    # tiles for standalone hist candidates (720p: 90x160 tiles)
+    th, tw = h // gy, w // gx
+    tiles = jnp.asarray(
+        rng.randint(0, 256, (b * gy * gx, th * tw), dtype=np.uint8))
+
+    if sel("histsweep"):
+        def hist_sweep_fori(t):
+            t32 = t.astype(jnp.int32)
+
+            def body(v, acc):
+                cnt = jnp.sum((t32 == v).astype(jnp.int32), axis=1)
+                return acc.at[:, v].set(cnt)
+
+            acc = jnp.zeros((t.shape[0], 256), jnp.int32)
+            return lax.fori_loop(0, 256, body, acc)
+        timed("hist: fori sweep", hist_sweep_fori, tiles, iters=it)
+
+    if sel("histbcast"):
+        def hist_bcast(t):
+            t32 = t.astype(jnp.int32)
+            iota = jnp.arange(256, dtype=jnp.int32)
+            return jnp.sum((t32[:, :, None] == iota).astype(jnp.int32),
+                           axis=1)
+        timed("hist: broadcast reduce", hist_bcast, tiles, iters=it)
+
+    if sel("histdot"):
+        def hist_dot(t):
+            t32 = t.astype(jnp.int32)
+            iota = jnp.arange(256, dtype=jnp.int32)
+            oh = (t32[:, :, None] == iota).astype(jnp.bfloat16)
+            ones = jnp.ones((t.shape[0], 1, t.shape[1]), jnp.bfloat16)
+            return lax.dot_general(
+                ones, oh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+        timed("hist: onehot matmul", hist_dot, tiles, iters=it)
+
+    # --- apply candidates ---------------------------------------------------
+    if sel("apply"):
+        def apply_gather(p, lt):
+            x = p.astype(jnp.int32)
+            ty1, ty2, ya = C._interp_coords(h, th, gy)
+            tx1, tx2, xa = C._interp_coords(w, tw, gx)
+            lf = lt.reshape(b, gy * gx * 256)
+
+            def gather(tyi, txi):
+                idx = (tyi[:, None] * gx + txi[None, :]) * 256 + x
+                return jnp.take_along_axis(
+                    lf, idx.reshape(b, -1),
+                    axis=1).reshape(b, h, w).astype(jnp.float32)
+
+            ya_ = ya[None, :, None]
+            xa_ = xa[None, None, :]
+            top = gather(ty1, tx1) * (1 - xa_) + gather(ty1, tx2) * xa_
+            bot = gather(ty2, tx1) * (1 - xa_) + gather(ty2, tx2) * xa_
+            res = top * (1 - ya_) + bot * ya_
+            return jnp.clip(jnp.rint(res), 0, 255).astype(jnp.uint8)
+        timed("apply: 4-gather (current)", apply_gather, plane, luts,
+              iters=it)
+
+    if sel("applysweep"):
+        # gather-free: x-blend tables via one-hot matmul, then a 256-bin
+        # select sweep per row band (ty1/ty2 constant within a band).
+        ty1, ty2, ya = map(np.asarray, C._interp_coords(h, th, gy))
+        tx1, tx2, xa = map(np.asarray, C._interp_coords(w, tw, gx))
+        # band boundaries: maximal runs of constant (ty1, ty2)
+        bands = []
+        s = 0
+        for y in range(1, h + 1):
+            if y == h or ty1[y] != ty1[s] or ty2[y] != ty2[s]:
+                bands.append((s, y, int(ty1[s]), int(ty2[s])))
+                s = y
+        m1 = jnp.asarray(np.eye(gx, dtype=np.float32)[tx1])   # (w, gx)
+        m2 = jnp.asarray(np.eye(gx, dtype=np.float32)[tx2])
+        xa_j = jnp.asarray(xa)
+        ya_j = jnp.asarray(ya)
+
+        def apply_sweep(p, lt):
+            x = p.astype(jnp.int32)
+            lf = lt.astype(jnp.float32)            # (b, gy, gx, 256)
+            bx1 = jnp.einsum("wk,bgkv->bgwv", m1, lf)
+            bx2 = jnp.einsum("wk,bgkv->bgwv", m2, lf)
+            top_tab = bx1 * (1 - xa_j)[None, None, :, None] \
+                + bx2 * xa_j[None, None, :, None]  # (b, gy, w, 256)
+            outs = []
+            for (y0, y1, t1, t2) in bands:
+                vals = x[:, y0:y1]                 # (b, r, w)
+                t1tab = top_tab[:, t1]             # (b, w, 256)
+                t2tab = top_tab[:, t2]
+                yab = ya_j[y0:y1][None, :, None]
+
+                def body(v, acc, vals=vals, t1tab=t1tab, t2tab=t2tab,
+                         yab=yab):
+                    tv1 = lax.dynamic_slice_in_dim(t1tab, v, 1, 2)[..., 0]
+                    tv2 = lax.dynamic_slice_in_dim(t2tab, v, 1, 2)[..., 0]
+                    term = tv1[:, None, :] * (1 - yab) + tv2[:, None, :] * yab
+                    return jnp.where(vals == v, term, acc)
+
+                acc = jnp.zeros(vals.shape, jnp.float32)
+                outs.append(lax.fori_loop(0, 256, body, acc))
+            res = jnp.concatenate(outs, axis=1)
+            return jnp.clip(jnp.rint(res), 0, 255).astype(jnp.uint8)
+        timed("apply: band bin-sweep", apply_sweep, plane, luts, iters=it)
+
+    # --- median ------------------------------------------------------------
+    if sel("medpallas") and jax.default_backend() == "tpu":
+        from roadvision_tpu.ops.pallas_median import median3_pallas
+        timed("median3: pallas", median3_pallas, frames, iters=it)
+
+    if sel("medjnp"):
+        from roadvision_tpu.ops.median import (_median9, _replicate_pad,
+                                               _shifted_views)
+
+        def med_jnp(x):
+            xp = _replicate_pad(x, 1)
+            return _median9(_shifted_views(xp, 3, h, w))
+        timed("median3: jnp network", med_jnp, frames, iters=it)
+
+
+if __name__ == "__main__":
+    main()
