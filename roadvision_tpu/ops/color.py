@@ -39,6 +39,40 @@ def _sat_u8(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(x, 0, 255).astype(jnp.uint8)
 
 
+def _clip255(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(x, 0, 255)
+
+
+# ---------------------------------------------------------------------------
+# Planar int32 paths — the fused-pipeline fast lane. Channel-last (..., 3)
+# arrays put a 3-wide axis in the TPU lane dimension (3/128 utilization);
+# the planar forms run each channel as a full-width (..., H, W) plane and
+# keep everything in int32 between stages. Same fixed-point math, same
+# saturation — bit-identical to the u8 functions below.
+# ---------------------------------------------------------------------------
+
+def gray_from_bgr_planes(b: jnp.ndarray, g: jnp.ndarray,
+                         r: jnp.ndarray) -> jnp.ndarray:
+    """int32 BGR planes → int32 gray plane (BT.601 fixed point)."""
+    return _descale(r * _R2Y + g * _G2Y + b * _B2Y)
+
+
+def bgr_planes_to_ycrcb_i32(b: jnp.ndarray, g: jnp.ndarray, r: jnp.ndarray):
+    """int32 BGR planes → (y, cr, cb) int32 planes, OpenCV-exact + saturated."""
+    y = _descale(r * _R2Y + g * _G2Y + b * _B2Y)
+    cr = _clip255(_descale((r - y) * _CR_COEF + _DELTA))
+    cb = _clip255(_descale((b - y) * _CB_COEF + _DELTA))
+    return y, cr, cb
+
+
+def ycrcb_planes_to_bgr_i32(y: jnp.ndarray, cr: jnp.ndarray, cb: jnp.ndarray):
+    """int32 YCrCb planes → (b, g, r) int32 planes, OpenCV-exact + saturated."""
+    r = _clip255(y + _descale((cr - 128) * _CR2R))
+    g = _clip255(y + _descale((cr - 128) * _CR2G + (cb - 128) * _CB2G))
+    b = _clip255(y + _descale((cb - 128) * _CB2B))
+    return b, g, r
+
+
 def bgr_to_gray_u8(bgr: jnp.ndarray) -> jnp.ndarray:
     """BGR uint8 → GRAY uint8, exact OpenCV fixed-point path."""
     x = bgr.astype(jnp.int32)

@@ -6,16 +6,24 @@ Semantics preserved: odd ksize in [3, 9], replicate border (OpenCV's
 medianBlur border mode), exact uint8 median (window size is odd so no
 averaging is involved).
 
-TPU strategy, fully vectorized over (batch, H, W, C):
+TPU strategy — planar int32 core:
 
+  * channels run as full-width (..., H, W) planes (channel-last (..., 3)
+    arrays put a 3-wide axis in the 128-lane dimension — measured ~4× slower
+    on this backend, tools/profile_preprocess.py);
   * ``k == 3`` (the config default) — the classic 19-comparator median-of-9
     exchange network (Paeth / Graphics Gems) over 9 shifted views: pure
     ``min``/``max`` VPU ops, no sort, no gather; XLA fuses the shifted
-    slices into one elementwise chain.
+    slices into one elementwise chain;
   * ``k >= 5`` — k² shifted views stacked on a leading axis and selected via
     ``jnp.sort``'s middle element. Exact and simple; the k=3 default is the
     hot path, larger kernels are the reference's rarely-used "derain"
     placeholder settings.
+
+A Pallas tile kernel for k=3 exists in ops/pallas_median.py (bit-exact vs
+this path, tested in interpret mode); it is opt-in via RVT_PALLAS=1 — on
+this attach the fused XLA planar form measured faster than the per-tile
+DMA kernel.
 """
 from __future__ import annotations
 
@@ -25,17 +33,15 @@ import jax
 import jax.numpy as jnp
 
 
-def _replicate_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
-    """Replicate-pad the two spatial axes of a (..., H, W, C) array."""
-    widths = [(0, 0)] * x.ndim
-    widths[-3] = (pad, pad)
-    widths[-2] = (pad, pad)
+def _pad_spatial(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Replicate-pad the trailing two (H, W) axes."""
+    widths = [(0, 0)] * (x.ndim - 2) + [(pad, pad), (pad, pad)]
     return jnp.pad(x, widths, mode="edge")
 
 
-def _shifted_views(xp: jnp.ndarray, k: int, h: int, w: int):
-    """The k² window elements as shifted slices of the padded array."""
-    return [xp[..., dy:dy + h, dx:dx + w, :]
+def _window_views(xp: jnp.ndarray, k: int, h: int, w: int):
+    """The k² window elements as shifted slices of the padded plane."""
+    return [xp[..., dy:dy + h, dx:dx + w]
             for dy in range(k) for dx in range(k)]
 
 
@@ -58,33 +64,44 @@ def _median9(p):
     return p[4]
 
 
+def _normalize_ksize(ksize: int) -> int:
+    """Reference op's normalization: even → +1, clamp [3, 9]
+    (src/preprocess/ops/median_derain.py:11-13)."""
+    k = int(ksize)
+    if k % 2 == 0:
+        k += 1
+    return max(3, min(k, 9))
+
+
+def median_planar_i32(x: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
+    """Median-filter (..., H, W) int32 planes, replicate border, odd k∈[3,9]."""
+    k = _normalize_ksize(ksize)
+    h, w = x.shape[-2], x.shape[-1]
+    xp = _pad_spatial(x, k // 2)
+    views = _window_views(xp, k, h, w)
+    if k == 3:
+        return _median9(views)
+    stack = jnp.stack(views, axis=0)
+    return jnp.sort(stack, axis=0)[(k * k) // 2]
+
+
 def _use_pallas() -> bool:
     import os
-    if os.environ.get("RVT_PALLAS", "1") == "0":
-        return False
-    return jax.default_backend() == "tpu"  # Mosaic-only primitives
+    return (os.environ.get("RVT_PALLAS", "0") == "1"
+            and jax.default_backend() == "tpu")  # Mosaic-only primitives
 
 
 @functools.partial(jax.jit, static_argnames=("ksize",))
 def median_blur_u8(x: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
     """Median-filter a (..., H, W, C) uint8 array with an odd k in [3, 9].
 
-    ksize normalization matches the reference op (even → +1, clamp [3, 9];
-    src/preprocess/ops/median_derain.py:11-13). On TPU the k=3 default
-    dispatches to the Pallas tile kernel (ops/pallas_median.py, bit-exact
-    vs this path); set RVT_PALLAS=0 to force the jnp implementation.
+    Channels are moved to the batch axis and filtered as int32 planes
+    (lane-friendly layout), then repacked to channel-last uint8.
     """
-    k = int(ksize)
-    if k % 2 == 0:
-        k += 1
-    k = max(3, min(k, 9))
+    k = _normalize_ksize(ksize)
     if k == 3 and x.ndim >= 3 and _use_pallas():
         from .pallas_median import median3_pallas
         return median3_pallas(x)
-    h, w = x.shape[-3], x.shape[-2]
-    xp = _replicate_pad(x, k // 2)
-    views = _shifted_views(xp, k, h, w)
-    if k == 3:
-        return _median9(views)
-    stack = jnp.stack(views, axis=0)
-    return jnp.sort(stack, axis=0)[(k * k) // 2]
+    planes = jnp.moveaxis(x, -1, 0).astype(jnp.int32)  # (C, ..., H, W)
+    out = median_planar_i32(planes, k)
+    return jnp.moveaxis(out, 0, -1).astype(jnp.uint8)

@@ -25,5 +25,19 @@ class PreprocessOp(ABC):
     def apply_batch(self, frames: jnp.ndarray) -> jnp.ndarray:
         """Device path: (..., H, W, 3) uint8 → same shape uint8, traceable."""
 
+    def supports_planar(self) -> bool:
+        """True if :meth:`apply_planar` is implemented for this op/config.
+
+        Planar ops run inside the pipeline's fused fast path: channels as
+        int32 (..., H, W) planes (full 128-lane utilization on TPU) with
+        one unpack/repack at the pipeline boundary instead of per op.
+        """
+        return False
+
+    def apply_planar(self, planes):
+        """Planar device path: (b, g, r) int32 planes → same, traceable."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no planar path")
+
     def __call__(self, image: np.ndarray) -> np.ndarray:
         return np.asarray(self.apply_batch(jnp.asarray(image)))

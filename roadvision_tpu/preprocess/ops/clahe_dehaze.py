@@ -5,30 +5,45 @@ converts back. Parameter names, defaults and normalization preserved:
 ``space`` ("YCrCb" | "LAB", case-insensitive), ``clip_limit`` (2.0),
 ``tile_grid`` (8, floored at 2). One TPU implementation also serves the
 reference's CUDA registry name (SURVEY.md §2.3).
+
+The YCrCb path (the reference default) is planar: int32 channel planes in
+and out, so the pipeline can fuse color→CLAHE→median into one pass with a
+single unpack/repack at the boundary. LAB runs the float channel-last path.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 from ...ops import color
-from ...ops.clahe import clahe_u8
+from ...ops.clahe import clahe_planar_i32, clahe_u8
 from ..base import PreprocessOp
 
 
 class CLAHEDehaze(PreprocessOp):
-    def apply_batch(self, frames: jnp.ndarray) -> jnp.ndarray:
+    def _settings(self):
         space = str(self.params.get("space", "YCrCb")).upper()
         clip_limit = float(self.params.get("clip_limit", 2.0))
         grid = max(2, int(self.params.get("tile_grid", 8)))
+        return space, clip_limit, grid
 
+    def supports_planar(self) -> bool:
+        space, _, _ = self._settings()
+        return space != "LAB"
+
+    def apply_planar(self, planes):
+        _, clip_limit, grid = self._settings()
+        b, g, r = planes
+        y, cr, cb = color.bgr_planes_to_ycrcb_i32(b, g, r)
+        y2 = clahe_planar_i32(y, clip_limit=clip_limit, grid=(grid, grid))
+        return color.ycrcb_planes_to_bgr_i32(y2, cr, cb)
+
+    def apply_batch(self, frames: jnp.ndarray) -> jnp.ndarray:
+        space, clip_limit, grid = self._settings()
         if space == "LAB":
             lab = color.bgr_to_lab_u8(frames)
             l2 = clahe_u8(lab[..., 0], clip_limit=clip_limit, grid=(grid, grid))
-            out = color.lab_to_bgr_u8(
+            return color.lab_to_bgr_u8(
                 jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
-        else:
-            ycc = color.bgr_to_ycrcb_u8(frames)
-            y2 = clahe_u8(ycc[..., 0], clip_limit=clip_limit, grid=(grid, grid))
-            out = color.ycrcb_to_bgr_u8(
-                jnp.concatenate([y2[..., None], ycc[..., 1:]], axis=-1))
-        return out
+        x = frames.astype(jnp.int32)
+        b, g, r = self.apply_planar((x[..., 0], x[..., 1], x[..., 2]))
+        return jnp.stack([b, g, r], axis=-1).astype(jnp.uint8)

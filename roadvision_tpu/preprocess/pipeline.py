@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.color import bgr_to_gray_u8
+from ..ops.color import bgr_to_gray_u8, gray_from_bgr_planes
 from .registry import get_op_class
 
 
@@ -42,23 +42,42 @@ class PreprocessPipeline:
     def identity(self) -> bool:
         return not self.enabled or not self.ops
 
-    def _gate_mask(self, frames: jnp.ndarray) -> jnp.ndarray:
-        """True where the chain should run (per frame)."""
-        gray = bgr_to_gray_u8(frames).astype(jnp.int32)
+    def _gate_from_gray(self, gray: jnp.ndarray) -> jnp.ndarray:
+        """True where the chain should run, from an int32 gray plane."""
         span = (jnp.max(gray, axis=(-2, -1)) - jnp.min(gray, axis=(-2, -1)))
         thresh = float(self.auto_gate_cfg.get("contrast_thresh", 20.0))
         return span.astype(jnp.float32) < thresh
 
+    @property
+    def _gated(self) -> bool:
+        return bool(self.auto_gate_cfg.get("enable_low_contrast_gate", False))
+
     def _batch_fn(self, frames: jnp.ndarray) -> jnp.ndarray:
+        if all(op.supports_planar() for op in self.ops):
+            return self._planar_fn(frames)
         out = frames
         for op in self.ops:
             out = op.apply_batch(out)
-        if self.auto_gate_cfg.get("enable_low_contrast_gate", False):
-            run = self._gate_mask(frames)
+        if self._gated:
+            run = self._gate_from_gray(bgr_to_gray_u8(frames).astype(jnp.int32))
             # broadcast per-frame mask over (H, W, 3)
             run = run.reshape(run.shape + (1, 1, 1))
             out = jnp.where(run, out, frames)
         return out
+
+    def _planar_fn(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """Fused planar path: one unpack, op chain on int32 channel planes
+        (full-lane layout — see ops/color.py), one repack."""
+        x = frames.astype(jnp.int32)
+        planes = (x[..., 0], x[..., 1], x[..., 2])
+        out = planes
+        for op in self.ops:
+            out = op.apply_planar(out)
+        if self._gated:
+            run = self._gate_from_gray(gray_from_bgr_planes(*planes))
+            run = run.reshape(run.shape + (1, 1))
+            out = tuple(jnp.where(run, o, p) for o, p in zip(out, planes))
+        return jnp.stack(out, axis=-1).astype(jnp.uint8)
 
     def apply_batch(self, frames: jnp.ndarray) -> jnp.ndarray:
         """Device path: (..., H, W, 3) uint8 → processed uint8 batch."""
