@@ -48,7 +48,7 @@ DEFAULTS: Dict[str, Any] = {
                        origin=[0.0, 0.0], max_distance=1_000_000.0),
     ),
     "vis": dict(draw=dict(det=True, thickness=2, font_scale=0.6)),
-    "tpu": dict(batch_size=8, track_slots=64, compute_dtype="bfloat16",
+    "tpu": dict(batch_size=8, track_slots=None, compute_dtype="bfloat16",
                 mesh=dict(enable=False, axis="data")),
 }
 

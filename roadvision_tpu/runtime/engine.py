@@ -57,7 +57,6 @@ class PipelineEngine:
         self.cfg = cfg
         tpu_cfg = cfg.get("tpu", {}) or {}
         self.batch_size = int(tpu_cfg.get("batch_size", 8))
-        self.track_slots = int(tpu_cfg.get("track_slots", 64))
 
         self.pipeline = PreprocessPipeline(cfg.get("preprocess", {}) or {})
 
@@ -69,6 +68,20 @@ class PipelineEngine:
         if det_cfg.get("enabled", False):
             self.detector = YOLOJax(det_cfg)
         self.max_det = int(det_cfg.get("max_det", 100))
+
+        # Fixed-capacity track slots. The reference grows its track list
+        # unbounded; with slots < max_det a burst of new objects would
+        # silently drop tracks, so auto-size to max_det and warn on an
+        # explicit under-provisioned override.
+        slots_cfg = tpu_cfg.get("track_slots")
+        self.track_slots = int(slots_cfg) if slots_cfg else \
+            max(64, self.max_det)
+        if self.track_slots < self.max_det:
+            log.warning(
+                "tpu.track_slots=%d < detect.max_det=%d: more than %d "
+                "concurrent new objects will drop tracks (the reference "
+                "tracker grows unbounded)", self.track_slots, self.max_det,
+                self.track_slots)
 
         track_cfg = cfg.get("tracking", {}) or {}
         self.track_enabled = bool(track_cfg.get("enabled", False)) \
@@ -204,25 +217,35 @@ class PipelineEngine:
             names = list(COCO_NAMES)
         results = []
         with self.timer.stage("host_unpack"):
+            # one vectorized pass over the whole batch: compress the masked
+            # slots with numpy, convert to python scalars in bulk, then
+            # build only the valid Detection objects (the b×max_det python
+            # double loop was the host-side ceiling at device rates)
+            fi, sj = np.nonzero(valid)
+            vb = boxes[fi, sj].tolist()
+            vconf = conf[fi, sj].tolist()
+            vcls = cls_id[fi, sj].tolist()
+            vids = ids[fi, sj].tolist()
+            vdist = dist[fi, sj]
+            vspeed = speed[fi, sj]
+            dist_ok = np.isfinite(vdist)
+            speed_ok = np.isfinite(vspeed)
+            vdist = vdist.tolist()
+            vspeed = vspeed.tolist()
+            per_frame: List[List[Detection]] = [[] for _ in range(b)]
+            n_names = len(names)
+            for n, (i, k) in enumerate(zip(fi.tolist(), vcls)):
+                x1, y1, x2, y2 = vb[n]
+                per_frame[i].append(Detection(
+                    x1, y1, x2, y2, vconf[n], k,
+                    names[k] if 0 <= k < n_names else str(k),
+                    track_id=vids[n] if vids[n] > 0 else None,
+                    distance_m=vdist[n] if dist_ok[n] else None,
+                    speed_kmh=vspeed[n] if speed_ok[n] else None))
             for i in range(b):
-                dets: List[Detection] = []
-                for j in range(boxes.shape[1]):
-                    if not valid[i, j]:
-                        continue
-                    k = int(cls_id[i, j])
-                    dets.append(Detection(
-                        float(boxes[i, j, 0]), float(boxes[i, j, 1]),
-                        float(boxes[i, j, 2]), float(boxes[i, j, 3]),
-                        float(conf[i, j]), k,
-                        names[k] if 0 <= k < len(names) else str(k),
-                        track_id=int(ids[i, j]) if ids[i, j] > 0 else None,
-                        distance_m=(float(dist[i, j])
-                                    if np.isfinite(dist[i, j]) else None),
-                        speed_kmh=(float(speed[i, j])
-                                   if np.isfinite(speed[i, j]) else None)))
                 results.append(FrameResult(
                     frames[i], proc[i] if proc is not None else frames[i],
-                    dets, float(timestamps[i])))
+                    per_frame[i], float(timestamps[i])))
         return results
 
     # ------------------------------------------------------------------
