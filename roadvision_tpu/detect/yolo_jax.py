@@ -24,7 +24,7 @@ import numpy as np
 
 from ..models.yolo import weights as yolo_weights
 from ..models.yolo import yolov8
-from ..ops.letterbox import letterbox_u8, scale_boxes
+from ..ops.letterbox import letterbox_rect_u8, letterbox_u8, scale_boxes
 from ..ops.nms import nms_batch
 from .base import Detector
 from .types import COCO_NAMES, Detection, DetectionBatch
@@ -46,6 +46,9 @@ class YOLOJax(Detector):
         self.max_det = int(cfg.get("max_det", 100))
         self.keep = tuple(sorted(int(x) for x in cfg.get("classes_keep", [])))
         self.imgsz = int(cfg.get("imgsz", 640))
+        # rect=True: minimal-rectangle letterbox (ultralytics' predict
+        # default); rect=False: square canvas (the ONNX-export convention)
+        self.rect = bool(cfg.get("rect", False))
         device = cfg.get("device", "auto")
         compute = str(cfg.get("compute_dtype", "bfloat16"))
         self.dtype = jnp.bfloat16 if compute == "bfloat16" else jnp.float32
@@ -71,6 +74,12 @@ class YOLOJax(Detector):
         self._jit_cache: Dict[Tuple[int, int, int], Any] = {}
 
     # ------------------------------------------------------------------
+    def letterbox(self, frames_u8):
+        """The configured letterbox transform (square or rect)."""
+        if self.rect:
+            return letterbox_rect_u8(frames_u8, size=self.imgsz)
+        return letterbox_u8(frames_u8, size=self.imgsz)
+
     def forward_fn(self, params, imgs):
         """Letterboxed images → (boxes, scores), arch-dispatched."""
         if self.arch == "v5":
@@ -82,14 +91,14 @@ class YOLOJax(Detector):
 
     def _build_fn(self, shape: Tuple[int, int, int]):
         conf, iou, max_det, keep = self.conf, self.iou, self.max_det, self.keep
-        imgsz = self.imgsz
         h, w = shape[1], shape[2]
         params = self.params
         fwd = self.forward_fn
+        lbox = self.letterbox
 
         @jax.jit
         def run(params, frames_u8):
-            imgs, ratio, pad = letterbox_u8(frames_u8, size=imgsz)
+            imgs, ratio, pad = lbox(frames_u8)
             boxes640, scores = fwd(params, imgs)
             b, c, k, v = nms_batch(boxes640, scores, conf_thres=conf,
                                    iou_thres=iou, max_det=max_det,

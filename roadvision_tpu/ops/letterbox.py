@@ -41,6 +41,44 @@ def letterbox_u8(frames: jnp.ndarray, size: int = 640):
     return x / 255.0, jnp.float32(r), jnp.array([left, top], jnp.float32)
 
 
+def rect_target_hw(h: int, w: int, size: int = 640,
+                   stride: int = 32) -> Tuple[int, int]:
+    """Minimal-rectangle letterbox target: scaled dims padded up to the
+    next stride multiple (ultralytics LetterBox(auto=True), the predict
+    default — yolo_ultralytics.py:28-35 runs through it). Static per
+    source resolution, e.g. 1080p → (384, 640)."""
+    r = min(size / h, size / w)
+    new_h, new_w = round(h * r), round(w * r)
+    return new_h + (-new_h) % stride, new_w + (-new_w) % stride
+
+
+@functools.partial(jax.jit, static_argnames=("size", "stride"))
+def letterbox_rect_u8(frames: jnp.ndarray, size: int = 640,
+                      stride: int = 32):
+    """Rect-pad variant of :func:`letterbox_u8`: same scale ratio, but the
+    canvas is the minimal stride-aligned rectangle instead of a square —
+    ultralytics' predict-time convention (``detect.rect: true``).
+
+    Returns (images (B, th, tw, 3) float32 RGB [0,1], ratio, pad (2,)).
+    """
+    if frames.ndim == 3:
+        frames = frames[None]
+    h, w = frames.shape[1], frames.shape[2]
+    r = min(size / h, size / w)
+    new_h, new_w = round(h * r), round(w * r)
+    th, tw = rect_target_hw(h, w, size, stride)
+    dw, dh = (tw - new_w) / 2, (th - new_h) / 2
+
+    x = frames[..., ::-1].astype(jnp.float32)  # BGR → RGB
+    x = jax.image.resize(x, (frames.shape[0], new_h, new_w, 3),
+                         method="linear")
+    top, bottom = int(round(dh - 0.1)), th - new_h - int(round(dh - 0.1))
+    left, right = int(round(dw - 0.1)), tw - new_w - int(round(dw - 0.1))
+    x = jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)),
+                constant_values=114.0)
+    return x / 255.0, jnp.float32(r), jnp.array([left, top], jnp.float32)
+
+
 def scale_boxes(boxes: jnp.ndarray, ratio, pad,
                 orig_hw: Tuple[int, int]) -> jnp.ndarray:
     """Boxes in letterboxed space → original image space, clipped."""

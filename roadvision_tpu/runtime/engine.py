@@ -144,7 +144,7 @@ class PipelineEngine:
                          jnp.full((b, max_det), jnp.nan))
                 return proc, empty, sort_state
 
-            imgs, ratio, pad = letterbox_u8(proc, size=det.imgsz)
+            imgs, ratio, pad = det.letterbox(proc)
             boxes640, scores = det.forward_fn(params, imgs)
             boxes, conf, cls_id, valid = nms_batch(
                 boxes640, scores, conf_thres=det.conf, iou_thres=det.iou,

@@ -179,23 +179,31 @@ def v5_forward(params, x_nhwc):
 
 # --- letterbox + rescale (ultralytics geometry, torch/numpy) ----------------
 
-def letterbox(frames_u8, size):
-    """(B,H,W,3) uint8 BGR → (B,size,size,3) float32 RGB [0,1], ratio, pad.
+def letterbox(frames_u8, size, auto=False, stride=32):
+    """(B,H,W,3) uint8 BGR → letterboxed float32 RGB [0,1], ratio, pad.
 
     Bilinear resize via torch (align_corners=False — cv2 INTER_LINEAR
-    convention), gray-114 pad, matching ultralytics LetterBox.
+    convention), gray-114 pad, matching ultralytics LetterBox. With
+    ``auto=True`` the canvas is the minimal stride-aligned rectangle
+    (ultralytics' predict default — ``dw %= stride; dh %= stride``);
+    otherwise a ``size``-square.
     """
     b, h, w = frames_u8.shape[:3]
     r = min(size / h, size / w)
     new_h, new_w = round(h * r), round(w * r)
+    dw_total, dh_total = size - new_w, size - new_h
+    if auto:
+        dw_total %= stride
+        dh_total %= stride
+    th, tw = new_h + dh_total, new_w + dw_total
     x = torch.from_numpy(
         np.ascontiguousarray(frames_u8[..., ::-1].transpose(0, 3, 1, 2))
     ).float()
     x = F.interpolate(x, size=(new_h, new_w), mode="bilinear",
                       align_corners=False)
-    dw, dh = (size - new_w) / 2, (size - new_h) / 2
+    dw, dh = dw_total / 2, dh_total / 2
     top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
-    canvas = torch.full((b, 3, size, size), 114.0)
+    canvas = torch.full((b, 3, th, tw), 114.0)
     canvas[:, :, top:top + new_h, left:left + new_w] = x
     return (canvas.permute(0, 2, 3, 1).numpy() / 255.0,
             r, (float(left), float(top)))

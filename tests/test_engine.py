@@ -91,3 +91,24 @@ def test_main_preview_headless(tmp_path):
     assert rc == 0
     data = out.read_bytes()
     assert data[:4] == b"RIFF" and data.count(b"\xff\xd8\xff") == 6
+
+
+def test_engine_rect_letterbox_mode():
+    """detect.rect: true runs the minimal-rectangle letterbox end-to-end;
+    boxes stay in frame coordinates (reference predict uses rect pad,
+    yolo_ultralytics.py:28-35)."""
+    cfg = _cfg(detect={"enabled": True, "model": "missing.pt",
+                       "device": "cpu", "max_det": 10, "imgsz": 160,
+                       "classes_keep": [], "rect": True,
+                       "conf_thres": 0.0})
+    engine = PipelineEngine(cfg)
+    assert engine.detector.rect
+    vs = VideoSource(source="synthetic:3", width=160, height=128,
+                     num_frames=4)
+    results = list(engine.stream(vs, max_frames=4))
+    assert len(results) == 4
+    dets = [d for r in results for d in r.detections]
+    assert dets, "conf_thres=0 should pass boxes even at random init"
+    for d in dets:
+        assert 0 <= d.x1 <= d.x2 <= 160
+        assert 0 <= d.y1 <= d.y2 <= 128

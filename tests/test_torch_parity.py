@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from roadvision_tpu.models.yolo import yolov5, yolov8
-from roadvision_tpu.ops.letterbox import letterbox_u8, scale_boxes
+from roadvision_tpu.ops.letterbox import (letterbox_rect_u8, letterbox_u8,
+                                          rect_target_hw, scale_boxes)
 
 from tests.oracles import torch_yolo
 
@@ -68,6 +69,42 @@ def test_letterbox_matches_torch_oracle(hw):
     assert tuple(np.asarray(jp)) == tp
     # bilinear resample agreement (both half-pixel, no antialias)
     assert _max_err(ji, ti) < 2e-3, _max_err(ji, ti)
+
+
+def test_rect_letterbox_matches_torch_oracle():
+    rng = np.random.RandomState(9)
+    frames = rng.randint(0, 256, (2, 270, 480, 3), dtype=np.uint8)
+
+    assert rect_target_hw(270, 480, 640) == (384, 640)
+    assert rect_target_hw(1080, 1920, 640) == (384, 640)  # VERDICT example
+
+    ji, jr, jp = letterbox_rect_u8(jnp.asarray(frames), size=640)
+    ti, tr, tp = torch_yolo.letterbox(frames, 640, auto=True)
+
+    assert ji.shape == (2, 384, 640, 3) and ji.shape == ti.shape
+    assert float(jr) == pytest.approx(tr)
+    assert tuple(np.asarray(jp)) == tp
+    assert _max_err(ji, ti) < 2e-3, _max_err(ji, ti)
+
+
+def test_rect_end_to_end_boxes_match_torch_pipeline():
+    """Rect letterbox → v8n forward → rescale, jax vs torch paths."""
+    params = yolov8.init_params(jax.random.PRNGKey(13), "n")
+    rng = np.random.RandomState(4)
+    frames = rng.randint(0, 256, (1, 90, 160, 3), dtype=np.uint8)
+
+    imgs, ratio, pad = letterbox_rect_u8(jnp.asarray(frames), size=160)
+    assert imgs.shape[1:3] == rect_target_hw(90, 160, 160)  # (96, 160)
+    jb, js = yolov8.forward(params, imgs, size="n", nc=80,
+                            dtype=jnp.float32)
+    jb = scale_boxes(jb, ratio, pad, (90, 160))
+
+    timgs, tratio, tpad = torch_yolo.letterbox(frames, 160, auto=True)
+    tb, ts = torch_yolo.v8_forward(params, timgs)
+    tb = torch_yolo.unletterbox_boxes(tb, tratio, tpad, (90, 160))
+
+    assert _max_err(jb, tb) < 0.1, _max_err(jb, tb)
+    assert _max_err(js, ts) < 2e-3, _max_err(js, ts)
 
 
 def test_end_to_end_boxes_match_torch_pipeline():
