@@ -275,6 +275,39 @@ def preprocess_stage_ms(engine: PipelineEngine, width: int, height: int,
     return (time.perf_counter() - t0) / (outer * INNER_SCAN * batch) * 1e3
 
 
+def streams_fps(res: int, streams: int, batch: int, iters: int) -> float:
+    """Multi-stream scale-out (SURVEY §2.5): S camera streams through the
+    stream-sharded step on this host's mesh (1 chip here; the same code
+    path spans real multi-chip meshes — tests/test_sharded_inference.py
+    proves cross-device correctness on a virtual mesh)."""
+    from roadvision_tpu.parallel import make_mesh, make_sharded_stream_step
+    width = {1080: 1920, 720: 1280, 480: 640}.get(res, res * 16 // 9)
+    engine = PipelineEngine(_cfg(res, width, batch))
+    mesh = make_mesh(len(jax.devices()), model_parallel=1)
+    step, init_states = make_sharded_stream_step(engine, (batch, res, width),
+                                                 mesh)
+    src = DeviceSyntheticSource(width, res, num_vehicles=6)
+    render = src.make_render_fn(streams * batch)
+    params = engine.detector.params
+
+    @jax.jit
+    def run(params, states, idx0):
+        frames = render(idx0).reshape(streams, batch, res, width, 3)
+        ts = (idx0 + jnp.arange(streams * batch, dtype=jnp.float32)
+              ).reshape(streams, batch) / 30.0
+        outs, states = step(params, states, frames, ts)
+        return states, outs[3].sum()
+
+    states = init_states(streams)
+    states, c = run(params, states, jnp.int32(0))
+    _sync(c)
+    t0 = time.perf_counter()
+    for k in range(iters):
+        states, c = run(params, states, jnp.int32((k + 1) * streams * batch))
+    _sync(c)
+    return streams * batch * iters / (time.perf_counter() - t0)
+
+
 def calibrate_tflops() -> float:
     k = 4096
     a = jnp.ones((k, k), jnp.bfloat16)
@@ -310,6 +343,15 @@ def main() -> int:
         print(json.dumps({"metric": "homography_batch100_calls_per_sec",
                           "value": round(rate, 2), "unit": "calls/sec",
                           "vs_baseline": round(rate / NORTH_STAR_FPS, 4)}))
+        return 0
+    if mode == "streams":
+        n_streams = int(os.environ.get("RVT_BENCH_STREAMS", "4"))
+        s_res = int(os.environ.get("RVT_BENCH_RES", "480"))
+        fps = streams_fps(s_res, n_streams, batch, iters)
+        print(json.dumps({
+            "metric": f"streams{n_streams}_{s_res}p_fps_per_chip",
+            "value": round(fps, 2), "unit": "frames/sec",
+            "vs_baseline": round(fps / NORTH_STAR_FPS, 4)}))
         return 0
     cfg_over = {}
     if mode == "preprocess":  # config 1: chain alone, 720p intent

@@ -1,5 +1,6 @@
+from .inference import make_sharded_stream_step
 from .sharding import (batch_sharding, make_mesh, param_shardings, replicated,
                        shard_pytree)
 
 __all__ = ["make_mesh", "batch_sharding", "replicated", "param_shardings",
-           "shard_pytree"]
+           "shard_pytree", "make_sharded_stream_step"]

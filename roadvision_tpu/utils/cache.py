@@ -18,6 +18,10 @@ _DEFAULT_DIR = os.environ.get(
 
 
 def enable_compilation_cache(path: str = _DEFAULT_DIR) -> None:
+    # RVT_NO_CACHE=1 opts a process out entirely — CPU subprocesses must
+    # not read entries AOT-compiled for other machines (SIGILL risk)
+    if os.environ.get("RVT_NO_CACHE") == "1":
+        return
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
