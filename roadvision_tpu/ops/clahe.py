@@ -56,18 +56,22 @@ def _reflect_pad_101(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:
     return jnp.pad(x, widths, mode="reflect")
 
 
-def _tile_histograms_sweep(tiles: jnp.ndarray) -> jnp.ndarray:
-    """(..., th, tw) int32 values → (..., 256) int32 histograms.
+def _tile_histograms_sweep(tiled: jnp.ndarray) -> jnp.ndarray:
+    """(b, gy, th, gx, tw) int32 values → (b, gy, gx, 256) histograms.
 
     256-iteration bin sweep: each step is a fused compare + reduction over
-    the tile area — no scatter (TPU scatters serialize; the sweep streams)."""
-    lead = tiles.shape[:-2]
+    the tile area — no scatter (TPU scatters serialize; the sweep streams).
+    The reduce runs directly on the reshaped-but-untransposed view, axes
+    (th, tw) = (2, 4): keeping the image's native row-major layout in the
+    lane dimension measured 8× faster than reducing a transposed
+    (b, gy, gx, th, tw) copy (tools/profile_preprocess.py)."""
+    b, gy, _, gx, _ = tiled.shape
 
     def body(v, acc):
-        cnt = jnp.sum((tiles == v).astype(jnp.int32), axis=(-2, -1))
+        cnt = jnp.sum((tiled == v).astype(jnp.int32), axis=(2, 4))
         return lax.dynamic_update_index_in_dim(acc, cnt, v, axis=-1)
 
-    acc = jnp.zeros(lead + (256,), jnp.int32)
+    acc = jnp.zeros((b, gy, gx, 256), jnp.int32)
     return lax.fori_loop(0, 256, body, acc)
 
 
@@ -126,8 +130,7 @@ def _luts_for_plane(x: jnp.ndarray, clip_limit: float, gy: int, gx: int):
     xe = _reflect_pad_101(x, pad_h, pad_w)
     th, tw = (h + pad_h) // gy, (w + pad_w) // gx
     tile_area = th * tw
-    tiles = xe.reshape(b, gy, th, gx, tw).transpose(0, 1, 3, 2, 4)
-    hist = _tile_histograms_sweep(tiles)  # (b, gy, gx, 256)
+    hist = _tile_histograms_sweep(xe.reshape(b, gy, th, gx, tw))
     clip = max(int(clip_limit * tile_area / 256.0), 1) if clip_limit > 0 else 0
     if clip > 0:
         hist = _clip_redistribute(hist, clip)
