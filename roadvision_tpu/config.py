@@ -41,7 +41,8 @@ DEFAULTS: Dict[str, Any] = {
                    device="auto", conf_thres=0.25, iou_thres=0.7, max_det=100,
                    classes_keep=[], rect=False),
     "tracking": dict(enabled=False, backend="sort", max_staleness=1.0,
-                     min_hits=3, iou_threshold=0.3, speed_window=0.75),
+                     min_hits=3, iou_threshold=0.3, speed_window=0.75,
+                     association="greedy"),
     "geometry": dict(
         enabled=False,
         projector=dict(type="homography", image_points=[], world_points=[],

@@ -93,7 +93,8 @@ class PipelineEngine:
                     float(track_cfg.get("iou_threshold", 0.3)),
                     float(track_cfg.get("max_staleness", 1.0)),
                     float(track_cfg.get("speed_window", 0.75)),
-                    int(track_cfg.get("min_hits", 3)))
+                    int(track_cfg.get("min_hits", 3)),
+                    association=str(track_cfg.get("association", "greedy")))
             except Exception as exc:  # soft fail (main_preview.py:66-70)
                 log.warning("tracker init failed: %s", exc)
                 self.track_enabled = False

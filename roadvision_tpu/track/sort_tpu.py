@@ -172,6 +172,87 @@ def greedy_associate(iou: jnp.ndarray, alive: jnp.ndarray,
     return det2trk
 
 
+def auction_associate(iou: jnp.ndarray, alive: jnp.ndarray,
+                      dvalid: jnp.ndarray, thresh: float,
+                      eps: float = 0.01, max_iters: int = 512
+                      ) -> jnp.ndarray:
+    """Optimal-assignment association (the opt-in "hungarian" backend).
+
+    Solves the linear assignment problem Hungarian-SORT variants feed to
+    ``scipy.optimize.linear_sum_assignment`` (maximize total IoU over the
+    full matrix, then reject matched pairs below ``thresh``), with the
+    TPU-friendly **parallel ε-auction** (Bertsekas): every unassigned
+    detection simultaneously bids ``best − second_best + ε`` for its
+    best-value track; each track goes to its highest bidder. Fixed
+    shapes, fixed iteration bound, pure vector ops — scan/jit-friendly.
+
+    D dummy columns (value −1, rejected by the threshold afterwards)
+    guarantee every valid detection can terminate assigned even when
+    detections outnumber alive tracks. A single ε is used — ε-scaling
+    with carried prices is unsound for asymmetric problems (unassigned
+    columns keep inflated prices across rounds). At termination the
+    total value is within D·ε of the exact optimum; sub-ε ties may
+    resolve differently than scipy's solver — bounded and compared in
+    tests/test_hungarian.py. IoU matrices from tracking are near-sparse
+    (each det overlaps few tracks), so convergence is typically a
+    handful of iterations; max_iters is a hard safety bound. Same
+    return contract as :func:`greedy_associate`: det→track (D,), -1
+    unmatched.
+    """
+    num_t, num_d = iou.shape
+    neg = jnp.float32(-1e9)
+    cols = num_t + num_d
+    col_ids = jnp.arange(cols)
+    det_ids = jnp.arange(num_d)
+    # (D, T+D): eligible real edges, then the shared dummy pool at −1
+    w_real = jnp.where(alive[:, None] & dvalid[None, :], iou, neg).T
+    w = jnp.concatenate(
+        [w_real, jnp.full((num_d, num_d), -1.0, jnp.float32)], axis=1)
+
+    def run_auction(eps, prices):
+        def body(carry):
+            it, prices, assigned = carry
+            values = w - prices[None, :]                   # (D, T+D)
+            best_c = jnp.argmax(values, axis=1)            # (D,)
+            v1 = jnp.max(values, axis=1)
+            rest = values.at[det_ids, best_c].set(neg)
+            v2 = jnp.max(rest, axis=1)
+            bidding = (assigned < 0) & dvalid
+            incr = v1 - v2 + eps
+            bid_mat = jnp.where(
+                bidding[:, None] & (best_c[:, None] == col_ids[None, :]),
+                incr[:, None], -jnp.inf)
+            top_bid = jnp.max(bid_mat, axis=0)             # (T+D,)
+            winner = jnp.argmax(bid_mat, axis=0).astype(jnp.int32)
+            has_bid = top_bid > -jnp.inf
+            prices = jnp.where(has_bid, prices + top_bid, prices)
+            # evict owners of re-auctioned columns that lost to a new bid
+            own_c = jnp.clip(assigned, 0, cols - 1)
+            evicted = (assigned >= 0) & has_bid[own_c] \
+                & (winner[own_c] != det_ids)
+            assigned = jnp.where(evicted, -1, assigned)
+            won = bidding & has_bid[best_c] & (winner[best_c] == det_ids)
+            assigned = jnp.where(won, best_c.astype(jnp.int32), assigned)
+            return it + 1, prices, assigned
+
+        def cond(carry):
+            it, _, assigned = carry
+            return (it < max_iters) & jnp.any(dvalid & (assigned < 0))
+
+        _, prices, assigned = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), prices, jnp.full((num_d,), -1, jnp.int32)))
+        return prices, assigned
+
+    _, assigned = run_auction(float(eps), jnp.zeros((cols,), jnp.float32))
+
+    # dummy columns and below-threshold / ineligible pairs are unmatched
+    real = (assigned >= 0) & (assigned < num_t)
+    trk = jnp.clip(assigned, 0, num_t - 1)
+    good = real & (iou.T[det_ids, trk] >= thresh) & alive[trk] & dvalid
+    return jnp.where(good, trk, -1)
+
+
 def _kf_predict(mean, cov, dt):
     """Batched KF predict with per-track dt (already clamped)."""
     f = _I7[None] + dt[:, None, None] * _E[None]
@@ -241,18 +322,28 @@ def _history_append_and_window(state: SortState, sel, ts, gx, gy, window):
 
 
 def make_sort_step(iou_threshold: float, max_staleness: float,
-                   speed_window: float, min_hits: int = 3):
+                   speed_window: float, min_hits: int = 3,
+                   association: str = "greedy"):
     """Build the jit-traceable single-frame SORT step.
 
     Returned signature:
       step(state, boxes (D,4), cls (D,), conf (D,), dvalid (D,), ts (),
            proj) -> (state', SortOutput)
     where proj is None (no projector) or (H (3,3), origin (2,), maxd ()).
+
+    ``association``: "greedy" (the reference's behavior, default) or
+    "hungarian" (optimal assignment via the ε-auction,
+    :func:`auction_associate`).
     """
     thresh = float(iou_threshold)
     staleness = float(max_staleness)
     window = max(0.05, float(speed_window))  # _Track floor (:93)
     del min_hits  # tracked in state but never gates output (parity quirk)
+    if association not in ("greedy", "hungarian"):
+        raise ValueError(f"unknown association: {association!r} "
+                         f"(expected 'greedy' or 'hungarian')")
+    associate = greedy_associate if association == "greedy" \
+        else auction_associate
 
     from ..geometry.projector import project_boxes_device
 
@@ -270,10 +361,11 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
         state = state._replace(mean=mean, cov=cov,
                                last_predict_ts=last_predict_ts)
 
-        # 2. greedy association on IoU of predicted boxes vs det boxes
+        # 2. association on IoU of predicted boxes vs det boxes (greedy
+        # default — reference behavior; "hungarian" = ε-auction LAP)
         track_boxes = x_to_bbox(state.mean)
-        det2trk = greedy_associate(iou_matrix(track_boxes, boxes),
-                                   state.alive, dvalid, thresh)
+        det2trk = associate(iou_matrix(track_boxes, boxes),
+                            state.alive, dvalid, thresh)
         matched_d = det2trk >= 0
         # inverse map track→det (association is one-to-one); unmatched dets
         # scatter out-of-bounds and are dropped

@@ -32,11 +32,12 @@ class SortTracker(Tracker):
         self.speed_window = float(cfg.get("speed_window", 0.75))
         self.det_capacity = int(cfg.get("det_capacity", 100))
         self.track_slots = int(cfg.get("track_slots", 64))
+        self.association = str(cfg.get("association", "greedy"))
         # one jitted step serves both paths: jax.jit specializes on the
         # proj pytree structure (None vs (H, origin, maxd))
         self._step = jax.jit(make_sort_step(
             self.iou_threshold, self.max_staleness, self.speed_window,
-            self.min_hits))
+            self.min_hits, association=self.association))
         self._state: SortState = init_state(self.track_slots)
         self._t0: Optional[float] = None
 

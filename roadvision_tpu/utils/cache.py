@@ -22,6 +22,11 @@ def enable_compilation_cache(path: str = _DEFAULT_DIR) -> None:
     # not read entries AOT-compiled for other machines (SIGILL risk)
     if os.environ.get("RVT_NO_CACHE") == "1":
         return
+    # separate cache trees per platform: CPU AOT artifacts are
+    # machine-feature-specific and must never mix with the remote-compiled
+    # TPU entries (and vice versa)
+    platform = os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
+    path = f"{path}-{platform or 'default'}"
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
