@@ -101,10 +101,85 @@ def ycrcb_to_bgr_u8(ycrcb: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# LAB (float path: sRGB gamma, D65). OpenCV's u8 LAB uses quantized LUTs; the
-# float math below matches it to ±1 LSB which is sufficient for the optional
-# "space: LAB" CLAHE mode (reference default is YCrCb).
+# LAB. Forward (BGR→LAB u8) follows OpenCV's published fixed-point u8
+# algorithm (RGB2Lab_b): 256-entry sRGB gamma table scaled ×8, 12-bit XYZ
+# coefficients divided by the D65 white point, a 3072-entry cube-root table
+# in 15-bit fixed point, and CV_DESCALE rounding — bit-for-bit the integer
+# pipeline. The inverse keeps the float formulation (OpenCV's u8 inverse is
+# a trilinear-interpolated LUT scheme; the float path matches it to ±1 LSB)
+# — sufficient for the optional "space: LAB" CLAHE mode (reference default
+# is YCrCb; src/preprocess/ops/clahe_dehaze.py:22-26).
 # ---------------------------------------------------------------------------
+_LAB_SHIFT = 12           # xyz coefficient fixed point
+_GAMMA_SHIFT = 3          # gamma table output scale (×8 → max 2040)
+_LAB_SHIFT2 = _LAB_SHIFT + _GAMMA_SHIFT  # 15
+_LAB_CBRT_TAB_N = (255 * 3 // 2 + 1) * (1 << _GAMMA_SHIFT)  # x ∈ [0, ~1.5]
+
+
+def _build_lab_tables():
+    import numpy as np
+    # gamma: u8 → linear, scaled to [0, 255·8]
+    i = np.arange(256, dtype=np.float64) / 255.0
+    lin = np.where(i <= 0.04045, i / 12.92, ((i + 0.055) / 1.055) ** 2.4)
+    gamma_tab = np.rint(lin * 255.0 * (1 << _GAMMA_SHIFT)).astype(np.int32)
+    # f(t) table over t = idx/2040 with the linear toe below 0.008856
+    x = np.arange(_LAB_CBRT_TAB_N, dtype=np.float64) \
+        / (255.0 * (1 << _GAMMA_SHIFT))
+    f = np.where(x < 0.008856, x * 7.787 + 16.0 / 116.0, np.cbrt(x))
+    cbrt_tab = np.rint(f * (1 << _LAB_SHIFT2)).astype(np.int32)
+    # 12-bit XYZ-over-white coefficients (rows X, Y, Z × cols R, G, B)
+    m = np.asarray(_XYZ_FROM_RGB, np.float64)
+    white = np.asarray(_WHITE, np.float64)
+    coeffs = np.rint(m / white[:, None] * (1 << _LAB_SHIFT)).astype(np.int64)
+    # each white-relative row happens to round to exactly 1<<12, so white
+    # indexes the f-table at exactly 1.0 (matches the cvRound-only setup)
+    assert (coeffs.sum(axis=1) == (1 << _LAB_SHIFT)).all()
+    return gamma_tab, cbrt_tab, coeffs
+
+
+_LAB_TABLES = None
+
+
+def _lab_tables():
+    """Lazy: the builder reads _XYZ_FROM_RGB/_WHITE defined further down."""
+    global _LAB_TABLES
+    if _LAB_TABLES is None:
+        _LAB_TABLES = _build_lab_tables()
+    return _LAB_TABLES
+
+
+_LAB_LSCALE = (116 * 255 + 50) // 100
+_LAB_LSHIFT = -((16 * 255 * (1 << _LAB_SHIFT2) + 50) // 100)
+
+
+def _descale_n(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    return jnp.right_shift(x + (1 << (n - 1)), n)
+
+
+def bgr_to_lab_u8_fixed(bgr: jnp.ndarray) -> jnp.ndarray:
+    """BGR uint8 → LAB uint8 via OpenCV's integer u8 pipeline (RGB2Lab_b).
+
+    Table lookups are jnp gathers — fine for this opt-in path; the default
+    YCrCb CLAHE mode stays gather-free.
+    """
+    gamma_np, cbrt_np, c = _lab_tables()
+    gamma = jnp.asarray(gamma_np)
+    cbrt = jnp.asarray(cbrt_np)
+    x = bgr.astype(jnp.int32)
+    b = jnp.take(gamma, x[..., 0])
+    g = jnp.take(gamma, x[..., 1])
+    r = jnp.take(gamma, x[..., 2])
+
+    def fchan(row):
+        idx = _descale_n(r * int(c[row, 0]) + g * int(c[row, 1])
+                         + b * int(c[row, 2]), _LAB_SHIFT)
+        return jnp.take(cbrt, jnp.clip(idx, 0, _LAB_CBRT_TAB_N - 1))
+
+    fx, fy, fz = fchan(0), fchan(1), fchan(2)
+    l_ = _descale_n(_LAB_LSCALE * fy + _LAB_LSHIFT, _LAB_SHIFT2)
+    a_ = _descale_n(500 * (fx - fy) + (128 << _LAB_SHIFT2), _LAB_SHIFT2)
+    b_ = _descale_n(200 * (fy - fz) + (128 << _LAB_SHIFT2), _LAB_SHIFT2)
+    return jnp.stack([_sat_u8(l_), _sat_u8(a_), _sat_u8(b_)], axis=-1)
 _XYZ_FROM_RGB = jnp.array([
     [0.412453, 0.357580, 0.180423],
     [0.212671, 0.715160, 0.072169],

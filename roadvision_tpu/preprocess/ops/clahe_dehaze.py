@@ -40,7 +40,9 @@ class CLAHEDehaze(PreprocessOp):
     def apply_batch(self, frames: jnp.ndarray) -> jnp.ndarray:
         space, clip_limit, grid = self._settings()
         if space == "LAB":
-            lab = color.bgr_to_lab_u8(frames)
+            # forward conversion is OpenCV's exact integer u8 pipeline;
+            # the inverse stays float (±1 LSB vs OpenCV's LUT inverse)
+            lab = color.bgr_to_lab_u8_fixed(frames)
             l2 = clahe_u8(lab[..., 0], clip_limit=clip_limit, grid=(grid, grid))
             return color.lab_to_bgr_u8(
                 jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))

@@ -64,3 +64,32 @@ def test_lab_white_black():
     assert lab[0, 0] == 255  # L of white = 100 → 255
     assert abs(int(lab[0, 1]) - 128) <= 1 and abs(int(lab[0, 2]) - 128) <= 1
     assert lab[1, 0] == 0
+
+
+def test_lab_fixed_matches_scalar_oracle():
+    """The integer u8 BGR→LAB path is bit-exact vs the published-algorithm
+    scalar oracle (OpenCV RGB2Lab_b; tests/oracles/lab_oracle.py)."""
+    from tests.oracles import lab_oracle
+    rng = np.random.RandomState(11)
+    bgr = rng.randint(0, 256, (24, 32, 3), dtype=np.uint8)
+    got = np.asarray(color.bgr_to_lab_u8_fixed(bgr))
+    want = lab_oracle.bgr_to_lab_u8(bgr)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_lab_fixed_close_to_float_path():
+    """Independent float formulation agrees with the integer pipeline to
+    LUT-quantization error — a cross-check that both are the same math."""
+    rng = np.random.RandomState(12)
+    bgr = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    fixed = np.asarray(color.bgr_to_lab_u8_fixed(bgr)).astype(int)
+    flt = np.asarray(color.bgr_to_lab_u8(bgr)).astype(int)
+    assert np.abs(fixed - flt).max() <= 2
+    assert (fixed != flt).mean() < 0.15
+
+
+def test_lab_fixed_white_black():
+    px = np.array([[[255, 255, 255], [0, 0, 0]]], np.uint8)
+    lab = np.asarray(color.bgr_to_lab_u8_fixed(px))[0]
+    assert lab[0, 0] == 255 and lab[1, 0] == 0
+    assert abs(int(lab[0, 1]) - 128) <= 1 and abs(int(lab[0, 2]) - 128) <= 1
