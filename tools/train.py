@@ -57,15 +57,18 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     size_hint = args.size or "n"
+    arch_hint = "v5" if "yolov5" in str(args.weights).lower() else "v8"
     params, arch, size, loaded = yolo_weights.load_params(
-        args.weights, size=size_hint, nc=args.nc)
-    if arch != "v8":
-        raise SystemExit("training currently supports the v8 head (DFL loss)")
-    log.info("model yolov8%s (%s weights)", size,
+        args.weights, size=size_hint, nc=args.nc, arch=arch_hint)
+    log.info("model yolo%s%s (%s weights)", arch, size,
              "pretrained" if loaded else "random")
 
     momentum = init_momentum(params)
-    step = make_train_step(size, args.nc, lr=args.lr)
+    if arch == "v5":
+        from roadvision_tpu.models.yolo.train_v5 import make_train_step_v5
+        step = make_train_step_v5(size, args.nc, lr=args.lr)
+    else:
+        step = make_train_step(size, args.nc, lr=args.lr)
 
     if args.dp > 1:
         from roadvision_tpu.parallel import (batch_sharding, make_mesh,
@@ -102,11 +105,12 @@ def main(argv=None) -> int:
             params, momentum, x, jnp.asarray(gt_boxes),
             jnp.asarray(gt_cls), jnp.asarray(gt_mask))
         if it % args.log_every == 0 or it == args.steps:
-            log.info("step %d/%d loss=%.4f box=%.3f cls=%.3f dfl=%.3f "
-                     "fg=%d (%.1fs)", it, args.steps, float(loss),
-                     float(aux["box"]), float(aux["cls"]),
-                     float(aux["dfl"]), int(aux["num_fg"]),
-                     time.time() - t0)
+            parts = " ".join(
+                f"{k}={float(v):.3f}" for k, v in sorted(aux.items())
+                if k not in ("num_fg", "grad_norm"))
+            log.info("step %d/%d loss=%.4f %s fg=%d (%.1fs)",
+                     it, args.steps, float(loss), parts,
+                     int(aux["num_fg"]), time.time() - t0)
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
