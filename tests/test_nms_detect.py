@@ -134,3 +134,62 @@ def test_detector_batch_shapes():
 def test_detector_unknown_backend():
     with pytest.raises(ValueError):
         build_detector(_detector_cfg(backend="tensorrt"))
+
+
+def test_nms_fixpoint_matches_sequential_greedy():
+    """The Jacobi-fixpoint keep mask is bit-identical to the K-step
+    sequential greedy loop, including adversarial suppression chains
+    (A kills B, B would have killed C, so C survives)."""
+    import jax.numpy as jnp
+    from roadvision_tpu.ops.nms import _iou_matrix_xyxy
+
+    def sequential_greedy(boxes, valid, thresh):
+        k = boxes.shape[0]
+        iou = np.asarray(_iou_matrix_xyxy(jnp.asarray(boxes)))
+        keep = valid.copy()
+        for i in range(k):
+            if not keep[i]:
+                continue
+            for j in range(i):
+                if keep[j] and iou[j, i] > thresh:
+                    keep[i] = False
+                    break
+        return keep
+
+    rng = np.random.RandomState(0)
+    # chain case: three same-class boxes, each overlapping the next
+    chain = np.array([
+        [0, 0, 10, 10],      # A (highest score)
+        [4, 0, 14, 10],      # B: IoU(A,B) ~ 0.43 > 0.4 → suppressed
+        [8, 0, 18, 10],      # C: IoU(B,C) > 0.4 but IoU(A,C) = 0.11 → kept
+    ], np.float32)
+    cases = [chain]
+    for _ in range(5):
+        n = 64
+        b = np.zeros((n, 4), np.float32)
+        b[:, 0] = rng.uniform(0, 100, n)
+        b[:, 1] = rng.uniform(0, 100, n)
+        b[:, 2] = b[:, 0] + rng.uniform(5, 40, n)
+        b[:, 3] = b[:, 1] + rng.uniform(5, 40, n)
+        cases.append(b)
+
+    for boxes in cases:
+        n = boxes.shape[0]
+        scores = np.zeros((n, 80), np.float32)
+        scores[np.arange(n), 0] = np.linspace(0.9, 0.5, n)  # score-sorted
+        got_b, got_c, got_k, got_v = map(np.asarray, nms_single(
+            jnp.asarray(boxes), jnp.asarray(scores), conf_thres=0.25,
+            iou_thres=0.4, max_det=n, pre_topk=n))
+        want_keep = sequential_greedy(boxes, np.ones(n, bool), 0.4)
+        np.testing.assert_array_equal(got_v, np.sort(~want_keep,
+                                                     kind="stable") == False)  # noqa: E712
+        # kept boxes are exactly the greedy survivors, in score order
+        np.testing.assert_allclose(got_b[got_v], boxes[want_keep], rtol=0,
+                                   atol=0)
+    # the chain case specifically: A and C survive, B doesn't
+    scores = np.zeros((3, 80), np.float32)
+    scores[np.arange(3), 0] = [0.9, 0.8, 0.7]
+    _, _, _, v = map(np.asarray, nms_single(
+        jnp.asarray(chain), jnp.asarray(scores), conf_thres=0.25,
+        iou_thres=0.4, max_det=3, pre_topk=3))
+    assert v.tolist() == [True, True, False]  # A, C kept (compacted front)
