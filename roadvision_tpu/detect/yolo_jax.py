@@ -51,8 +51,9 @@ class YOLOJax(Detector):
         self.rect = bool(cfg.get("rect", False))
         device = cfg.get("device", "auto")
         compute = str(cfg.get("compute_dtype", "bfloat16"))
+        self.int8 = compute == "int8"
         self.dtype = jnp.bfloat16 if compute == "bfloat16" else jnp.float32
-        if device == "cpu":
+        if device == "cpu" and not self.int8:
             self.dtype = jnp.float32
 
         model_ref = cfg.get("model", "yolov8n.pt")
@@ -69,6 +70,10 @@ class YOLOJax(Detector):
             self.nc = no // 3 - 5
         else:
             self.nc = self.params["22"]["cv3"][0][2]["b"].shape[0]
+        if self.int8:
+            from ..models.yolo.quant import quantize_params
+            self.params = quantize_params(self.params)
+            self.dtype = jnp.float32  # dequant/activation math
         self.names = {i: n for i, n in enumerate(COCO_NAMES)} \
             if self.nc == len(COCO_NAMES) else {i: str(i) for i in range(self.nc)}
         self._jit_cache: Dict[Tuple[int, int, int], Any] = {}

@@ -150,7 +150,11 @@ def init_params(key, size: str = "n", nc: int = 80) -> Dict[str, Any]:
 def _conv(x, p, stride: int = 1, act: bool = True,
           dtype=jnp.float32, pad: int = None) -> jnp.ndarray:
     """Fused Conv(+bias)+SiLU, autopad k//2 (override for e.g. the v5
-    6×6/p=2 stem), NHWC/HWIO."""
+    6×6/p=2 stem), NHWC/HWIO. Dispatches to the int8 path when the param
+    dict holds quantized weights (models/yolo/quant.py)."""
+    if "w_i8" in p:
+        from .quant import conv_i8
+        return conv_i8(x, p, stride=stride, act=act, pad=pad)
     k = p["w"].shape[0]
     pad = k // 2 if pad is None else pad
     out = jax.lax.conv_general_dilated(
