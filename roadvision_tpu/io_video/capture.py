@@ -174,6 +174,67 @@ class ImageDirSource(_BaseSource):
         return True, img[..., ::-1].copy()  # RGB → BGR, the pipeline contract
 
 
+class FFmpegPipeSource(_BaseSource):
+    """Any-codec file decode through an ffmpeg rawvideo pipe.
+
+    Covers codec playback in OpenCV-less environments where an ffmpeg
+    binary exists: ``ffmpeg -i <file> -f rawvideo -pix_fmt bgr24 -``
+    streamed over stdout, consumed frame by frame. Frame geometry comes
+    from ffprobe (falls back to the requested width/height). Selected by
+    giving ``camera.source`` an ``ffmpeg:`` prefix, or automatically for
+    codec files when cv2 is absent but ffmpeg is on PATH.
+    """
+
+    def __init__(self, path: str, width: int = 0, height: int = 0,
+                 ffmpeg: str = "ffmpeg", ffprobe: str = "ffprobe"):
+        import shutil
+        import subprocess
+        if shutil.which(ffmpeg) is None:
+            raise RuntimeError(f"'{ffmpeg}' not on PATH; cannot decode "
+                               f"{path} without OpenCV or ffmpeg")
+        self.w, self.h = int(width), int(height)
+        self.fps = None
+        if shutil.which(ffprobe):
+            try:
+                out = subprocess.run(
+                    [ffprobe, "-v", "error", "-select_streams", "v:0",
+                     "-show_entries", "stream=width,height,r_frame_rate",
+                     "-of", "csv=p=0", str(path)],
+                    capture_output=True, text=True, timeout=30).stdout
+                w, h, rate = out.strip().split("\n")[0].split(",")[:3]
+                self.w, self.h = int(w), int(h)
+                num, _, den = rate.partition("/")
+                self.fps = float(num) / float(den or 1)
+            except Exception:
+                pass
+        if not (self.w and self.h):
+            raise ValueError(f"frame size for {path} unknown; pass "
+                             f"camera.width/height or install ffprobe")
+        self._frame_bytes = self.w * self.h * 3
+        self.proc = subprocess.Popen(
+            [ffmpeg, "-v", "error", "-i", str(path),
+             "-f", "rawvideo", "-pix_fmt", "bgr24", "-"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+
+    def read_frame(self):
+        buf = self.proc.stdout.read(self._frame_bytes) \
+            if self.proc.stdout else b""
+        if len(buf) < self._frame_bytes:
+            return False, None
+        img = np.frombuffer(buf, np.uint8).reshape(self.h, self.w, 3)
+        return True, img.copy()
+
+    def release(self):
+        if self.proc:
+            if self.proc.stdout:
+                self.proc.stdout.close()
+            self.proc.terminate()
+            try:
+                self.proc.wait(timeout=2.0)
+            except Exception:
+                self.proc.kill()
+
+
 class OpenCVSource(_BaseSource):
     def __init__(self, source, width, height, fps_request):
         if not _HAS_CV2:
@@ -203,6 +264,8 @@ def _resolve(source, width, height, fps_request, num_frames=None) -> _BaseSource
             n = int(low.split(":", 1)[1]) if ":" in low else 4
             return SyntheticRoadSource(width, height, num_vehicles=n,
                                        num_frames=num_frames)
+        if low.startswith("ffmpeg:"):
+            return FFmpegPipeSource(source.split(":", 1)[1], width, height)
         p = Path(source)
         if p.suffix in (".npy", ".npz"):
             return NpyVideoSource(source)
@@ -211,6 +274,10 @@ def _resolve(source, width, height, fps_request, num_frames=None) -> _BaseSource
             return Y4MReader(source)
         if p.is_dir():
             return ImageDirSource(source)
+        if not _HAS_CV2:
+            import shutil
+            if shutil.which("ffmpeg"):
+                return FFmpegPipeSource(source, width, height)
     return OpenCVSource(source, width, height, fps_request)
 
 

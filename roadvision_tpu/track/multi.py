@@ -30,11 +30,12 @@ def init_multi_state(num_streams: int, num_slots: int) -> SortState:
 
 def make_multi_sort_step(iou_threshold: float, max_staleness: float,
                          speed_window: float, min_hits: int = 3,
-                         with_projector: bool = False):
+                         with_projector: bool = False,
+                         association: str = "greedy"):
     """step(states, boxes (S,D,4), cls (S,D), conf (S,D), valid (S,D),
     ts (S,), proj?) → (states, SortOutput stacked over S)."""
     step = make_sort_step(iou_threshold, max_staleness, speed_window,
-                          min_hits)
+                          min_hits, association=association)
 
     if with_projector:
         # same calibration for all streams (H, origin, maxd broadcast)
