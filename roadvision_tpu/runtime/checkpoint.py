@@ -43,15 +43,45 @@ def save_train_state(path: str, params, momentum, step: int,
     return str(p)
 
 
-def load_train_state(path: str) -> Tuple[Any, Any, int]:
-    """Load (params, momentum, step) saved by :func:`save_train_state`."""
+def load_train_state(path: str, shardings: Any = None
+                     ) -> Tuple[Any, Any, int]:
+    """Load (params, momentum, step) saved by :func:`save_train_state`.
+
+    ``shardings``: optional pytree of NamedShardings matching the params
+    structure (e.g. ``parallel.param_shardings``) — applied to params AND
+    momentum. On the orbax path the restore is *sharded*: each leaf is
+    materialized directly with its target sharding (on real multi-host
+    meshes every process reads only its shards); the npz fallback loads
+    host-side then device_puts per leaf.
+    """
     p = Path(path)
     if p.is_dir():
         if not _HAS_ORBAX:
             raise RuntimeError("orbax checkpoint dir but orbax unavailable")
         ckptr = ocp.StandardCheckpointer()
-        state = ckptr.restore(p.resolve())
+        if shardings is None:
+            state = ckptr.restore(p.resolve())
+        else:
+            meta = ckptr.metadata(p.resolve()).item_metadata.tree
+
+            def abstract(m, s=None):
+                return jax.ShapeDtypeStruct(tuple(m.shape), m.dtype,
+                                            sharding=s)
+
+            target = {
+                "params": jax.tree_util.tree_map(
+                    abstract, meta["params"], shardings),
+                "momentum": jax.tree_util.tree_map(
+                    abstract, meta["momentum"], shardings),
+                "step": abstract(meta["step"]),
+            }
+            state = ckptr.restore(p.resolve(), target)
         return state["params"], state["momentum"], int(state["step"])
     tree = yolo_weights.import_npz(p if p.suffix == ".npz"
                                    else p.with_suffix(".npz"))
-    return tree["P"], tree["M"], int(np.asarray(tree["meta"]["step"]))
+    params, momentum = tree["P"], tree["M"]
+    if shardings is not None:
+        params = jax.tree_util.tree_map(jax.device_put, params, shardings)
+        momentum = jax.tree_util.tree_map(jax.device_put, momentum,
+                                          shardings)
+    return params, momentum, int(np.asarray(tree["meta"]["step"]))

@@ -24,8 +24,12 @@ def enable_compilation_cache(path: str = _DEFAULT_DIR) -> None:
         return
     # separate cache trees per platform: CPU AOT artifacts are
     # machine-feature-specific and must never mix with the remote-compiled
-    # TPU entries (and vice versa)
+    # TPU entries (and vice versa). CPU gets no persistent cache at all —
+    # its compiles are fast and its AOT entries trip machine-feature
+    # mismatch warnings (SIGILL risk across hosts).
     platform = os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
+    if platform == "cpu":
+        return
     path = f"{path}-{platform or 'default'}"
     try:
         jax.config.update("jax_compilation_cache_dir", path)

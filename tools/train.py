@@ -51,6 +51,10 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="runs/trained.npz")
+    ap.add_argument("--resume", default=None,
+                    help="training-state checkpoint (.npz or orbax dir) "
+                         "to continue from; restored onto the mesh "
+                         "shardings when --dp > 1")
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel devices (mesh batch sharding)")
     ap.add_argument("--log-every", type=int, default=10)
@@ -80,6 +84,13 @@ def main(argv=None) -> int:
         bshard = batch_sharding(mesh, 4)
     else:
         bshard = None
+
+    start_step = 0
+    if args.resume:
+        from roadvision_tpu.runtime.checkpoint import load_train_state
+        params, momentum, start_step = load_train_state(
+            args.resume, shardings=pshard if args.dp > 1 else None)
+        log.info("resumed from %s at step %d", args.resume, start_step)
 
     if args.data == "synthetic":
         batches = synthetic_batches(args.batch, imgsz=args.imgsz)
@@ -114,7 +125,8 @@ def main(argv=None) -> int:
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
-    path = save_train_state(str(out), params, momentum, args.steps)
+    path = save_train_state(str(out), params, momentum,
+                            start_step + args.steps)
     yolo_weights.export_npz(params, out.with_suffix(".weights.npz"))
     log.info("saved training state to %s and weights to %s",
              path, out.with_suffix(".weights.npz"))
