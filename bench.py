@@ -242,7 +242,8 @@ def demo_checkpoint_fps(batch: int, iters: int):
     engine = PipelineEngine(cfg)
     h = int(cfg["camera"]["height"])
     w = int(cfg["camera"]["width"])
-    n_veh = int(str(cfg["camera"]["source"]).split(":")[-1] or 4)
+    src_tail = str(cfg["camera"]["source"]).rpartition(":")[2]
+    n_veh = int(src_tail) if src_tail.isdigit() else 4
     return device_resident_fps(engine, w, h, batch, iters,
                                num_vehicles=n_veh)
 
@@ -383,13 +384,20 @@ def main() -> int:
             print(f"[bench] stage breakdown failed: {exc}", file=sys.stderr)
 
     demo = None
-    if mode == "full" and os.environ.get("RVT_BENCH_DEMO", "1") == "1" \
-            and time.perf_counter() - t_start < budget_s:
+    demo_skip_reason = None
+    if mode != "full":
+        demo_skip_reason = None  # demo only accompanies the full headline
+    elif os.environ.get("RVT_BENCH_DEMO", "1") != "1":
+        demo_skip_reason = "disabled via RVT_BENCH_DEMO=0"
+    elif time.perf_counter() - t_start >= budget_s:
+        demo_skip_reason = "bench budget exhausted"
+    else:
         try:
             demo = demo_checkpoint_fps(batch, iters)
+            if demo is None:
+                demo_skip_reason = "checkpoint/config asset missing"
         except Exception as exc:
-            print(f"[bench] demo-checkpoint path failed: {exc}",
-                  file=sys.stderr)
+            demo_skip_reason = f"failed: {exc}"
 
     host_fps = None
     if host_iters > 0 and time.perf_counter() - t_start < budget_s:
@@ -426,8 +434,8 @@ def main() -> int:
         print(f"[bench] demo (trained ckpt, 256p synthetic): "
               f"{demo[0]:.2f} fps, mean tracks/frame={demo[1]:.2f}",
               file=sys.stderr)
-    elif mode == "full":
-        print("[bench] demo line unavailable (checkpoint asset missing)",
+    elif mode == "full" and demo_skip_reason:
+        print(f"[bench] demo line unavailable ({demo_skip_reason})",
               file=sys.stderr)
     return 0
 

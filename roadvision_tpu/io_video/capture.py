@@ -233,6 +233,7 @@ class FFmpegPipeSource(_BaseSource):
                 self.proc.wait(timeout=2.0)
             except Exception:
                 self.proc.kill()
+                self.proc.wait(timeout=2.0)  # reap — no zombie child
 
 
 class OpenCVSource(_BaseSource):

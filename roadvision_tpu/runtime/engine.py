@@ -31,7 +31,7 @@ from ..detect.yolo_jax import YOLOJax
 from ..geometry import HomographyProjector, build_projector
 from ..geometry.projector import distance_device, project_boxes_device
 from ..io_video.capture import VideoSource
-from ..ops.letterbox import letterbox_u8, scale_boxes
+from ..ops.letterbox import scale_boxes
 from ..ops.nms import nms_batch
 from ..models.yolo import yolov8
 from ..preprocess import PreprocessPipeline

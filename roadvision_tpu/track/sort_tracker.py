@@ -31,7 +31,17 @@ class SortTracker(Tracker):
         self.iou_threshold = float(cfg.get("iou_threshold", 0.3))
         self.speed_window = float(cfg.get("speed_window", 0.75))
         self.det_capacity = int(cfg.get("det_capacity", 100))
-        self.track_slots = int(cfg.get("track_slots", 64))
+        # auto-size slots to the detection capacity (the reference tracker
+        # grows unbounded; fewer slots than concurrent dets drops tracks)
+        slots_cfg = cfg.get("track_slots")
+        self.track_slots = int(slots_cfg) if slots_cfg else \
+            max(64, self.det_capacity)
+        if self.track_slots < self.det_capacity:
+            import warnings
+            warnings.warn(
+                f"track_slots={self.track_slots} < det_capacity="
+                f"{self.det_capacity}: bursts of new objects will "
+                f"silently drop tracks", stacklevel=2)
         self.association = str(cfg.get("association", "greedy"))
         # one jitted step serves both paths: jax.jit specializes on the
         # proj pytree structure (None vs (H, origin, maxd))

@@ -225,13 +225,12 @@ def main():
         timed("median3: pallas", median3_pallas, frames, iters=it)
 
     if sel("medjnp"):
-        from roadvision_tpu.ops.median import (_median9, _replicate_pad,
-                                               _shifted_views)
+        from roadvision_tpu.ops.median import median_planar_i32
 
         def med_jnp(x):
-            xp = _replicate_pad(x, 1)
-            return _median9(_shifted_views(xp, 3, h, w))
-        timed("median3: jnp network", med_jnp, frames, iters=it)
+            planes = jnp.moveaxis(x, -1, 0).astype(jnp.int32)
+            return median_planar_i32(planes, 3)
+        timed("median3: jnp planar", med_jnp, frames, iters=it)
 
 
 if __name__ == "__main__":
