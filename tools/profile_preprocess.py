@@ -30,20 +30,27 @@ from roadvision_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 
+def _probe(out):
+    """1-element device fetch — forces completion without pulling the
+    whole output through the ~100 MB/s relay (which would dominate)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def timed(name, fn, *args, iters=8, warmup=1):
     """Compile, warm up, then time `iters` sequential dispatches."""
     jitted = jax.jit(fn)
     t0 = time.perf_counter()
     out = jitted(*args)
-    scalar = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    scalar = _probe(out)
     compile_s = time.perf_counter() - t0
     for _ in range(warmup):
         out = jitted(*args)
-        scalar = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+        scalar = _probe(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = jitted(*args)
-    scalar = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    scalar = _probe(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"[profile] {name:32s} {dt * 1e3:9.2f} ms  "
           f"(compile {compile_s:.1f}s, probe {scalar})", flush=True)
