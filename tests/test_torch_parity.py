@@ -56,7 +56,13 @@ def test_yolov5n_forward_matches_torch():
     assert _max_err(js, ts) < 2e-3, _max_err(js, ts)
 
 
-@pytest.mark.parametrize("hw", [(97, 153), (120, 160)])
+@pytest.mark.parametrize("hw", [
+    (97, 153),    # upscale both axes
+    (120, 160),   # identity width
+    (270, 480),   # exact 1/3 downscale (strided fast path; 1080p geometry)
+    (320, 320),   # exact 1/2 downscale (2-tap average fast path)
+    (250, 333),   # non-integer downscale (general path, antialias off)
+])
 def test_letterbox_matches_torch_oracle(hw):
     rng = np.random.RandomState(7)
     frames = rng.randint(0, 256, (2, hw[0], hw[1], 3), dtype=np.uint8)
