@@ -39,6 +39,53 @@ except Exception:
     cv2 = None
     _HAS_CV2 = False
 
+# config sections safe to apply live (host-side overlay/preview knobs).
+# Everything baked into compiled graphs (camera geometry, preprocess
+# chain, detector thresholds/model, tracker constants, tpu.*) needs a
+# restart and is reported instead of silently ignored.
+_HOT_SECTIONS = ("vis", "preview")
+
+
+class ConfigWatcher:
+    """Polling hot-reload of the YAML (reference README's future Module 8).
+
+    ``poll()`` re-reads the file when its mtime changes and returns the
+    fresh config dict, logging which hot sections changed and warning
+    about changed cold sections that require a restart.
+    """
+
+    def __init__(self, path, cfg):
+        self.path = Path(path) if path else None
+        self.cfg = cfg
+        self.mtime = self._mtime()
+
+    def _mtime(self):
+        try:
+            return self.path.stat().st_mtime if self.path else None
+        except OSError:
+            return None
+
+    def poll(self):
+        m = self._mtime()
+        if m is None or m == self.mtime:
+            return None
+        self.mtime = m
+        try:
+            fresh = load_config(str(self.path))
+        except Exception as exc:
+            log.warning("config reload failed (%s); keeping old", exc)
+            return None
+        hot = [k for k in _HOT_SECTIONS if fresh.get(k) != self.cfg.get(k)]
+        cold = [k for k in fresh
+                if k not in _HOT_SECTIONS and fresh.get(k) != self.cfg.get(k)]
+        if hot:
+            log.info("hot-reloaded config sections: %s", ", ".join(hot))
+        if cold:
+            log.warning("config sections %s changed but need a restart "
+                        "(compiled into the device step)", ", ".join(cold))
+        self.cfg = fresh
+        return fresh if hot else None
+
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
@@ -49,6 +96,9 @@ def main(argv=None) -> int:
     ap.add_argument("--no-show", action="store_true")
     ap.add_argument("--profile", default=None,
                     help="capture a jax.profiler device trace to this dir")
+    ap.add_argument("--watch-config", action="store_true",
+                    help="hot-reload vis/preview sections when the config "
+                         "file changes (other sections need a restart)")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -89,9 +139,21 @@ def main(argv=None) -> int:
         profile_ctx.__enter__()
         log.info("profiling to %s", args.profile)
 
+    watcher = ConfigWatcher(args.config, cfg) if args.watch_config else None
+
     n_frames = 0
     try:
         for res in engine.stream(vs, max_frames=args.max_frames):
+            if watcher is not None and n_frames % engine.batch_size == 0:
+                fresh = watcher.poll()
+                if fresh is not None:
+                    preview_cfg = fresh.get("preview", {}) or {}
+                    compare_cfg = preview_cfg.get("compare", {}) or {}
+                    draw_cfg = (fresh.get("vis", {}) or {}).get("draw",
+                                                                {}) or {}
+                    want_compare = bool(compare_cfg.get("enable", True))
+                    layout = compare_cfg.get("layout", "h")
+                    divider_px = int(compare_cfg.get("divider_px", 4))
             proc = np.ascontiguousarray(res.proc)
             if draw_cfg.get("det", True) and res.detections:
                 draw_detections(proc, res.detections,
