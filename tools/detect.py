@@ -39,6 +39,11 @@ def main(argv=None) -> int:
     ap.add_argument("--classes", default="",
                     help="comma-separated class ids to keep")
     ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--rect", action="store_true",
+                    help="minimal-rectangle letterbox (ultralytics predict)")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32", "int8"],
+                    help="conv compute dtype (int8 = quantized path)")
     ap.add_argument("--json", action="store_true",
                     help="also write per-frame detections json")
     args = ap.parse_args(argv)
@@ -47,7 +52,8 @@ def main(argv=None) -> int:
     det = build_detector({"backend": "ultralytics", "model": args.weights,
                           "conf_thres": args.conf, "iou_thres": args.iou,
                           "max_det": args.max_det, "imgsz": args.imgsz,
-                          "classes_keep": keep})
+                          "classes_keep": keep, "rect": args.rect,
+                          "compute_dtype": args.dtype})
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 
