@@ -68,6 +68,19 @@ def test_detect_cli_synthetic(tmp_path):
     assert len(recs) == 2
 
 
+def test_detect_cli_rect_int8(tmp_path):
+    import tools.detect as detect
+    out = tmp_path / "out8"
+    rc = detect.main(["--source", "synthetic:2", "--frames", "2",
+                      "--out", str(out), "--weights", "none.pt",
+                      "--imgsz", "96", "--rect", "--dtype", "int8",
+                      "--conf", "0.0", "--json"])
+    assert rc == 0
+    recs = json.loads((out / "detections.json").read_text())
+    assert len(recs) == 2
+    assert any(recs)  # conf 0 passes boxes in at least one frame
+
+
 def test_eval_map_cli(tmp_path, capsys):
     import tools.eval_map as ev
     root = _make_yolo_dir(tmp_path)
