@@ -117,3 +117,31 @@ def test_shipped_synthetic_weights_detect():
         matched += rep["matched"]
         total += rep["n_gt"]
     assert total > 0 and matched / total > 0.7, (matched, total)
+
+
+def test_shipped_v5_synthetic_weights_detect():
+    """The shipped v5 demo checkpoint (trained in-framework on the TPU via
+    the anchored v5 objective: tools/train.py, 4k steps with --resume)
+    must detect synthetic vehicles — end-to-end regression for the v5
+    train→save→load→infer loop."""
+    from pathlib import Path
+    from roadvision_tpu.detect import build_detector
+    from roadvision_tpu.detect.dataset import synthetic_batches
+    from roadvision_tpu.detect.eval import match_report
+
+    w = Path(__file__).resolve().parent.parent / "assets" / \
+        "yolov5n_synthetic_256.npz"
+    det = build_detector({"backend": "ultralytics", "model": str(w),
+                          "conf_thres": 0.5, "iou_thres": 0.7,
+                          "max_det": 20, "imgsz": 256, "classes_keep": []})
+    assert det.loaded and det.arch == "v5"
+    images, gt_boxes, gt_cls, gt_mask = next(
+        synthetic_batches(4, imgsz=256, max_boxes=12, seed=123))
+    matched = total = 0
+    for i in range(4):
+        batch = det.infer_batch(images[i][..., ::-1][None])
+        rep = match_report(batch.boxes[0][batch.valid[0]],
+                           gt_boxes[i][gt_mask[i]], 0.5)
+        matched += rep["matched"]
+        total += rep["n_gt"]
+    assert total > 0 and matched / total > 0.7, (matched, total)
