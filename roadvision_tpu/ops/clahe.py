@@ -21,29 +21,47 @@ TPU formulation — **no gathers, no scatters** (both are order-of-magnitude
 slow on TPU relative to streaming vector ops; measured 10-30× on this
 backend, tools/profile_preprocess.py):
 
-  * the histogram is a 256-step bin sweep: for each value v, a fused
-    compare-and-reduce counts ``plane == v`` per tile (one streaming pass
-    over VMEM-resident tiles per bin, no scatter-add);
-  * the bilinear LUT apply is also a 256-step sweep. The x-axis LUT blend
-    is precomputed into per-tile-row tables via one-hot matmuls (exact:
-    each row of the one-hot matrix has a single 1), and the image is split
-    into static row bands within which the two y-neighbor tile rows are
-    constant; each band then accumulates ``where(pixel == v, blended_lut_v,
-    acc)`` over the 256 bins — pure VPU select/fma traffic.
+  * the histogram uses nibble decomposition: ``hist[16*hi + lo] =
+    Σ_p [hi_p == hi]·[lo_p == lo]``, i.e. one 16×16 matmul of one-hot
+    nibble planes per tile. 32 VPU compares/pixel build the one-hots and
+    the 256 accumulates ride the MXU (bf16 one-hots are exact 0/1; f32
+    accumulation is exact for any tile_area < 2²⁴).
+  * the bilinear LUT apply is a per-row-band 256-bin select sweep over a
+    **packed** per-column table: within a band the two y-neighbor tile
+    rows are constant, so the four LUT taps per pixel collapse to one
+    uint32 ``l11 | l12<<8 | l21<<16 | l22<<24`` per (column, bin), built
+    exactly by two one-hot matmuls of 16-bit pairs (< 2²⁴, f32-exact).
+    The sweep costs compare + select per bin per pixel on the image's
+    native (rows, w) lane layout, several bins per fori step
+    (``_SWEEP_CHUNK``) so the single loop-carried accumulator round-trips
+    16× less often. The bilinear blend runs once per pixel afterwards in
+    exact uint32 fixed point (weights are rationals over 2·tile) with
+    round-half-even — deterministic across all fusion contexts, unlike a
+    float blend (or OpenCV's own SIMD paths). Rejected by measurement:
+    4-LUT gathers (~10× slower), a fully-unrolled packed-nibble region
+    variant (4× slower — unaligned 5-D layout); see
+    tools/profile_preprocess.py.
 
-Everything is static-shaped and jit-compiled; the core runs on int32/f32
+Everything is static-shaped and jit-compiled; the core runs on int32
 planes (uint8 VMEM is not vectorizable on TPU), with uint8 casts only at
 the public ``clahe_u8`` boundary.
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+# bins evaluated per sweep iteration: fewer, fatter fori steps cut the
+# loop-carried accumulator round-trips that dominate the sweep's cost
+# (measured at 1080p/batch 8: chunk 1 → 14.2 ms, 16 → 7.1 ms)
+_SWEEP_CHUNK = int(os.environ.get("RVT_CLAHE_CHUNK", "16"))
 
 
 def _reflect_pad_101(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:
@@ -59,20 +77,23 @@ def _reflect_pad_101(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:
 def _tile_histograms_sweep(tiled: jnp.ndarray) -> jnp.ndarray:
     """(b, gy, th, gx, tw) int32 values → (b, gy, gx, 256) histograms.
 
-    256-iteration bin sweep: each step is a fused compare + reduction over
-    the tile area — no scatter (TPU scatters serialize; the sweep streams).
-    The reduce runs directly on the reshaped-but-untransposed view, axes
-    (th, tw) = (2, 4): keeping the image's native row-major layout in the
-    lane dimension measured 8× faster than reducing a transposed
-    (b, gy, gx, th, tw) copy (tools/profile_preprocess.py)."""
-    b, gy, _, gx, _ = tiled.shape
-
-    def body(v, acc):
-        cnt = jnp.sum((tiled == v).astype(jnp.int32), axis=(2, 4))
-        return lax.dynamic_update_index_in_dim(acc, cnt, v, axis=-1)
-
-    acc = jnp.zeros((b, gy, gx, 256), jnp.int32)
-    return lax.fori_loop(0, 256, body, acc)
+    Nibble decomposition: ``hist[16*hi + lo] = Σ_p [hi_p==hi]·[lo_p==lo]``
+    — a 16×16 one-hot matmul per tile. The contraction runs directly on
+    the reshaped-but-untransposed view (axes th, tw = 2, 4): keeping the
+    image's native row-major layout in the lane dimension measured 8×
+    faster than transposed copies (tools/profile_preprocess.py). Exact:
+    bf16 one-hots are exact 0/1 and f32 accumulation is exact below 2²⁴
+    (tile areas are ≤ a few 10⁵)."""
+    i16 = jnp.arange(16, dtype=jnp.int32)
+    hi_oh = ((tiled >> 4)[..., None] == i16).astype(jnp.bfloat16)
+    lo_oh = ((tiled & 15)[..., None] == i16).astype(jnp.bfloat16)
+    # batch dims (b, gy, gx), contract over the tile area (th, tw)
+    cnt = lax.dot_general(
+        hi_oh, lo_oh,
+        dimension_numbers=(((2, 4), (2, 4)), ((0, 1, 3), (0, 1, 3))),
+        preferred_element_type=jnp.float32)        # (b, gy, gx, 16, 16)
+    b, gy, gx = cnt.shape[:3]
+    return cnt.reshape(b, gy, gx, 256).astype(jnp.int32)
 
 
 def _clip_redistribute(hist: jnp.ndarray, clip: int) -> jnp.ndarray:
@@ -111,6 +132,17 @@ def _interp_coords(size: int, tile: int, tiles: int):
     return i1, i2, frac
 
 
+def _interp_weight_num(size: int, tile: int) -> np.ndarray:
+    """Exact integer numerator of the blend weight: frac = num / (2·tile).
+
+    ``pos = x/tile - 0.5 = (2x - tile) / (2·tile)`` exactly (the OpenCV
+    half-tile-offset convention, same as :func:`_interp_coords`), so
+    ``frac(pos)`` has numerator ``(2x - tile) mod (2·tile)`` — trace-time
+    integer math, enabling a fully deterministic fixed-point blend."""
+    x = np.arange(size, dtype=np.int64)
+    return ((2 * x - tile) % (2 * tile)).astype(np.int64)
+
+
 def _row_bands(ty1: np.ndarray, ty2: np.ndarray):
     """Maximal runs of rows sharing the same (ty1, ty2) tile-row pair."""
     h = len(ty1)
@@ -141,48 +173,81 @@ def _apply_band_sweep(x: jnp.ndarray, luts: jnp.ndarray,
                       th: int, tw: int, gy: int, gx: int) -> jnp.ndarray:
     """Bilinear 4-tile LUT blend of (b, h, w) int32 values, gather-free.
 
-    Float arithmetic matches the reference formulation
-    ``(l11*(1-xa) + l12*xa)*(1-ya) + (l21*(1-xa) + l22*xa)*ya`` — the x-blend
-    is hoisted into per-(tile-row, column, bin) tables, the y-blend runs
-    inside the 256-bin select sweep.
+    Within a row band the two y-neighbor tile rows (ty1, ty2) are
+    constant, so the four LUT taps per pixel collapse to ONE packed
+    uint32 per-column table ``U = l11 | l12<<8 | l21<<16 | l22<<24``,
+    built from two one-hot matmuls (each f32-exact: 16-bit pairs < 2²⁴,
+    one 1 per one-hot row). The 256-bin sweep evaluates U at each pixel
+    with compare + select per bin on the image's native (rows, w) lane
+    layout, processing ``_SWEEP_CHUNK`` bins per fori step — the loop
+    carries a single uint32 accumulator, and fewer, fatter iterations cut
+    the loop-carry HBM round-trips that dominate the sweep's cost
+    (measured: 2 carried planes ≈ 2× the time of 1).
+
+    The bilinear blend runs once per pixel afterwards in **exact fixed
+    point**: the interpolation weights are rationals with denominators
+    2·tw / 2·th, so ``(l11·(1-xa)+l12·xa)·(1-ya) + (l21·(1-xa)+l22·xa)·ya``
+    scaled by ``D = 4·th·tw`` is an exact uint32 integer (≤ 255·D < 2³²
+    for any real tile size), finished with an exact round-half-even
+    division. Unlike a float blend, the result is bit-identical across
+    every fusion context (OpenCV's own SIMD vs scalar paths differ by ±1
+    here).
     """
     b, h, w = x.shape
-    ty1, ty2, ya = _interp_coords(h, th, gy)
-    tx1, tx2, xa = _interp_coords(w, tw, gx)
+    ty1, ty2, _ = _interp_coords(h, th, gy)
+    tx1, tx2, _ = _interp_coords(w, tw, gx)
+    yan = _interp_weight_num(h, th)        # ya = yan / (2·th), exact
+    xan = _interp_weight_num(w, tw)
     bands = _row_bands(ty1, ty2)
 
     eye = np.eye(gx, dtype=np.float32)
-    m1 = jnp.asarray(eye[tx1])            # (w, gx) one-hot of left tile col
+    m1 = jnp.asarray(eye[tx1])             # (w, gx) one-hot of left tile col
     m2 = jnp.asarray(eye[tx2])
-    xa_j = jnp.asarray(xa)
-    ya_j = jnp.asarray(ya)
+    lf = luts.astype(jnp.float32)          # (b, gy, gx, 256)
 
-    lf = luts.astype(jnp.float32)         # (b, gy, gx, 256)
-    # exact column selection as one-hot matmuls (single 1 per row)
-    bx1 = jnp.einsum("wk,bgkv->bgwv", m1, lf)
-    bx2 = jnp.einsum("wk,bgkv->bgwv", m2, lf)
-    top_tab = (bx1 * (1.0 - xa_j)[None, None, :, None]
-               + bx2 * xa_j[None, None, :, None])   # (b, gy, w, 256)
+    xa_n = jnp.asarray(xan.astype(np.uint32))[None, None, :]
+    twn = jnp.uint32(2 * tw)
+    thn = jnp.uint32(2 * th)
+    den = np.uint32(4 * th * tw)
+    n_chunks = 256 // _SWEEP_CHUNK
 
     outs = []
     for (y0, y1, t1, t2) in bands:
         vals = x[:, y0:y1]                 # (b, rows, w)
-        tab1 = top_tab[:, t1]              # (b, w, 256)
-        tab2 = top_tab[:, t2]
-        yab = ya_j[y0:y1][None, :, None]
+        lp = lf[:, t1] + 65536.0 * lf[:, t2]         # 16-bit pairs, f32-exact
+        e1 = jnp.einsum("wk,bkv->bwv", m1, lp)       # l11 + 65536·l21
+        e2 = jnp.einsum("wk,bkv->bwv", m2, lp)       # l12 + 65536·l22
+        packed = e1.astype(jnp.uint32) + e2.astype(jnp.uint32) * 256
 
-        def body(v, acc, vals=vals, tab1=tab1, tab2=tab2, yab=yab):
-            lut1_v = lax.dynamic_slice_in_dim(tab1, v, 1, axis=2)[..., 0]
-            lut2_v = lax.dynamic_slice_in_dim(tab2, v, 1, axis=2)[..., 0]
-            blended = (lut1_v[:, None, :] * (1.0 - yab)
-                       + lut2_v[:, None, :] * yab)
-            return jnp.where(vals == v, blended, acc)
+        def eat(acc, v0, chunk, vals=vals):
+            for i in range(_SWEEP_CHUNK):
+                acc = jnp.where(vals == v0 + i,
+                                chunk[:, :, i][:, None, :], acc)
+            return acc
 
-        acc = jnp.zeros(vals.shape, jnp.float32)
-        outs.append(lax.fori_loop(0, 256, body, acc))
+        def body(t, acc, vals=vals, packed=packed):
+            v0 = t * _SWEEP_CHUNK
+            chunk = lax.dynamic_slice(packed, (0, 0, v0),
+                                      (b, w, _SWEEP_CHUNK))
+            return eat(acc, v0, chunk)
 
-    res = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
-    return jnp.clip(jnp.rint(res), 0, 255).astype(jnp.int32)
+        z = jnp.zeros(vals.shape, jnp.uint32)
+        acc = eat(z, 0, packed) if n_chunks == 1 \
+            else lax.fori_loop(0, n_chunks, body, z)
+
+        l11 = acc & 255
+        l12 = (acc >> 8) & 255
+        l21 = (acc >> 16) & 255
+        l22 = acc >> 24
+        top = l11 * (twn - xa_n) + l12 * xa_n        # ≤ 255·2·tw
+        bot = l21 * (twn - xa_n) + l22 * xa_n
+        ya_n = jnp.asarray(yan[y0:y1].astype(np.uint32))[None, :, None]
+        num = top * (thn - ya_n) + bot * ya_n        # ≤ 255·4·th·tw < 2³²
+        q = num // den
+        rem = num - q * den
+        up = (2 * rem > den) | ((2 * rem == den) & ((q & 1) == 1))
+        outs.append((q + up.astype(jnp.uint32)).astype(jnp.int32))
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
 def clahe_planar_i32(plane: jnp.ndarray, clip_limit: float = 2.0,

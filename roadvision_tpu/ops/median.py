@@ -6,7 +6,7 @@ Semantics preserved: odd ksize in [3, 9], replicate border (OpenCV's
 medianBlur border mode), exact uint8 median (window size is odd so no
 averaging is involved).
 
-TPU strategy — planar int32 core:
+TPU strategy — planar int16 core (u8-domain values):
 
   * channels run as full-width (..., H, W) planes (channel-last (..., 3)
     arrays put a 3-wide axis in the 128-lane dimension — measured ~4× slower
@@ -74,15 +74,21 @@ def _normalize_ksize(ksize: int) -> int:
 
 
 def median_planar_i32(x: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
-    """Median-filter (..., H, W) int32 planes, replicate border, odd k∈[3,9]."""
+    """Median-filter (..., H, W) integer planes, replicate border, odd k∈[3,9].
+
+    Values must be in the uint8 domain [0, 255] (the pipeline contract):
+    the exchange network runs in int16, which measured 1.5× faster than
+    int32 on TPU (half the VMEM/HBM footprint per lane —
+    tools/profile_preprocess.py). Output keeps the input dtype.
+    """
     k = _normalize_ksize(ksize)
     h, w = x.shape[-2], x.shape[-1]
-    xp = _pad_spatial(x, k // 2)
+    xp = _pad_spatial(x.astype(jnp.int16), k // 2)
     views = _window_views(xp, k, h, w)
     if k == 3:
-        return _median9(views)
+        return _median9(views).astype(x.dtype)
     stack = jnp.stack(views, axis=0)
-    return jnp.sort(stack, axis=0)[(k * k) // 2]
+    return jnp.sort(stack, axis=0)[(k * k) // 2].astype(x.dtype)
 
 
 def _use_pallas() -> bool:

@@ -148,6 +148,21 @@ def main():
                            axis=1)
         timed("hist: broadcast reduce", hist_bcast, tiles, iters=it)
 
+    if sel("histnib"):
+        # nibble decomposition: hist[16*hi + lo] = sum_p [hi_p==hi][lo_p==lo]
+        # = one 16x16 matmul of one-hot nibble planes per tile (MXU), with
+        # only 32 VPU compares/pixel instead of a 256-step sweep.
+        def hist_nib(t):
+            t32 = t.astype(jnp.int32)
+            i16 = jnp.arange(16, dtype=jnp.int32)
+            hi_oh = ((t32 >> 4)[:, :, None] == i16).astype(jnp.bfloat16)
+            lo_oh = ((t32 & 15)[:, :, None] == i16).astype(jnp.bfloat16)
+            cnt = lax.dot_general(
+                hi_oh, lo_oh, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # (N, 16, 16)
+            return cnt.reshape(t.shape[0], 256).astype(jnp.int32)
+        timed("hist: nibble 16x16 matmul", hist_nib, tiles, iters=it)
+
     if sel("histdot"):
         def hist_dot(t):
             t32 = t.astype(jnp.int32)
@@ -226,6 +241,15 @@ def main():
             return jnp.clip(jnp.rint(res), 0, 255).astype(jnp.uint8)
         timed("apply: band bin-sweep", apply_sweep, plane, luts, iters=it)
 
+    if sel("applypack"):
+        # the shipped formulation (ops/clahe.py): grouped regions + packed
+        # uint32 LUT + high-nibble sweep with a low-nibble select tree
+        def apply_pack(p, lt):
+            x = p.astype(jnp.int32)
+            out = C._apply_band_sweep(x, lt.astype(jnp.int32), th, tw, gy, gx)
+            return out.astype(jnp.uint8)
+        timed("apply: packed nibble sweep", apply_pack, plane, luts, iters=it)
+
     # --- median ------------------------------------------------------------
     if sel("medpallas") and jax.default_backend() == "tpu":
         from roadvision_tpu.ops.pallas_median import median3_pallas
@@ -238,6 +262,14 @@ def main():
             planes = jnp.moveaxis(x, -1, 0).astype(jnp.int32)
             return median_planar_i32(planes, 3)
         timed("median3: jnp planar", med_jnp, frames, iters=it)
+
+    if sel("medi16"):
+        from roadvision_tpu.ops.median import median_planar_i32 as _med
+
+        def med_i16(x):
+            planes = jnp.moveaxis(x, -1, 0).astype(jnp.int16)
+            return _med(planes, 3)
+        timed("median3: jnp planar int16", med_i16, frames, iters=it)
 
 
 if __name__ == "__main__":
