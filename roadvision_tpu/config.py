@@ -39,7 +39,7 @@ DEFAULTS: Dict[str, Any] = {
     ),
     "detect": dict(enabled=False, backend="ultralytics", model="yolov8n.pt",
                    device="auto", conf_thres=0.25, iou_thres=0.7, max_det=100,
-                   classes_keep=[], rect=False),
+                   classes_keep=[], rect=True),
     "tracking": dict(enabled=False, backend="sort", max_staleness=1.0,
                      min_hits=3, iou_threshold=0.3, speed_window=0.75,
                      association="greedy"),

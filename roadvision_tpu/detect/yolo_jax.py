@@ -46,9 +46,11 @@ class YOLOJax(Detector):
         self.max_det = int(cfg.get("max_det", 100))
         self.keep = tuple(sorted(int(x) for x in cfg.get("classes_keep", [])))
         self.imgsz = int(cfg.get("imgsz", 640))
-        # rect=True: minimal-rectangle letterbox (ultralytics' predict
-        # default); rect=False: square canvas (the ONNX-export convention)
-        self.rect = bool(cfg.get("rect", False))
+        # rect=True (default): minimal-rectangle letterbox — what the
+        # reference's `model.predict` actually runs (LetterBox(auto=True),
+        # yolo_ultralytics.py:28-35), and ~0.6× the conv FLOPs at 16:9;
+        # rect=False: square canvas (the ONNX-export convention)
+        self.rect = bool(cfg.get("rect", True))
         device = cfg.get("device", "auto")
         compute = str(cfg.get("compute_dtype", "bfloat16"))
         self.int8 = compute == "int8"

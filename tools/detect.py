@@ -39,8 +39,10 @@ def main(argv=None) -> int:
     ap.add_argument("--classes", default="",
                     help="comma-separated class ids to keep")
     ap.add_argument("--frames", type=int, default=None)
-    ap.add_argument("--rect", action="store_true",
-                    help="minimal-rectangle letterbox (ultralytics predict)")
+    ap.add_argument("--rect", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="minimal-rectangle letterbox (ultralytics predict "
+                         "default); --no-rect = square canvas")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32", "int8"],
                     help="conv compute dtype (int8 = quantized path)")
