@@ -39,7 +39,10 @@ backend, tools/profile_preprocess.py):
     round-half-even — deterministic across all fusion contexts, unlike a
     float blend (or OpenCV's own SIMD paths). Rejected by measurement:
     4-LUT gathers (~10× slower), a fully-unrolled packed-nibble region
-    variant (4× slower — unaligned 5-D layout); see
+    variant (4× slower — unaligned 5-D layout), a masked-SUM chunk
+    accumulator (broadcasting the chunk over a (rows, w, chunk) axis —
+    12.7 ms vs 3.6), and a two-level nibble select (17.6 ms — the
+    16-wide per-pixel sub-table materializes); see
     tools/profile_preprocess.py.
 
 Everything is static-shaped and jit-compiled; the core runs on int32
@@ -60,8 +63,9 @@ from jax import lax
 
 # bins evaluated per sweep iteration: fewer, fatter fori steps cut the
 # loop-carried accumulator round-trips that dominate the sweep's cost
-# (measured at 1080p/batch 8: chunk 1 → 14.2 ms, 16 → 7.1 ms)
-_SWEEP_CHUNK = int(os.environ.get("RVT_CLAHE_CHUNK", "16"))
+# (measured at 1080p/batch 8, 24 iters: chunk 1 → 14.2 ms, 16 → 4.6 ms,
+# 32 → 3.6 ms, 64 → 8.3 ms)
+_SWEEP_CHUNK = int(os.environ.get("RVT_CLAHE_CHUNK", "32"))
 
 
 def _reflect_pad_101(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:

@@ -19,13 +19,22 @@ import jax.numpy as jnp
 def _bilinear_resize(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
     """Half-pixel bilinear resize with an exact-stride fast path.
 
-    When the scale is an exact integer reciprocal 1/s, the half-pixel
-    sample points land on integer input pixels (src = s·i + (s−1)/2 for
-    odd s), so the resize is a pure strided slice — and for even s it is
-    a 2-tap average of two strided slices. Both are bit-identical to
+    Takes uint8, returns float32. When the scale is an exact integer
+    reciprocal 1/s, the half-pixel sample points land on integer input
+    pixels (src = s·i + (s−1)/2 for odd s), so the resize is a pure
+    strided slice — and for even s it is a 2-tap average of two strided
+    slices. Both are bit-identical to
     ``jax.image.resize(method="linear")`` at those geometries (the
     general gather-based path measured ~0.6 ms/frame at 1080p; the
     strided forms are plain streaming slices).
+
+    Order matters for traffic: pure slices run on the uint8 input FIRST,
+    so the float32 conversion touches only the subsampled output — at
+    1080p (stride 3 on both axes) that is 9× less convert traffic than
+    converting the full frame up front (measured 4.75 → ~1 ms per
+    8-frame batch). The avg2 taps are converted to f32 right after
+    slicing; ``(a+b)·0.5`` on u8-valued f32 is exact, so the result is
+    bit-identical in every ordering.
     """
     h, w = x.shape[1], x.shape[2]
 
@@ -45,26 +54,32 @@ def _bilinear_resize(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
         # antialias=False: cv2.resize INTER_LINEAR semantics (2-tap) — the
         # kernel ultralytics letterboxes with; jax's default antialias=True
         # widens the kernel on downscale and breaks box parity
-        return jax.image.resize(x, (x.shape[0], new_h, new_w, 3),
+        return jax.image.resize(x.astype(jnp.float32),
+                                (x.shape[0], new_h, new_w, 3),
                                 method="linear", antialias=False)
 
     def apply(v, plan, axis):
         if plan[0] == "id":
             return v
         s, off = plan[1], plan[2]
+        n = new_h if axis == 1 else new_w
         sl = [slice(None)] * v.ndim
         if plan[0] == "slice":
-            sl[axis] = slice(off, off + s * (new_h if axis == 1 else new_w),
-                             s)
+            sl[axis] = slice(off, off + s * n, s)
             return v[tuple(sl)]
-        n = new_h if axis == 1 else new_w
         sl[axis] = slice(off, off + s * n, s)
-        a = v[tuple(sl)]
+        a = v[tuple(sl)].astype(jnp.float32)
         sl[axis] = slice(off + 1, off + 1 + s * n, s)
-        b = v[tuple(sl)]
+        b = v[tuple(sl)].astype(jnp.float32)
         return (a + b) * 0.5
 
-    return apply(apply(x, py, 1), px, 2)
+    # dtype-preserving slices first (uint8 in → uint8 out), averaging
+    # axes after — separable taps commute, and the f32 averaging math is
+    # exact either way
+    plans = sorted(((py, 1), (px, 2)), key=lambda p: p[0][0] != "slice")
+    for plan, axis in plans:
+        x = apply(x, plan, axis)
+    return x.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("size",))
@@ -82,8 +97,7 @@ def letterbox_u8(frames: jnp.ndarray, size: int = 640):
     new_h, new_w = round(h * r), round(w * r)
     dw, dh = (size - new_w) / 2, (size - new_h) / 2
 
-    x = frames[..., ::-1].astype(jnp.float32)  # BGR → RGB
-    x = _bilinear_resize(x, new_h, new_w)
+    x = _bilinear_resize(frames[..., ::-1], new_h, new_w)  # BGR → RGB
     top, bottom = int(round(dh - 0.1)), size - new_h - int(round(dh - 0.1))
     left, right = int(round(dw - 0.1)), size - new_w - int(round(dw - 0.1))
     x = jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)),
@@ -119,8 +133,7 @@ def letterbox_rect_u8(frames: jnp.ndarray, size: int = 640,
     th, tw = rect_target_hw(h, w, size, stride)
     dw, dh = (tw - new_w) / 2, (th - new_h) / 2
 
-    x = frames[..., ::-1].astype(jnp.float32)  # BGR → RGB
-    x = _bilinear_resize(x, new_h, new_w)
+    x = _bilinear_resize(frames[..., ::-1], new_h, new_w)  # BGR → RGB
     top, bottom = int(round(dh - 0.1)), th - new_h - int(round(dh - 0.1))
     left, right = int(round(dw - 0.1)), tw - new_w - int(round(dw - 0.1))
     x = jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)),

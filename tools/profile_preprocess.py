@@ -163,6 +163,21 @@ def main():
             return cnt.reshape(t.shape[0], 256).astype(jnp.int32)
         timed("hist: nibble 16x16 matmul", hist_nib, tiles, iters=it)
 
+    if sel("histi8"):
+        # same nibble decomposition, int8 one-hots with int32 accumulation
+        # — the TPU MXU has a native int8 mode at 2x bf16 rate; exact for
+        # any tile area < 2^31
+        def hist_i8(t):
+            t32 = t.astype(jnp.int32)
+            i16 = jnp.arange(16, dtype=jnp.int32)
+            hi_oh = ((t32 >> 4)[:, :, None] == i16).astype(jnp.int8)
+            lo_oh = ((t32 & 15)[:, :, None] == i16).astype(jnp.int8)
+            cnt = lax.dot_general(
+                hi_oh, lo_oh, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)      # (N, 16, 16)
+            return cnt.reshape(t.shape[0], 256)
+        timed("hist: nibble int8 matmul", hist_i8, tiles, iters=it)
+
     if sel("histdot"):
         def hist_dot(t):
             t32 = t.astype(jnp.int32)
@@ -240,6 +255,98 @@ def main():
             res = jnp.concatenate(outs, axis=1)
             return jnp.clip(jnp.rint(res), 0, 255).astype(jnp.uint8)
         timed("apply: band bin-sweep", apply_sweep, plane, luts, iters=it)
+
+    if sel("applymac"):
+        # like the shipped packed sweep, but each chunk accumulates with a
+        # masked SUM over an added bin axis instead of a serial
+        # where-chain — exactly one bin matches per pixel, so the sum
+        # equals the select; the adds form a tree (better ILP) and the
+        # mask compares vectorize over the chunk axis in one op.
+        ty1, ty2, _ = map(np.asarray, C._interp_coords(h, th, gy))
+        bands = []
+        s = 0
+        for y in range(1, h + 1):
+            if y == h or ty1[y] != ty1[s] or ty2[y] != ty2[s]:
+                bands.append((s, y, int(ty1[s]), int(ty2[s])))
+                s = y
+        tx1, tx2, _ = C._interp_coords(w, tw, gx)
+        m1 = jnp.asarray(np.eye(gx, dtype=np.float32)[tx1])
+        m2 = jnp.asarray(np.eye(gx, dtype=np.float32)[tx2])
+        CH = int(__import__("os").environ.get("RVT_CLAHE_CHUNK", "16"))
+        n_chunks = 256 // CH
+        iota_c = jnp.arange(CH, dtype=jnp.int32)
+
+        def apply_mac(p, lt):
+            x = p.astype(jnp.int32)
+            lf = lt.astype(jnp.float32)
+            outs = []
+            for (y0, y1, t1, t2) in bands:
+                vals = x[:, y0:y1]
+                lp = lf[:, t1] + 65536.0 * lf[:, t2]
+                e1 = jnp.einsum("wk,bkv->bwv", m1, lp)
+                e2 = jnp.einsum("wk,bkv->bwv", m2, lp)
+                packed = e1.astype(jnp.uint32) + e2.astype(jnp.uint32) * 256
+
+                def body(t, acc, vals=vals, packed=packed):
+                    v0 = t * CH
+                    chunk = lax.dynamic_slice(packed, (0, 0, v0),
+                                              (b, w, CH))
+                    m = vals[..., None] == (v0 + iota_c)
+                    return acc + jnp.sum(
+                        jnp.where(m, chunk[:, None, :, :], jnp.uint32(0)),
+                        axis=-1)
+
+                z = jnp.zeros(vals.shape, jnp.uint32)
+                acc = lax.fori_loop(0, n_chunks, body, z)
+                outs.append((acc & 255).astype(jnp.uint8))
+            return jnp.concatenate(outs, axis=1)
+        timed(f"apply: mask-MAC chunk{CH}", apply_mac, plane, luts, iters=it)
+
+    if sel("applynib"):
+        # two-level nibble: 16 lo one-hot masks built ONCE (16 compares),
+        # then for each hi value a masked sum over its 16-entry packed
+        # sub-table — 32 compares total instead of 256, same packed-u32
+        # payload as the shipped sweep.
+        ty1, ty2, _ = map(np.asarray, C._interp_coords(h, th, gy))
+        bands = []
+        s = 0
+        for y in range(1, h + 1):
+            if y == h or ty1[y] != ty1[s] or ty2[y] != ty2[s]:
+                bands.append((s, y, int(ty1[s]), int(ty2[s])))
+                s = y
+        tx1, tx2, _ = C._interp_coords(w, tw, gx)
+        m1 = jnp.asarray(np.eye(gx, dtype=np.float32)[tx1])
+        m2 = jnp.asarray(np.eye(gx, dtype=np.float32)[tx2])
+        i16_ = jnp.arange(16, dtype=jnp.int32)
+
+        def apply_nib(p, lt):
+            x = p.astype(jnp.int32)
+            lf = lt.astype(jnp.float32)
+            outs = []
+            for (y0, y1, t1, t2) in bands:
+                vals = x[:, y0:y1]
+                hi = vals >> 4
+                lo_oh = (vals & 15)[..., None] == i16_  # (b,r,w,16) bool
+                lp = lf[:, t1] + 65536.0 * lf[:, t2]
+                e1 = jnp.einsum("wk,bkv->bwv", m1, lp)
+                e2 = jnp.einsum("wk,bkv->bwv", m2, lp)
+                packed = (e1.astype(jnp.uint32)
+                          + e2.astype(jnp.uint32) * 256)  # (b, w, 256)
+
+                def body(hv, acc, vals=vals, hi=hi, lo_oh=lo_oh,
+                         packed=packed):
+                    sub = lax.dynamic_slice(packed, (0, 0, hv * 16),
+                                            (b, w, 16))
+                    part = jnp.sum(
+                        jnp.where(lo_oh, sub[:, None, :, :], jnp.uint32(0)),
+                        axis=-1)
+                    return acc + jnp.where(hi == hv, part, jnp.uint32(0))
+
+                z = jnp.zeros(vals.shape, jnp.uint32)
+                acc = lax.fori_loop(0, 16, body, z)
+                outs.append((acc & 255).astype(jnp.uint8))
+            return jnp.concatenate(outs, axis=1)
+        timed("apply: nibble two-level", apply_nib, plane, luts, iters=it)
 
     if sel("applypack"):
         # the shipped formulation (ops/clahe.py): grouped regions + packed
