@@ -357,6 +357,34 @@ def main():
             return out.astype(jnp.uint8)
         timed("apply: packed nibble sweep", apply_pack, plane, luts, iters=it)
 
+    # --- letterbox hand-off -------------------------------------------------
+    # the engine's preprocess→detect seam: planar int32 planes are stacked
+    # to a full-res channel-last u8 frame that letterbox immediately
+    # strided-slices 9× smaller. Does a planar letterbox (slice planes
+    # first, stack at target res) beat paying the full-res materialization?
+    if sel("lbstack") or sel("lbplanar"):
+        from roadvision_tpu.ops.letterbox import letterbox_u8
+        planes3 = tuple(jnp.asarray(
+            rng.randint(0, 256, (b, h, w), dtype=np.int32)) for _ in range(3))
+
+    if sel("lbstack"):
+        def lb_stack(pb, pg, pr):
+            u8 = jnp.stack((pb, pg, pr), -1).astype(jnp.uint8)
+            return letterbox_u8(u8, size=640)[0]
+        timed("letterbox: stack u8 then slice", lb_stack, *planes3, iters=it)
+
+    if sel("lbplanar"):
+        def lb_planar(pb, pg, pr):
+            # 1080p→640: stride-3 slice both axes, offset 1 (s-1)/2
+            r, hh, ww = 640.0 / 1920.0, 360, 640
+            small = [p[:, 1::3, 1::3][:, :hh, :ww].astype(jnp.float32)
+                     for p in (pr, pg, pb)]          # RGB order
+            x = jnp.stack(small, -1)
+            x = jnp.pad(x, ((0, 0), (140, 140), (0, 0), (0, 0)),
+                        constant_values=114.0)
+            return x / 255.0
+        timed("letterbox: planar slice first", lb_planar, *planes3, iters=it)
+
     # --- median ------------------------------------------------------------
     if sel("medpallas") and jax.default_backend() == "tpu":
         from roadvision_tpu.ops.pallas_median import median3_pallas
