@@ -128,6 +128,40 @@ def device_resident_fps(engine: PipelineEngine, width: int, height: int,
     return frames_done / elapsed, tracked / frames_done
 
 
+def latency_p50_ms(engine: PipelineEngine, width: int, height: int,
+                   iters: int = 12) -> float:
+    """p50 single-frame dispatch latency (BASELINE.md secondary metric).
+
+    Batch 1, device-resident render → full pipeline step → 1-element
+    fetch, timed per dispatch (each iteration synchronizes). This is the
+    floor a realtime caller sees per frame on this attach — on the
+    relayed backend it includes the tunnel round-trip, which the stderr
+    calibration line contextualizes."""
+    src = DeviceSyntheticSource(width, height, num_vehicles=6)
+    render = src.make_render_fn(1)
+    raw_step = engine.build_raw_step((1, height, width), want_proc=False)
+    params = engine.detector.params if engine.detector else {}
+
+    @jax.jit
+    def one(params, state, i):
+        frames = render(i)
+        ts = jnp.arange(1, dtype=jnp.float32) / 30.0 + i.astype(jnp.float32)
+        _, outs, state = raw_step(params, state, frames, ts)
+        return state, outs[3].sum()
+
+    state = engine.sort_state
+    state, c = one(params, state, jnp.int32(0))
+    _sync(c)  # compile + warm
+    lats = []
+    for k in range(iters):
+        t0 = time.perf_counter()
+        state, c = one(params, state, jnp.int32(k + 1))
+        _sync(c)
+        lats.append((time.perf_counter() - t0) * 1e3)
+    lats.sort()
+    return lats[len(lats) // 2]
+
+
 def host_fed_fps(engine: PipelineEngine, width: int, height: int,
                  batch: int, iters: int) -> float:
     src = DeviceSyntheticSource(width, height, num_vehicles=6)
@@ -399,6 +433,14 @@ def main() -> int:
         except Exception as exc:
             demo_skip_reason = f"failed: {exc}"
 
+    p50_ms = None
+    if mode == "full" and os.environ.get("RVT_BENCH_LATENCY", "1") == "1" \
+            and time.perf_counter() - t_start < budget_s:
+        try:
+            p50_ms = latency_p50_ms(engine, width, height)
+        except Exception as exc:
+            print(f"[bench] latency probe failed: {exc}", file=sys.stderr)
+
     host_fps = None
     if host_iters > 0 and time.perf_counter() - t_start < budget_s:
         try:
@@ -423,6 +465,8 @@ def main() -> int:
         rest_ms = max(1e3 / fps - pre_ms, 0.0)
         extra += (f" | stages: preprocess={pre_ms:.2f} ms/frame,"
                   f" detect+track+geometry={rest_ms:.2f} ms/frame")
+    if p50_ms is not None:
+        extra += f" | p50 single-frame latency {p50_ms:.1f} ms"
     if host_fps is not None:
         extra += f" | host-fed {host_fps:.2f} fps"
     if tflops is not None:
