@@ -81,6 +81,28 @@ def test_detect_cli_rect_int8(tmp_path):
     assert any(recs)  # conf 0 passes boxes in at least one frame
 
 
+def test_warmup_cli(tmp_path):
+    import yaml
+
+    import tools.warmup as warmup
+    cfg = {
+        "camera": {"width": 96, "height": 64},
+        "preprocess": {"enabled": True, "chain": [
+            {"name": "CLAHEDehaze", "params": {"tile_grid": 2}},
+            {"name": "MedianDerain", "params": {"ksize": 3}}]},
+        "detect": {"enabled": True, "model": "none.pt", "imgsz": 64,
+                   "max_det": 8},
+        "tracking": {"enabled": True},
+        "tpu": {"batch_size": 2, "track_slots": 8},
+    }
+    path = tmp_path / "warm.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    assert warmup.main(["--config", str(path)]) == 0
+    # explicit resolution list takes precedence over the camera block
+    assert warmup.main(["--config", str(path), "--res", "64",
+                       "--batch", "1"]) == 0
+
+
 def test_eval_map_cli(tmp_path, capsys):
     import tools.eval_map as ev
     root = _make_yolo_dir(tmp_path)
