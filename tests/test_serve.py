@@ -1,0 +1,67 @@
+"""MJPEG preview server end-to-end over real HTTP (CPU, tiny frames)."""
+import json
+import time
+import urllib.request
+
+from roadvision_tpu.config import DEFAULTS, merge
+
+
+def _tiny_cfg():
+    return merge(DEFAULTS, {
+        "camera": {"source": "synthetic:0", "width": 96, "height": 64},
+        "preprocess": {"enabled": True, "chain": [
+            {"name": "MedianDerain", "params": {"ksize": 3}}]},
+        "preview": {"compare": {"enable": True, "layout": "h"}},
+        "tpu": {"batch_size": 2},
+    })
+
+
+def test_serve_stream_and_stats():
+    import tools.serve as serve
+
+    server, hub, worker = serve.serve_background(
+        _tiny_cfg(), port=0, max_frames=6)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        # stats eventually reports produced frames
+        deadline = time.time() + 60
+        frames = 0
+        while time.time() < deadline:
+            stats = json.loads(
+                urllib.request.urlopen(base + "/stats", timeout=5).read())
+            frames = stats["frames"]
+            if frames >= 2:
+                break
+            time.sleep(0.2)
+        assert frames >= 2, stats
+
+        # index page embeds the stream
+        html = urllib.request.urlopen(base + "/", timeout=5).read()
+        assert b"/stream" in html
+
+        # the stream yields multipart JPEG parts
+        resp = urllib.request.urlopen(base + "/stream", timeout=10)
+        assert "multipart/x-mixed-replace" in resp.headers["Content-Type"]
+        data = b""
+        deadline = time.time() + 30
+        while data.count(b"\xff\xd8\xff") < 1 and time.time() < deadline:
+            data += resp.read(4096)
+        assert data.count(b"\xff\xd8\xff") >= 1
+        assert b"Content-Type: image/jpeg" in data
+
+        # unknown path 404s
+        try:
+            urllib.request.urlopen(base + "/nope", timeout=5)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        worker.join(timeout=60)
+        assert not worker.is_alive()
+        final = json.loads(
+            urllib.request.urlopen(base + "/stats", timeout=5).read())
+        assert final["done"] and final["frames"] == 6
+    finally:
+        hub.close()
+        server.shutdown()

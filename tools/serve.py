@@ -1,0 +1,247 @@
+"""Headless live-preview server: the compare canvas over HTTP MJPEG.
+
+The reference's only live-view surface is a cv2 window
+(main_preview.py:130-141); production deployments run headless. This
+serves the same overlay/compare canvas the window would show as a
+multipart/x-mixed-replace MJPEG stream — natively renderable by any
+browser ``<img>`` tag — plus a ``/stats`` JSON endpoint with the live
+FPS/track counters. Python-stdlib HTTP (ThreadingHTTPServer) and the
+same PIL JPEG encode as the MJPEG recorder; no new dependencies.
+
+Endpoints:
+  /        minimal HTML page embedding the stream
+  /stream  multipart MJPEG (one part per processed frame)
+  /stats   {"frames": N, "fps": ..., "tracks_per_frame": ..., "clients": N}
+
+Usage:
+  python tools/serve.py [--config configs/default.yaml] [--port 8000]
+                        [--host 0.0.0.0] [--quality 85] [--max-frames N]
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+
+from roadvision_tpu.config import load_config  # noqa: E402
+from roadvision_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+from roadvision_tpu.io_video import FPSMeter, VideoSource  # noqa: E402
+from roadvision_tpu.runtime import PipelineEngine  # noqa: E402
+from roadvision_tpu.utils import get_logger  # noqa: E402
+from roadvision_tpu.vis import draw_detections, make_canvas  # noqa: E402
+
+log = get_logger("roadvision.serve")
+
+_INDEX = (b"<!doctype html><title>roadvision preview</title>"
+          b"<body style=\"margin:0;background:#111\">"
+          b"<img src=\"/stream\" style=\"max-width:100%\"></body>")
+
+
+class FrameHub:
+    """Latest-frame handoff between the pipeline thread and HTTP clients.
+
+    Holds one encoded JPEG; every ``publish`` wakes all waiting streams.
+    Slow clients skip frames instead of back-pressuring the pipeline
+    (same policy as the preview window: show the newest, never queue).
+    """
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._jpeg: bytes | None = None
+        self._seq = 0
+        self.done = False
+        self.clients = 0
+        self.stats = {"frames": 0, "fps": 0.0, "tracks_per_frame": 0.0}
+        self._tracks_total = 0
+
+    def publish(self, jpeg: bytes, fps: float, n_tracks: int) -> None:
+        with self._cond:
+            self._jpeg = jpeg
+            self._seq += 1
+            self.stats["frames"] += 1
+            self.stats["fps"] = round(fps, 2)
+            self._tracks_total += n_tracks
+            self.stats["tracks_per_frame"] = round(
+                self._tracks_total / self.stats["frames"], 2)
+            self._cond.notify_all()
+
+    def close(self) -> None:
+        with self._cond:
+            self.done = True
+            self._cond.notify_all()
+
+    def next_frame(self, last_seq: int, timeout: float = 5.0):
+        """Block until a frame newer than ``last_seq`` (or shutdown)."""
+        with self._cond:
+            self._cond.wait_for(
+                lambda: self.done or self._seq > last_seq, timeout)
+            if self._jpeg is None or self._seq <= last_seq:
+                return None, last_seq
+            return self._jpeg, self._seq
+
+
+def _make_handler(hub: FrameHub, boundary: bytes = b"roadvisionframe"):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through our logger
+            log.debug("http: " + fmt, *args)
+
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            if self.path == "/":
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(_INDEX)))
+                self.end_headers()
+                self.wfile.write(_INDEX)
+            elif self.path == "/stats":
+                body = json.dumps(dict(hub.stats, clients=hub.clients,
+                                       done=hub.done)).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/stream":
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    f"multipart/x-mixed-replace; "
+                    f"boundary={boundary.decode()}")
+                self.end_headers()
+                hub.clients += 1
+                try:
+                    seq = 0
+                    while True:
+                        jpeg, seq = hub.next_frame(seq)
+                        if jpeg is not None:
+                            self.wfile.write(
+                                b"--" + boundary + b"\r\n"
+                                b"Content-Type: image/jpeg\r\n"
+                                b"Content-Length: "
+                                + str(len(jpeg)).encode() + b"\r\n\r\n"
+                                + jpeg + b"\r\n")
+                        elif hub.done:
+                            break  # drained: late clients still got the
+                            # final frame above before EOF
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                finally:
+                    hub.clients -= 1
+            else:
+                self.send_error(404)
+
+    return Handler
+
+
+def _pipeline_loop(cfg, hub: FrameHub, max_frames, quality: int) -> None:
+    from PIL import Image
+
+    cam_cfg = cfg.get("camera", {}) or {}
+    preview_cfg = cfg.get("preview", {}) or {}
+    compare_cfg = preview_cfg.get("compare", {}) or {}
+    draw_cfg = (cfg.get("vis", {}) or {}).get("draw", {}) or {}
+
+    vs = VideoSource(
+        source=cam_cfg.get("source", 0),
+        width=cam_cfg.get("width", 1280),
+        height=cam_cfg.get("height", 720),
+        fps_request=cam_cfg.get("fps_request", 30),
+        backend=cam_cfg.get("backend", "auto"),
+        num_frames=max_frames,
+    )
+    engine = PipelineEngine(cfg)
+    fpsm = FPSMeter(alpha=0.1)
+    want_compare = bool(compare_cfg.get("enable", True))
+    try:
+        for res in engine.stream(vs, max_frames=max_frames):
+            proc = np.ascontiguousarray(res.proc)
+            if draw_cfg.get("det", True) and res.detections:
+                draw_detections(
+                    proc, res.detections,
+                    thickness=int(draw_cfg.get("thickness", 2)),
+                    font_scale=float(draw_cfg.get("font_scale", 0.6)))
+            fps = fpsm.tick(res.ts)
+            if want_compare:
+                canvas = make_canvas(
+                    res.raw, proc,
+                    layout=compare_cfg.get("layout", "h"),
+                    divider_px=int(compare_cfg.get("divider_px", 4)),
+                    label_raw=compare_cfg.get("label_raw", "RAW"),
+                    label_proc=compare_cfg.get("label_proc", "PROC"),
+                    fps=fps,
+                    show_fps=bool(preview_cfg.get("show_fps", True)))
+            else:
+                canvas = proc
+            buf = io.BytesIO()
+            Image.fromarray(canvas[..., ::-1]).save(buf, format="JPEG",
+                                                    quality=quality)
+            n_tracks = sum(1 for d in res.detections
+                           if d.track_id is not None)
+            hub.publish(buf.getvalue(), fps, n_tracks)
+    except Exception as exc:
+        log.warning("pipeline loop ended: %s", exc)
+    finally:
+        vs.release()
+        hub.close()
+        log.info("pipeline done after %d frames", hub.stats["frames"])
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--quality", type=int, default=85)
+    ap.add_argument("--max-frames", type=int, default=None,
+                    help="stop the pipeline (and server) after N frames")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+    server, hub, worker = serve_background(
+        cfg, host=args.host, port=args.port, quality=args.quality,
+        max_frames=args.max_frames)
+    log.info("serving on http://%s:%d/ (stream at /stream)",
+             args.host, server.server_address[1])
+    try:
+        while worker.is_alive():
+            worker.join(timeout=0.2)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        hub.close()
+        server.shutdown()
+    return 0
+
+
+def serve_background(cfg, host="127.0.0.1", port=0, quality=85,
+                     max_frames=None):
+    """Start server + pipeline on background threads (test/embedding API).
+
+    Returns (server, hub, worker); the server listens on an ephemeral
+    port when ``port=0`` (read ``server.server_address``)."""
+    hub = FrameHub()
+    server = ThreadingHTTPServer((host, port), _make_handler(hub))
+    threads = [
+        threading.Thread(target=server.serve_forever, daemon=True),
+        threading.Thread(target=_pipeline_loop,
+                         args=(cfg, hub, max_frames, quality), daemon=True),
+    ]
+    for t in threads:
+        t.start()
+    return server, hub, threads[1]
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
