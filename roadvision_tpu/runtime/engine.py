@@ -115,6 +115,15 @@ class PipelineEngine:
         self._jit_cache: Dict[Tuple[int, int, int], Any] = {}
         self.timer = StageTimer()
 
+        # device-step watchdog: a dispatch that blocks far beyond the
+        # steady-state rate usually means the backend stalled (remote
+        # attach hiccup, preempted chip). Warn — never kill — and skip
+        # the first call per compiled shape (that one IS minutes-long
+        # compilation). 0 disables.
+        self._watchdog_s = float(tpu_cfg.get("watchdog_s", 60.0))
+        self._warmed: set = set()
+        self.watchdog_fired = threading.Event()
+
     # ------------------------------------------------------------------
     def _build_step(self, shape: Tuple[int, int, int],
                     want_proc: bool = True):
@@ -202,13 +211,30 @@ class PipelineEngine:
 
         step = self._step_for((b, h, w), want_proc)
         params = self.detector.params if self.detector else {}
-        with self.timer.stage("device_step"):
-            dev = device_frames if device_frames is not None \
-                else jnp.asarray(frames)
-            proc, det_arrays, self.sort_state = step(
-                params, self.sort_state, dev, jnp.asarray(ts_rel))
-            proc = np.asarray(proc) if want_proc else None
-            arrays = [np.asarray(a) for a in det_arrays]
+        key = ((b, h, w), want_proc)
+        dog = None
+        if self._watchdog_s > 0 and key in self._warmed:
+            def bark():
+                self.watchdog_fired.set()
+                log.warning(
+                    "device step has run > %.0fs for batch shape %s — "
+                    "backend may be stalled (step continues; this is a "
+                    "diagnostic, not an abort)", self._watchdog_s, key[0])
+            dog = threading.Timer(self._watchdog_s, bark)
+            dog.daemon = True
+            dog.start()
+        try:
+            with self.timer.stage("device_step"):
+                dev = device_frames if device_frames is not None \
+                    else jnp.asarray(frames)
+                proc, det_arrays, self.sort_state = step(
+                    params, self.sort_state, dev, jnp.asarray(ts_rel))
+                proc = np.asarray(proc) if want_proc else None
+                arrays = [np.asarray(a) for a in det_arrays]
+        finally:
+            if dog is not None:
+                dog.cancel()
+            self._warmed.add(key)
 
         boxes, conf, cls_id, valid, ids, dist, speed = arrays
         if self.detector is not None:

@@ -112,3 +112,26 @@ def test_engine_rect_letterbox_mode():
     for d in dets:
         assert 0 <= d.x1 <= d.x2 <= 160
         assert 0 <= d.y1 <= d.y2 <= 128
+
+
+def test_engine_watchdog_fires_and_stays_quiet():
+    frames = np.zeros((2, 64, 96, 3), np.uint8)
+    ts = np.arange(2) / 30.0
+
+    # default threshold: never fires on a healthy step
+    quiet = PipelineEngine(_cfg(camera={"width": 96, "height": 64},
+                                tpu={"batch_size": 2, "track_slots": 16}))
+    quiet.process_batch(frames, ts)
+    quiet.process_batch(frames, 1.0 + ts)
+    assert not quiet.watchdog_fired.is_set()
+
+    # microscopic threshold: fires on the first post-compile step (the
+    # compile call itself is exempt)
+    slow = PipelineEngine(_cfg(camera={"width": 96, "height": 64},
+                               tpu={"batch_size": 2, "track_slots": 16,
+                                    "watchdog_s": 1e-4}))
+    slow.process_batch(frames, ts)
+    assert not slow.watchdog_fired.is_set()  # compile call exempt
+    slow.process_batch(frames, 1.0 + ts)
+    slow.watchdog_fired.wait(timeout=2.0)
+    assert slow.watchdog_fired.is_set()

@@ -28,6 +28,22 @@ def test_median_matches_oracle(k):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("k", [3, 5, 9])
+def test_median_matches_scipy(k):
+    """Independent cross-library check: scipy.ndimage with mode='nearest'
+    implements the same replicate-border odd-window median as
+    cv2.medianBlur (both pick the exact middle order statistic)."""
+    from scipy import ndimage
+
+    rng = np.random.RandomState(100 + k)
+    img = rng.randint(0, 256, (33, 29, 3), dtype=np.uint8)
+    got = np.asarray(median_blur_u8(img, ksize=k))
+    want = np.stack([
+        ndimage.median_filter(img[..., c], size=k, mode="nearest")
+        for c in range(3)], axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_median_even_and_clamped_ksize():
     rng = np.random.RandomState(0)
     img = rng.randint(0, 256, (12, 12, 3), dtype=np.uint8)
