@@ -128,6 +128,48 @@ def device_resident_fps(engine: PipelineEngine, width: int, height: int,
     return frames_done / elapsed, tracked / frames_done
 
 
+def overlay_encode_ms(width: int, height: int, iters: int = 24) -> float:
+    """Host overlay + compare canvas + MJPEG encode per frame.
+
+    BASELINE config 5 ends with "draw overlay + MP4 record" — that tail
+    runs on the host CPU concurrently with device compute (the stream
+    driver overlaps them), so it is measured separately here, attach-
+    independent, at production box density (12 tracked detections)."""
+    import os
+    import tempfile
+
+    from roadvision_tpu.detect.types import Detection
+    from roadvision_tpu.io_video.writer import MJPEGAVIWriter
+    from roadvision_tpu.vis import draw_detections, make_canvas
+
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 256, (height, width, 3), dtype=np.uint8)
+    dets = []
+    for i in range(12):
+        x1 = float(20 + 80 * i) % (width - 120)
+        y1 = float(30 + 53 * i) % (height - 90)
+        dets.append(Detection(x1, y1, x1 + 100, y1 + 70, 0.8, 2, "car",
+                              track_id=i + 1, distance_m=25.0 + i,
+                              speed_kmh=40.0 + i))
+    path = tempfile.mktemp(suffix=".avi")
+    writer = MJPEGAVIWriter(path, fps=30)
+    try:
+        t0 = time.perf_counter()
+        for k in range(iters):
+            proc = frame.copy()
+            draw_detections(proc, dets)
+            canvas = make_canvas(frame, proc, layout="h", divider_px=4,
+                                 label_raw="RAW", label_proc="PROC",
+                                 fps=30.0, show_fps=True)
+            writer.write(canvas)
+        dt = (time.perf_counter() - t0) / iters
+    finally:
+        writer.release()
+        if os.path.exists(path):
+            os.remove(path)
+    return dt * 1e3
+
+
 def latency_p50_ms(engine: PipelineEngine, width: int, height: int,
                    iters: int = 12) -> float:
     """p50 single-frame dispatch latency (BASELINE.md secondary metric).
@@ -440,6 +482,13 @@ def main() -> int:
         except Exception as exc:
             print(f"[bench] host-fed path failed: {exc}", file=sys.stderr)
 
+    overlay_ms = None
+    if mode == "full":
+        try:
+            overlay_ms = overlay_encode_ms(width, height)
+        except Exception as exc:
+            print(f"[bench] overlay probe failed: {exc}", file=sys.stderr)
+
     tflops = None
     if os.environ.get("RVT_BENCH_CALIBRATE", "1") == "1" \
             and time.perf_counter() - t_start < budget_s:
@@ -467,6 +516,9 @@ def main() -> int:
         rest_ms = max(1e3 / fps - pre_ms, 0.0)
         extra += (f" | stages: preprocess={pre_ms:.2f} ms/frame,"
                   f" detect+track+geometry={rest_ms:.2f} ms/frame")
+    if overlay_ms is not None:
+        extra += (f" | host overlay+encode {overlay_ms:.2f} ms/frame "
+                  f"(overlapped with device compute)")
     if p50_ms is not None:
         extra += f" | p50 single-frame latency {p50_ms:.1f} ms"
     if host_fps is not None:

@@ -80,6 +80,29 @@ def test_mjpeg_avi_writer_valid_riff(tmp_path):
     assert data.count(b"\xff\xd8\xff") == 4
 
 
+def test_mjpeg_avi_writer_pooled_matches_sync(tmp_path):
+    """Forced encode pool: same frames in, byte-identical AVI out (muxed
+    strictly in submission order), and snapshotting makes buffer reuse
+    by the caller safe."""
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 255, (48, 64, 3), np.uint8) for _ in range(9)]
+
+    p_sync, p_pool = tmp_path / "s.avi", tmp_path / "p.avi"
+    w = MJPEGAVIWriter(str(p_sync), fps=15, workers=0)
+    for f in frames:
+        w.write(f)
+    w.release()
+
+    w = MJPEGAVIWriter(str(p_pool), fps=15, workers=2)
+    buf = np.empty((48, 64, 3), np.uint8)
+    for f in frames:
+        buf[:] = f
+        w.write(buf)          # reused buffer: write() must snapshot
+    w.release()
+
+    assert p_pool.read_bytes() == p_sync.read_bytes()
+
+
 def test_npy_writer(tmp_path):
     path = tmp_path / "out.npy"
     w = NpyWriter(str(path))

@@ -20,7 +20,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import io
 import json
 import sys
 import threading
@@ -146,7 +145,7 @@ def _make_handler(hub: FrameHub, boundary: bytes = b"roadvisionframe"):
 
 
 def _pipeline_loop(cfg, hub: FrameHub, max_frames, quality: int) -> None:
-    from PIL import Image
+    from roadvision_tpu.io_video.writer import encode_jpeg_bgr
 
     cam_cfg = cfg.get("camera", {}) or {}
     preview_cfg = cfg.get("preview", {}) or {}
@@ -184,12 +183,9 @@ def _pipeline_loop(cfg, hub: FrameHub, max_frames, quality: int) -> None:
                     show_fps=bool(preview_cfg.get("show_fps", True)))
             else:
                 canvas = proc
-            buf = io.BytesIO()
-            Image.fromarray(canvas[..., ::-1]).save(buf, format="JPEG",
-                                                    quality=quality)
             n_tracks = sum(1 for d in res.detections
                            if d.track_id is not None)
-            hub.publish(buf.getvalue(), fps, n_tracks)
+            hub.publish(encode_jpeg_bgr(canvas, quality), fps, n_tracks)
     except Exception as exc:
         log.warning("pipeline loop ended: %s", exc)
     finally:
