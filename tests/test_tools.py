@@ -103,6 +103,45 @@ def test_warmup_cli(tmp_path):
                        "--batch", "1"]) == 0
 
 
+def test_calibrate_cli(tmp_path, capsys):
+    import yaml
+
+    import tools.calibrate as calibrate
+
+    # an exact plane mapping: x_m = px / 100, y_m = (480 - py) / 10
+    img = [[0, 480], [640, 480], [0, 80], [640, 80], [320, 280]]
+    wld = [[x / 100, (480 - y) / 10] for x, y in img]
+    pts = tmp_path / "pts.yaml"
+    pts.write_text(yaml.safe_dump(
+        {"image_points": img, "world_points": wld, "origin": [3.2, 0.0]}))
+    chk = tmp_path / "chk.yaml"
+    chk.write_text(yaml.safe_dump(
+        {"image_points": [[100, 400], [500, 160]],
+         "world_points": [[1.0, 8.0], [5.0, 32.0]]}))
+
+    rc = calibrate.main(["--points", str(pts), "--check", str(chk),
+                         "--max-error", "0.05"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "reprojection error" in out and "held-out error" in out
+    # the emitted YAML block round-trips into a working projector config
+    block = yaml.safe_load(out[out.index("geometry:"):])
+    from roadvision_tpu.geometry import build_projector
+    proj = build_projector(block["geometry"])
+    X, Y = proj.project_point(320, 280)
+    assert abs(X - 3.2) < 1e-3 and abs(Y - 20.0) < 1e-3
+
+    # degenerate (collinear) points: warns and fails the error gate
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(yaml.safe_dump(
+        {"image_points": [[0, 100], [100, 100], [200, 100], [300, 100]],
+         "world_points": [[0, 0], [1, 0], [2, 0], [3, 1]]}))
+    rc_bad = calibrate.main(["--points", str(bad), "--max-error", "0.01"])
+    bad_out = capsys.readouterr()
+    assert rc_bad != 0
+    assert "collinear" in bad_out.out
+
+
 def test_eval_map_cli(tmp_path, capsys):
     import tools.eval_map as ev
     root = _make_yolo_dir(tmp_path)
