@@ -164,7 +164,12 @@ def _conv(x, p, stride: int = 1, act: bool = True,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
     out = out + p["b"]
-    return jax.nn.silu(out) if act else out
+    if not act:
+        return out  # head/decode consumers stay f32
+    # bias+SiLU accumulate in f32; the MATERIALIZED activation goes back
+    # to the compute dtype — halves inter-layer HBM traffic on the bf16
+    # path (f32 path: no-op)
+    return jax.nn.silu(out).astype(dtype)
 
 
 def _c2f(x, p, shortcut: bool, dtype=jnp.float32) -> jnp.ndarray:
