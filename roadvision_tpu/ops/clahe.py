@@ -88,7 +88,8 @@ def _tile_histograms_sweep(tiled: jnp.ndarray) -> jnp.ndarray:
     faster than transposed copies (tools/profile_preprocess.py). Exact:
     bf16 one-hots are exact 0/1 and f32 accumulation is exact below 2²⁴
     (tile areas are ≤ a few 10⁵)."""
-    i16 = jnp.arange(16, dtype=jnp.int32)
+    tiled = tiled.astype(jnp.int16)  # u8-domain values: halves the
+    i16 = jnp.arange(16, dtype=jnp.int16)  # compare-pass HBM traffic
     hi_oh = ((tiled >> 4)[..., None] == i16).astype(jnp.bfloat16)
     lo_oh = ((tiled & 15)[..., None] == i16).astype(jnp.bfloat16)
     # batch dims (b, gy, gx), contract over the tile area (th, tw)
@@ -215,9 +216,10 @@ def _apply_band_sweep(x: jnp.ndarray, luts: jnp.ndarray,
     den = np.uint32(4 * th * tw)
     n_chunks = 256 // _SWEEP_CHUNK
 
-    outs = []
+    x16 = x.astype(jnp.int16)  # vals are re-read every chunk iteration;
+    outs = []                  # int16 halves that loop's HBM traffic
     for (y0, y1, t1, t2) in bands:
-        vals = x[:, y0:y1]                 # (b, rows, w)
+        vals = x16[:, y0:y1]               # (b, rows, w)
         lp = lf[:, t1] + 65536.0 * lf[:, t2]         # 16-bit pairs, f32-exact
         e1 = jnp.einsum("wk,bkv->bwv", m1, lp)       # l11 + 65536·l21
         e2 = jnp.einsum("wk,bkv->bwv", m2, lp)       # l12 + 65536·l22
