@@ -11,8 +11,11 @@ def _tiny_cfg():
         "camera": {"source": "synthetic:0", "width": 96, "height": 64},
         "preprocess": {"enabled": True, "chain": [
             {"name": "MedianDerain", "params": {"ksize": 3}}]},
+        "detect": {"enabled": True, "model": "missing.pt", "imgsz": 64,
+                   "max_det": 8, "conf_thres": 0.0, "classes_keep": []},
+        "tracking": {"enabled": True},
         "preview": {"compare": {"enable": True, "layout": "h"}},
-        "tpu": {"batch_size": 2},
+        "tpu": {"batch_size": 2, "track_slots": 8},
     })
 
 
@@ -24,8 +27,9 @@ def test_serve_stream_and_stats():
     host, port = server.server_address
     base = f"http://{host}:{port}"
     try:
-        # stats eventually reports produced frames
-        deadline = time.time() + 60
+        # stats eventually reports produced frames (first-batch compile
+        # of the fused step dominates the wait)
+        deadline = time.time() + 300
         frames = 0
         while time.time() < deadline:
             stats = json.loads(
@@ -57,11 +61,22 @@ def test_serve_stream_and_stats():
         except urllib.error.HTTPError as e:
             assert e.code == 404
 
-        worker.join(timeout=60)
+        worker.join(timeout=120)
         assert not worker.is_alive()
         final = json.loads(
             urllib.request.urlopen(base + "/stats", timeout=5).read())
         assert final["done"] and final["frames"] == 6
+
+        # live detections endpoint: last frame's boxes as JSON
+        dets = json.loads(
+            urllib.request.urlopen(base + "/detections", timeout=5).read())
+        assert dets["frame"] == 6 and dets["ts"] is not None
+        assert isinstance(dets["detections"], list)
+        if dets["detections"]:  # conf 0.0 + random init: boxes do flow
+            d0 = dets["detections"][0]
+            assert {"bbox", "conf", "cls_id", "name",
+                    "track_id"} <= set(d0)
+            assert len(d0["bbox"]) == 4
     finally:
         hub.close()
         server.shutdown()

@@ -9,9 +9,13 @@ FPS/track counters. Python-stdlib HTTP (ThreadingHTTPServer) and the
 same PIL JPEG encode as the MJPEG recorder; no new dependencies.
 
 Endpoints:
-  /        minimal HTML page embedding the stream
-  /stream  multipart MJPEG (one part per processed frame)
-  /stats   {"frames": N, "fps": ..., "tracks_per_frame": ..., "clients": N}
+  /            minimal HTML page embedding the stream
+  /stream      multipart MJPEG (one part per processed frame)
+  /stats       {"frames": N, "fps": ..., "tracks_per_frame": ..., "clients": N}
+  /detections  latest frame's detections as JSON (poll alongside /stream):
+               {"ts": ..., "frame": N, "detections": [{"bbox": [x1,y1,x2,y2],
+               "conf": ..., "cls_id": ..., "name": ..., "track_id": ...,
+               "distance_m": ..., "speed_kmh": ...}, ...]}
 
 Usage:
   python tools/serve.py [--config configs/default.yaml] [--port 8000]
@@ -63,8 +67,10 @@ class FrameHub:
         self.clients = 0
         self.stats = {"frames": 0, "fps": 0.0, "tracks_per_frame": 0.0}
         self._tracks_total = 0
+        self.latest = {"ts": None, "frame": 0, "detections": []}
 
-    def publish(self, jpeg: bytes, fps: float, n_tracks: int) -> None:
+    def publish(self, jpeg: bytes, fps: float, n_tracks: int,
+                detections=None, ts=None) -> None:
         with self._cond:
             self._jpeg = jpeg
             self._seq += 1
@@ -73,6 +79,8 @@ class FrameHub:
             self._tracks_total += n_tracks
             self.stats["tracks_per_frame"] = round(
                 self._tracks_total / self.stats["frames"], 2)
+            self.latest = {"ts": ts, "frame": self.stats["frames"],
+                           "detections": detections or []}
             self._cond.notify_all()
 
     def close(self) -> None:
@@ -104,6 +112,13 @@ def _make_handler(hub: FrameHub, boundary: bytes = b"roadvisionframe"):
                 self.send_header("Content-Length", str(len(_INDEX)))
                 self.end_headers()
                 self.wfile.write(_INDEX)
+            elif self.path == "/detections":
+                body = json.dumps(hub.latest).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/stats":
                 body = json.dumps(dict(hub.stats, clients=hub.clients,
                                        done=hub.done)).encode()
@@ -185,7 +200,12 @@ def _pipeline_loop(cfg, hub: FrameHub, max_frames, quality: int) -> None:
                 canvas = proc
             n_tracks = sum(1 for d in res.detections
                            if d.track_id is not None)
-            hub.publish(encode_jpeg_bgr(canvas, quality), fps, n_tracks)
+            dets = [{"bbox": [d.x1, d.y1, d.x2, d.y2], "conf": d.conf,
+                     "cls_id": d.cls_id, "name": d.cls_name,
+                     "track_id": d.track_id, "distance_m": d.distance_m,
+                     "speed_kmh": d.speed_kmh} for d in res.detections]
+            hub.publish(encode_jpeg_bgr(canvas, quality), fps, n_tracks,
+                        detections=dets, ts=res.ts)
     except Exception as exc:
         log.warning("pipeline loop ended: %s", exc)
     finally:
