@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import queue
 import threading
-import time
 from typing import Any, Dict, Iterator, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -33,7 +32,6 @@ from ..geometry.projector import distance_device, project_boxes_device
 from ..io_video.capture import VideoSource
 from ..ops.letterbox import scale_boxes
 from ..ops.nms import nms_batch
-from ..models.yolo import yolov8
 from ..preprocess import PreprocessPipeline
 from ..track.sort_tpu import SortState, init_state, make_sort_step
 from ..utils import StageTimer, get_logger
