@@ -203,7 +203,8 @@ def make_train_step(size: str = "n", nc: int = 80, lr: float = 1e-3,
     momentum). Returns step(params, momentum, batch)."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, momentum, images, gt_boxes, gt_cls, gt_mask):
+    def step(params, momentum, images, gt_boxes, gt_cls, gt_mask,
+             lr_scale=1.0):
         def loss_fn(p):
             return detection_loss(p, images, gt_boxes, gt_cls, gt_mask,
                                   size=size, nc=nc, dtype=dtype)
@@ -216,7 +217,7 @@ def make_train_step(size: str = "n", nc: int = 80, lr: float = 1e-3,
         new_mom = jax.tree_util.tree_map(
             lambda m, g: 0.9 * m + scale * g, momentum, grads)
         new_params = jax.tree_util.tree_map(
-            lambda p, m: p - lr * m, params, new_mom)
+            lambda p, m: p - (lr * lr_scale) * m, params, new_mom)
         aux = dict(aux, grad_norm=gnorm)
         return new_params, new_mom, loss, aux
 
@@ -225,3 +226,18 @@ def make_train_step(size: str = "n", nc: int = 80, lr: float = 1e-3,
 
 def init_momentum(params):
     return jax.tree_util.tree_map(jnp.zeros_like, params)
+
+
+def make_ema_update(decay: float = 0.9990, tau: float = 2000.0):
+    """Exponential-moving-average weight tracker (the ultralytics
+    convention: decay ramps in as ``decay · (1 − e^(−step/tau))`` so
+    early steps, where raw weights move fastest, are averaged lightly).
+    EMA weights are what get exported for eval/deploy."""
+
+    @jax.jit
+    def update(ema, params, step):
+        d = decay * (1.0 - jnp.exp(-step.astype(jnp.float32) / tau))
+        return jax.tree_util.tree_map(
+            lambda e, p: d * e + (1.0 - d) * p, ema, params)
+
+    return update

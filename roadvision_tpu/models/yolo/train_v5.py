@@ -177,7 +177,8 @@ def make_train_step_v5(size: str = "n", nc: int = 80, lr: float = 1e-3,
     v8 make_train_step)."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, momentum, images, gt_boxes, gt_cls, gt_mask):
+    def step(params, momentum, images, gt_boxes, gt_cls, gt_mask,
+             lr_scale=1.0):
         def loss_fn(p):
             return detection_loss_v5(p, images, gt_boxes, gt_cls, gt_mask,
                                      size=size, nc=nc, dtype=dtype)
@@ -190,7 +191,7 @@ def make_train_step_v5(size: str = "n", nc: int = 80, lr: float = 1e-3,
         new_mom = jax.tree_util.tree_map(
             lambda mom, g: 0.9 * mom + scale * g, momentum, grads)
         new_params = jax.tree_util.tree_map(
-            lambda p, mom: p - lr * mom, params, new_mom)
+            lambda p, mom: p - (lr * lr_scale) * mom, params, new_mom)
         return new_params, new_mom, loss, dict(aux, grad_norm=gnorm)
 
     return step

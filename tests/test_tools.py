@@ -54,6 +54,24 @@ def test_train_cli_synthetic(tmp_path):
     params, arch, size, loaded = weights.load_params(
         str(tmp_path / "run.weights.npz"))
     assert loaded and arch == "v8"
+    # EMA is the default deploy export; raw weights saved alongside.
+    # The ramped decay keeps early EMA CLOSE to raw (d ~ 5e-4 at step 1)
+    # but never bit-identical once the raw weights have moved.
+    assert (tmp_path / "run.raw.npz").exists()
+    raw, _, _, _ = weights.load_params(str(tmp_path / "run.raw.npz"))
+    assert not np.array_equal(np.asarray(params["0"]["w"]),
+                              np.asarray(raw["0"]["w"]))
+
+
+def test_train_cli_no_ema_constant_schedule(tmp_path):
+    import tools.train as train
+    rc = train.main(["--data", "synthetic", "--steps", "2", "--imgsz", "96",
+                     "--batch", "2", "--weights", "none.pt", "--no-ema",
+                     "--schedule", "constant", "--warmup", "1",
+                     "--out", str(tmp_path / "run.npz"), "--log-every", "1"])
+    assert rc == 0
+    assert (tmp_path / "run.weights.npz").exists()
+    assert not (tmp_path / "run.raw.npz").exists()
 
 
 def test_detect_cli_synthetic(tmp_path):

@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import math
 import sys
 import time
 from pathlib import Path
@@ -31,7 +32,9 @@ enable_compilation_cache()
 
 from roadvision_tpu.detect.dataset import load_yolo_dir, synthetic_batches  # noqa: E402
 from roadvision_tpu.models.yolo import weights as yolo_weights  # noqa: E402
-from roadvision_tpu.models.yolo.train import init_momentum, make_train_step  # noqa: E402
+from roadvision_tpu.models.yolo.train import (init_momentum,  # noqa: E402
+                                              make_ema_update,
+                                              make_train_step)
 from roadvision_tpu.runtime.checkpoint import save_train_state  # noqa: E402
 from roadvision_tpu.utils import get_logger  # noqa: E402
 
@@ -50,6 +53,18 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--schedule", choices=["cosine", "constant"],
+                    default="cosine",
+                    help="LR schedule after warmup (cosine decays to "
+                         "lrf x base, the ultralytics convention)")
+    ap.add_argument("--warmup", type=int, default=None,
+                    help="linear warmup steps (default: steps/10, max 100)")
+    ap.add_argument("--lrf", type=float, default=0.01,
+                    help="final LR fraction for the cosine schedule")
+    ap.add_argument("--ema", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="track EMA weights and export them as the "
+                         "deploy weights (raw weights also saved)")
     ap.add_argument("--out", default="runs/trained.npz")
     ap.add_argument("--resume", default=None,
                     help="training-state checkpoint (.npz or orbax dir) "
@@ -106,6 +121,24 @@ def main(argv=None) -> int:
             idx = rng.randint(0, n, args.batch)
             return imgs[idx], boxes[idx], cls[idx], mask[idx]
 
+    warmup = args.warmup if args.warmup is not None \
+        else min(100, max(1, args.steps // 10))
+
+    def lr_scale_at(it: int) -> float:
+        if it <= warmup:
+            return it / warmup
+        if args.schedule == "cosine":
+            # clamp: a resumed run past the nominal horizon holds lrf
+            t = min((it - warmup) / max(args.steps - warmup, 1), 1.0)
+            return args.lrf + (1.0 - args.lrf) * 0.5 * (
+                1.0 + math.cos(math.pi * t))
+        return 1.0
+
+    # real copies: the train step DONATES params, so aliasing here would
+    # leave the EMA tree pointing at deleted buffers after step 1
+    ema = jax.tree_util.tree_map(jnp.array, params) if args.ema else None
+    ema_update = make_ema_update() if args.ema else None
+
     t0 = time.time()
     for it in range(1, args.steps + 1):
         images, gt_boxes, gt_cls, gt_mask = next_batch()
@@ -114,7 +147,10 @@ def main(argv=None) -> int:
             x = jax.device_put(x, bshard)
         params, momentum, loss, aux = step(
             params, momentum, x, jnp.asarray(gt_boxes),
-            jnp.asarray(gt_cls), jnp.asarray(gt_mask))
+            jnp.asarray(gt_cls), jnp.asarray(gt_mask),
+            jnp.float32(lr_scale_at(start_step + it)))
+        if ema is not None:
+            ema = ema_update(ema, params, jnp.int32(start_step + it))
         if it % args.log_every == 0 or it == args.steps:
             parts = " ".join(
                 f"{k}={float(v):.3f}" for k, v in sorted(aux.items())
@@ -127,9 +163,13 @@ def main(argv=None) -> int:
     out.parent.mkdir(parents=True, exist_ok=True)
     path = save_train_state(str(out), params, momentum,
                             start_step + args.steps)
-    yolo_weights.export_npz(params, out.with_suffix(".weights.npz"))
-    log.info("saved training state to %s and weights to %s",
-             path, out.with_suffix(".weights.npz"))
+    deploy = ema if ema is not None else params
+    yolo_weights.export_npz(deploy, out.with_suffix(".weights.npz"))
+    if ema is not None:
+        yolo_weights.export_npz(params, out.with_suffix(".raw.npz"))
+    log.info("saved training state to %s and %sweights to %s",
+             path, "EMA " if ema is not None else "",
+             out.with_suffix(".weights.npz"))
     return 0
 
 
