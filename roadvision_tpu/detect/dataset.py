@@ -87,6 +87,62 @@ def load_yolo_dir(root: str, imgsz: int = 640, max_boxes: int = 50,
             np.stack(mask_all))
 
 
+def _rgb_to_hsv(rgb: np.ndarray) -> np.ndarray:
+    """Vectorized RGB [0,1] → HSV [0,1] (standard hexcone formulas)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = rgb.max(axis=-1)
+    mn = rgb.min(axis=-1)
+    c = mx - mn
+    safe = np.where(c > 0, c, 1.0)
+    h = np.where(mx == r, ((g - b) / safe) % 6,
+                 np.where(mx == g, (b - r) / safe + 2, (r - g) / safe + 4))
+    h = np.where(c > 0, h / 6.0, 0.0)
+    s = np.where(mx > 0, c / np.where(mx > 0, mx, 1.0), 0.0)
+    return np.stack([h, s, mx], axis=-1)
+
+
+def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    i = i.astype(np.int32) % 6
+    r = np.choose(i, [v, q, p, p, t, v])
+    g = np.choose(i, [t, v, v, q, p, p])
+    b = np.choose(i, [p, p, t, v, v, q])
+    return np.stack([r, g, b], axis=-1)
+
+
+def augment_batch(images: np.ndarray, boxes: np.ndarray, mask: np.ndarray,
+                  rng: np.random.RandomState,
+                  hflip_p: float = 0.5, hsv_h: float = 0.015,
+                  hsv_s: float = 0.7, hsv_v: float = 0.4):
+    """Standard train-time augmentation (the ultralytics default recipe
+    minus mosaic): per-image horizontal flip with box mirroring, and HSV
+    hue/saturation/value jitter with the same gain ranges. Host-side
+    numpy on uint8 RGB; returns (images, boxes) — cls/mask unaffected.
+    """
+    n, size = images.shape[0], images.shape[2]
+    images = images.copy()
+    boxes = boxes.copy()
+    for i in range(n):
+        if rng.rand() < hflip_p:
+            images[i] = images[i, :, ::-1]
+            x1 = boxes[i, :, 0].copy()
+            boxes[i, :, 0] = np.where(mask[i], size - boxes[i, :, 2], x1)
+            boxes[i, :, 2] = np.where(mask[i], size - x1, boxes[i, :, 2])
+        gh, gs, gv = rng.uniform(-1, 1, 3) * [hsv_h, hsv_s, hsv_v] + 1
+        hsv = _rgb_to_hsv(images[i].astype(np.float32) / 255.0)
+        hsv[..., 0] = (hsv[..., 0] * gh) % 1.0
+        hsv[..., 1] = np.clip(hsv[..., 1] * gs, 0, 1)
+        hsv[..., 2] = np.clip(hsv[..., 2] * gv, 0, 1)
+        images[i] = (np.clip(_hsv_to_rgb(hsv), 0, 1) * 255 + 0.5
+                     ).astype(np.uint8)
+    return images, boxes
+
+
 def synthetic_batches(batch: int, imgsz: int = 320, max_boxes: int = 12,
                       num_vehicles: int = 5, seed: int = 0,
                       car_class: int = 2) -> Iterator[Tuple[np.ndarray, ...]]:

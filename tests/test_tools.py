@@ -63,6 +63,38 @@ def test_train_cli_synthetic(tmp_path):
                               np.asarray(raw["0"]["w"]))
 
 
+def test_augment_batch_flip_and_hsv():
+    from roadvision_tpu.detect.dataset import (_hsv_to_rgb, _rgb_to_hsv,
+                                               augment_batch)
+
+    rng0 = np.random.RandomState(0)
+    # HSV round-trip is exact (float path) for arbitrary colors
+    rgb = rng0.rand(16, 16, 3).astype(np.float32)
+    back = _hsv_to_rgb(_rgb_to_hsv(rgb))
+    np.testing.assert_allclose(back, rgb, atol=1e-6)
+
+    imgs = rng0.randint(0, 256, (4, 32, 32, 3), np.uint8)
+    boxes = np.zeros((4, 3, 4), np.float32)
+    boxes[:, 0] = (4, 6, 10, 12)          # one real box per image
+    mask = np.zeros((4, 3), bool)
+    mask[:, 0] = True
+
+    # hflip_p=1: every box mirrors, stays valid, same width
+    out_i, out_b = augment_batch(imgs, boxes, mask,
+                                 np.random.RandomState(1), hflip_p=1.0,
+                                 hsv_h=0, hsv_s=0, hsv_v=0)
+    np.testing.assert_allclose(out_b[:, 0], [(32 - 10, 6, 32 - 4, 12)] * 4)
+    np.testing.assert_array_equal(out_i, imgs[:, :, ::-1])
+    # masked slots untouched
+    np.testing.assert_array_equal(out_b[:, 1:], boxes[:, 1:])
+
+    # hsv-only: boxes unchanged, pixels changed, dtype preserved
+    out_i, out_b = augment_batch(imgs, boxes, mask,
+                                 np.random.RandomState(2), hflip_p=0.0)
+    np.testing.assert_array_equal(out_b, boxes)
+    assert out_i.dtype == np.uint8 and not np.array_equal(out_i, imgs)
+
+
 def test_train_cli_no_ema_constant_schedule(tmp_path):
     import tools.train as train
     rc = train.main(["--data", "synthetic", "--steps", "2", "--imgsz", "96",

@@ -65,6 +65,10 @@ def main(argv=None) -> int:
                     default=True,
                     help="track EMA weights and export them as the "
                          "deploy weights (raw weights also saved)")
+    ap.add_argument("--augment", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="train-time flip + HSV jitter (YOLO-dir data; "
+                         "the synthetic generator already varies)")
     ap.add_argument("--out", default="runs/trained.npz")
     ap.add_argument("--resume", default=None,
                     help="training-state checkpoint (.npz or orbax dir) "
@@ -112,14 +116,19 @@ def main(argv=None) -> int:
         def next_batch():
             return next(batches)
     else:
+        from roadvision_tpu.detect.dataset import augment_batch
         imgs, boxes, cls, mask = load_yolo_dir(args.data, imgsz=args.imgsz)
         n = imgs.shape[0]
-        log.info("dataset: %d images", n)
+        log.info("dataset: %d images%s", n,
+                 " (flip+HSV augment)" if args.augment else "")
         rng = np.random.RandomState(0)
 
         def next_batch():
             idx = rng.randint(0, n, args.batch)
-            return imgs[idx], boxes[idx], cls[idx], mask[idx]
+            bi, bb, bc, bm = imgs[idx], boxes[idx], cls[idx], mask[idx]
+            if args.augment:
+                bi, bb = augment_batch(bi, bb, bm, rng)
+            return bi, bb, bc, bm
 
     warmup = args.warmup if args.warmup is not None \
         else min(100, max(1, args.steps // 10))
