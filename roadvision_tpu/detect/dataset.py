@@ -115,6 +115,54 @@ def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
+def mosaic_batch(images: np.ndarray, boxes: np.ndarray, cls: np.ndarray,
+                 mask: np.ndarray, rng: np.random.RandomState,
+                 min_box: float = 2.0):
+    """4-image mosaic composition at the train resolution.
+
+    For each output image, a random split point divides the canvas into
+    four quadrants; each quadrant is filled with a random crop from a
+    random batch image (self included), and that image's boxes are
+    translated, clipped to the quadrant, and kept only if both sides
+    stay > ``min_box`` px. Merged boxes are truncated to the fixed
+    capacity. This is the composition step of ultralytics' mosaic
+    (which composes on a 2S canvas and then random-crops back to S —
+    the same distribution of partial objects, one fewer resample).
+    """
+    n, size = images.shape[0], images.shape[2]
+    cap = boxes.shape[1]
+    out_i = np.empty_like(images)
+    out_b = np.zeros_like(boxes)
+    out_c = np.zeros_like(cls)
+    out_m = np.zeros_like(mask)
+    for i in range(n):
+        sx = rng.randint(int(0.3 * size), int(0.7 * size) + 1)
+        sy = rng.randint(int(0.3 * size), int(0.7 * size) + 1)
+        quads = [(0, 0, sx, sy), (sx, 0, size, sy),
+                 (0, sy, sx, size), (sx, sy, size, size)]
+        srcs = [i] + list(rng.randint(0, n, 3))
+        k = 0
+        for (x1, y1, x2, y2), j in zip(quads, srcs):
+            qw, qh = x2 - x1, y2 - y1
+            ox = rng.randint(0, size - qw + 1)
+            oy = rng.randint(0, size - qh + 1)
+            out_i[i, y1:y2, x1:x2] = images[j, oy:oy + qh, ox:ox + qw]
+            dx, dy = x1 - ox, y1 - oy
+            for s in range(cap):
+                if not mask[j, s] or k >= cap:
+                    continue
+                bx1 = np.clip(boxes[j, s, 0] + dx, x1, x2)
+                by1 = np.clip(boxes[j, s, 1] + dy, y1, y2)
+                bx2 = np.clip(boxes[j, s, 2] + dx, x1, x2)
+                by2 = np.clip(boxes[j, s, 3] + dy, y1, y2)
+                if bx2 - bx1 > min_box and by2 - by1 > min_box:
+                    out_b[i, k] = (bx1, by1, bx2, by2)
+                    out_c[i, k] = cls[j, s]
+                    out_m[i, k] = True
+                    k += 1
+    return out_i, out_b, out_c, out_m
+
+
 def augment_batch(images: np.ndarray, boxes: np.ndarray, mask: np.ndarray,
                   rng: np.random.RandomState,
                   hflip_p: float = 0.5, hsv_h: float = 0.015,

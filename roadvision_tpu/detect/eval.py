@@ -88,6 +88,43 @@ def mean_ap(per_class_preds: Dict[int, Tuple[list, list]],
     return out
 
 
+def evaluate_detector(det, images: np.ndarray, gt_boxes: np.ndarray,
+                      gt_cls: np.ndarray, gt_mask: np.ndarray,
+                      iou_thresholds: Sequence[float] = (0.5,)
+                      ) -> Dict[str, float]:
+    """Run a detector over (N, S, S, 3) RGB uint8 images and score mAP.
+
+    Shared by tools/eval_map.py and the trainer's --eval-every hook:
+    collects per-frame records first, then builds per-class lists
+    aligned over ALL frames (a class may first appear mid-dataset).
+    """
+    from collections import defaultdict
+
+    records = []
+    classes = set()
+    for i in range(images.shape[0]):
+        bgr = images[i][..., ::-1]
+        batch = det.infer_batch(bgr[None])
+        boxes = batch.boxes[0][batch.valid[0]]
+        conf = batch.conf[0][batch.valid[0]]
+        cls = batch.cls_id[0][batch.valid[0]]
+        fg_boxes = gt_boxes[i][gt_mask[i]]
+        fg_cls = gt_cls[i][gt_mask[i]]
+        records.append((boxes, conf, cls, fg_boxes, fg_cls))
+        classes.update(int(c) for c in np.unique(fg_cls))
+        classes.update(int(c) for c in np.unique(cls))
+
+    preds = {c: ([], []) for c in classes}
+    gts = defaultdict(list)
+    for boxes, conf, cls, fg_boxes, fg_cls in records:
+        for c in classes:
+            sel = cls == c
+            preds[c][0].append(boxes[sel])
+            preds[c][1].append(conf[sel])
+            gts[c].append(fg_boxes[fg_cls == c])
+    return mean_ap(preds, dict(gts), iou_thresholds)
+
+
 def match_report(pred_boxes: np.ndarray, gt_boxes: np.ndarray,
                  iou_thres: float = 0.5) -> Dict[str, float]:
     """Greedy matched precision/recall for one image."""

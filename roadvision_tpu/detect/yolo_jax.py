@@ -116,6 +116,24 @@ class YOLOJax(Detector):
 
         return functools.partial(run, params)
 
+    def set_params(self, params) -> None:
+        """Swap the weight pytree without rebuilding the detector: the
+        compiled step takes params as a traced argument, so cached
+        executables per shape are rebound to the new tree (a changed
+        tree SHAPE simply retraces on next call). In-train eval uses
+        this to score the current/EMA weights."""
+        self.params = params
+        if self.arch == "v5":
+            no = params["24"]["m"][0]["b"].shape[0]
+            self.nc = no // 3 - 5
+        else:
+            self.nc = params["22"]["cv3"][0][2]["b"].shape[0]
+        self.names = {i: n for i, n in enumerate(COCO_NAMES)} \
+            if self.nc == len(COCO_NAMES) \
+            else {i: str(i) for i in range(self.nc)}
+        self._jit_cache = {k: functools.partial(fn.func, params)
+                           for k, fn in self._jit_cache.items()}
+
     def _fn_for(self, frames: np.ndarray):
         key = tuple(frames.shape[:3])
         if key not in self._jit_cache:

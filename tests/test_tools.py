@@ -95,6 +95,38 @@ def test_augment_batch_flip_and_hsv():
     assert out_i.dtype == np.uint8 and not np.array_equal(out_i, imgs)
 
 
+def test_mosaic_batch_accounting():
+    from roadvision_tpu.detect.dataset import mosaic_batch
+
+    size, cap = 64, 6
+    rng = np.random.RandomState(0)
+    # each image is a flat color with one centered box
+    imgs = np.stack([np.full((size, size, 3), 40 * (i + 1), np.uint8)
+                     for i in range(4)])
+    boxes = np.zeros((4, cap, 4), np.float32)
+    boxes[:, 0] = (20, 20, 44, 44)
+    cls = np.zeros((4, cap), np.int32)
+    cls[:, 0] = np.arange(4)
+    mask = np.zeros((4, cap), bool)
+    mask[:, 0] = True
+
+    oi, ob, oc, om = mosaic_batch(imgs, boxes, cls, mask, rng)
+    assert oi.shape == imgs.shape and oi.dtype == np.uint8
+    for i in range(4):
+        # every canvas pixel came from a source image (flat colors)
+        assert set(np.unique(oi[i])) <= {40, 80, 120, 160}
+        # all surviving boxes are inside the canvas, positive-area, and
+        # carry a class that identifies a real source image
+        for s in range(cap):
+            if om[i, s]:
+                x1, y1, x2, y2 = ob[i, s]
+                assert 0 <= x1 < x2 <= size and 0 <= y1 < y2 <= size
+                assert 0 <= oc[i, s] < 4
+        # capacity respected; valid slots are front-packed
+        k = int(om[i].sum())
+        assert k <= cap and om[i, :k].all() and not om[i, k:].any()
+
+
 def test_train_cli_no_ema_constant_schedule(tmp_path):
     import tools.train as train
     rc = train.main(["--data", "synthetic", "--steps", "2", "--imgsz", "96",

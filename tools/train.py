@@ -69,6 +69,15 @@ def main(argv=None) -> int:
                     default=True,
                     help="train-time flip + HSV jitter (YOLO-dir data; "
                          "the synthetic generator already varies)")
+    ap.add_argument("--mosaic", type=float, default=1.0,
+                    help="probability of 4-image mosaic composition per "
+                         "batch (YOLO-dir data; 0 disables)")
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="score mAP@0.5 on held-out data every N steps "
+                         "(0 = off); uses EMA weights when enabled")
+    ap.add_argument("--eval-size", type=int, default=16,
+                    help="held-out images: reserved from the dataset "
+                         "tail (dir data) or fresh synthetic scenes")
     ap.add_argument("--out", default="runs/trained.npz")
     ap.add_argument("--resume", default=None,
                     help="training-state checkpoint (.npz or orbax dir) "
@@ -111,21 +120,35 @@ def main(argv=None) -> int:
             args.resume, shardings=pshard if args.dp > 1 else None)
         log.info("resumed from %s at step %d", args.resume, start_step)
 
+    eval_set = None
     if args.data == "synthetic":
         batches = synthetic_batches(args.batch, imgsz=args.imgsz)
         def next_batch():
             return next(batches)
+        if args.eval_every:
+            held = synthetic_batches(args.eval_size, imgsz=args.imgsz,
+                                     seed=999)
+            eval_set = next(held)
     else:
-        from roadvision_tpu.detect.dataset import augment_batch
+        from roadvision_tpu.detect.dataset import augment_batch, mosaic_batch
         imgs, boxes, cls, mask = load_yolo_dir(args.data, imgsz=args.imgsz)
+        if args.eval_every and imgs.shape[0] > 2:
+            k = min(args.eval_size, imgs.shape[0] // 3)
+            eval_set = (imgs[-k:], boxes[-k:], cls[-k:], mask[-k:])
+            imgs, boxes = imgs[:-k], boxes[:-k]
+            cls, mask = cls[:-k], mask[:-k]
+            log.info("held out %d images for eval", k)
         n = imgs.shape[0]
-        log.info("dataset: %d images%s", n,
-                 " (flip+HSV augment)" if args.augment else "")
+        log.info("dataset: %d images%s%s", n,
+                 " (flip+HSV augment)" if args.augment else "",
+                 f" (mosaic p={args.mosaic})" if args.mosaic > 0 else "")
         rng = np.random.RandomState(0)
 
         def next_batch():
             idx = rng.randint(0, n, args.batch)
             bi, bb, bc, bm = imgs[idx], boxes[idx], cls[idx], mask[idx]
+            if args.mosaic > 0 and rng.rand() < args.mosaic:
+                bi, bb, bc, bm = mosaic_batch(bi, bb, bc, bm, rng)
             if args.augment:
                 bi, bb = augment_batch(bi, bb, bm, rng)
             return bi, bb, bc, bm
@@ -148,6 +171,24 @@ def main(argv=None) -> int:
     ema = jax.tree_util.tree_map(jnp.array, params) if args.ema else None
     ema_update = make_ema_update() if args.ema else None
 
+    eval_det = None
+
+    def run_eval(weights_tree, step_no: int) -> None:
+        nonlocal eval_det
+        from roadvision_tpu.detect.eval import evaluate_detector
+        if eval_det is None:
+            from roadvision_tpu.detect.yolo_jax import YOLOJax
+            # random-init detector of the SAME arch/size, then rebind to
+            # the live weights (compiled steps take params as an arg)
+            eval_det = YOLOJax({"model": f"yolo{arch}{size}.eval",
+                                "imgsz": args.imgsz, "conf_thres": 0.25,
+                                "max_det": 50, "classes_keep": [],
+                                "rect": False})
+        eval_det.set_params(weights_tree)
+        score = evaluate_detector(eval_det, *eval_set)
+        log.info("eval @%d: %s", step_no,
+                 " ".join(f"{k}={v:.3f}" for k, v in score.items()))
+
     t0 = time.time()
     for it in range(1, args.steps + 1):
         images, gt_boxes, gt_cls, gt_mask = next_batch()
@@ -160,6 +201,9 @@ def main(argv=None) -> int:
             jnp.float32(lr_scale_at(start_step + it)))
         if ema is not None:
             ema = ema_update(ema, params, jnp.int32(start_step + it))
+        if args.eval_every and eval_set is not None \
+                and (it % args.eval_every == 0 or it == args.steps):
+            run_eval(ema if ema is not None else params, start_step + it)
         if it % args.log_every == 0 or it == args.steps:
             parts = " ".join(
                 f"{k}={float(v):.3f}" for k, v in sorted(aux.items())
