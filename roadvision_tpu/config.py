@@ -50,7 +50,8 @@ DEFAULTS: Dict[str, Any] = {
     ),
     "vis": dict(draw=dict(det=True, thickness=2, font_scale=0.6)),
     "tpu": dict(batch_size=8, track_slots=None, compute_dtype="bfloat16",
-                watchdog_s=60.0, mesh=dict(enable=False, axis="data")),
+                watchdog_s=60.0, sampled_preprocess=False,
+                mesh=dict(enable=False, axis="data")),
 }
 
 

@@ -175,7 +175,8 @@ def _luts_for_plane(x: jnp.ndarray, clip_limit: float, gy: int, gx: int):
 
 
 def _apply_band_sweep(x: jnp.ndarray, luts: jnp.ndarray,
-                      th: int, tw: int, gy: int, gx: int) -> jnp.ndarray:
+                      th: int, tw: int, gy: int, gx: int,
+                      full_hw=None, rows=None, cols=None) -> jnp.ndarray:
     """Bilinear 4-tile LUT blend of (b, h, w) int32 values, gather-free.
 
     Within a row band the two y-neighbor tile rows (ty1, ty2) are
@@ -199,10 +200,15 @@ def _apply_band_sweep(x: jnp.ndarray, luts: jnp.ndarray,
     here).
     """
     b, h, w = x.shape
-    ty1, ty2, _ = _interp_coords(h, th, gy)
-    tx1, tx2, _ = _interp_coords(w, tw, gx)
-    yan = _interp_weight_num(h, th)        # ya = yan / (2·th), exact
-    xan = _interp_weight_num(w, tw)
+    fh, fw = full_hw if full_hw is not None else (h, w)
+    ty1, ty2, _ = _interp_coords(fh, th, gy)
+    tx1, tx2, _ = _interp_coords(fw, tw, gx)
+    yan = _interp_weight_num(fh, th)       # ya = yan / (2·th), exact
+    xan = _interp_weight_num(fw, tw)
+    if rows is not None:                   # x is a sampled sub-grid of a
+        ty1, ty2, yan = ty1[rows], ty2[rows], yan[rows]  # (fh, fw) plane
+    if cols is not None:
+        tx1, tx2, xan = tx1[cols], tx2[cols], xan[cols]
     bands = _row_bands(ty1, ty2)
 
     eye = np.eye(gx, dtype=np.float32)
@@ -270,6 +276,32 @@ def clahe_planar_i32(plane: jnp.ndarray, clip_limit: float = 2.0,
     luts, th, tw = _luts_for_plane(x, clip_limit, gy, gx)
     out = _apply_band_sweep(x, luts, th, tw, gy, gx)
     return out.reshape(batch_shape + (h, w))
+
+
+def clahe_planar_sampled_i32(plane: jnp.ndarray, plan_y, plan_x,
+                             clip_limit: float = 2.0,
+                             grid: tuple = (8, 8)) -> jnp.ndarray:
+    """CLAHE with the LUT apply evaluated only at a strided sample grid.
+
+    Histogram/clip/CDF run on the FULL plane (they are defined over all
+    pixels); the bilinear LUT apply — the expensive sweep — runs only at
+    positions ``off + s·i`` per axis (``plan = (stride, offset, count)``).
+    Bit-identical to ``clahe_planar_i32(plane)[..., oy::sy, ox::sx]``;
+    used when a pure-slice letterbox consumes the result directly.
+    """
+    gy, gx = int(grid[0]), int(grid[1])
+    batch_shape = plane.shape[:-2]
+    h, w = plane.shape[-2], plane.shape[-1]
+    x = plane.reshape((-1, h, w))
+    luts, th, tw = _luts_for_plane(x, clip_limit, gy, gx)
+    sy, oy, ny = plan_y
+    sx, ox, nx = plan_x
+    rows = np.arange(ny) * sy + oy
+    cols = np.arange(nx) * sx + ox
+    xs = x[:, oy:oy + sy * ny:sy, ox:ox + sx * nx:sx]
+    out = _apply_band_sweep(xs, luts, th, tw, gy, gx,
+                            full_hw=(h, w), rows=rows, cols=cols)
+    return out.reshape(batch_shape + (ny, nx))
 
 
 def compute_tile_luts(plane: jnp.ndarray, clip_limit: float = 2.0,

@@ -16,6 +16,22 @@ import jax
 import jax.numpy as jnp
 
 
+def axis_plan(src: int, dst: int):
+    """Resize plan for one axis: ("id",) | ("slice", s, off) |
+    ("avg2", s, off) | ("general",). "slice" means the half-pixel
+    bilinear samples land exactly on input pixels ``off + s*i`` — the
+    property the engine's sampled-preprocess fast path keys on."""
+    if src == dst:
+        return ("id",)
+    if src % dst == 0:
+        s = src // dst
+        # sample center: s*i + (s-1)/2
+        if s % 2 == 1:
+            return ("slice", s, (s - 1) // 2)
+        return ("avg2", s, s // 2 - 1)  # taps at offset and offset+1
+    return ("general",)
+
+
 def _bilinear_resize(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
     """Half-pixel bilinear resize with an exact-stride fast path.
 
@@ -37,18 +53,6 @@ def _bilinear_resize(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
     bit-identical in every ordering.
     """
     h, w = x.shape[1], x.shape[2]
-
-    def axis_plan(src, dst):
-        if src == dst:
-            return ("id",)
-        if src % dst == 0:
-            s = src // dst
-            # sample center: s*i + (s-1)/2
-            if s % 2 == 1:
-                return ("slice", s, (s - 1) // 2)
-            return ("avg2", s, s // 2 - 1)  # taps at offset and offset+1
-        return ("general",)
-
     py, px = axis_plan(h, new_h), axis_plan(w, new_w)
     if "general" in (py[0], px[0]):
         # antialias=False: cv2.resize INTER_LINEAR semantics (2-tap) — the
@@ -134,6 +138,33 @@ def letterbox_rect_u8(frames: jnp.ndarray, size: int = 640,
     dw, dh = (tw - new_w) / 2, (th - new_h) / 2
 
     x = _bilinear_resize(frames[..., ::-1], new_h, new_w)  # BGR → RGB
+    top, bottom = int(round(dh - 0.1)), th - new_h - int(round(dh - 0.1))
+    left, right = int(round(dw - 0.1)), tw - new_w - int(round(dw - 0.1))
+    x = jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)),
+                constant_values=114.0)
+    return x / 255.0, jnp.float32(r), jnp.array([left, top], jnp.float32)
+
+
+def finish_letterbox(resized_bgr: jnp.ndarray, orig_hw: Tuple[int, int],
+                     size: int = 640, stride: int = 32, rect: bool = True):
+    """Pad/normalize tail of the letterbox for an ALREADY-resized frame.
+
+    ``resized_bgr`` is uint8 (B, new_h, new_w, 3) — e.g. produced by the
+    engine's sampled-preprocess path, where the chain's terminal op
+    evaluated directly at the bilinear sample grid. Emits exactly what
+    :func:`letterbox_u8` / :func:`letterbox_rect_u8` would for the
+    original (h, w) frame: channel flip, gray-114 pad, /255, plus the
+    same (ratio, pad) box-mapping metadata.
+    """
+    h, w = orig_hw
+    r = min(size / h, size / w)
+    new_h, new_w = round(h * r), round(w * r)
+    if rect:
+        th, tw = rect_target_hw(h, w, size, stride)
+    else:
+        th = tw = size
+    dw, dh = (tw - new_w) / 2, (th - new_h) / 2
+    x = resized_bgr[..., ::-1].astype(jnp.float32)
     top, bottom = int(round(dh - 0.1)), th - new_h - int(round(dh - 0.1))
     left, right = int(round(dw - 0.1)), tw - new_w - int(round(dw - 0.1))
     x = jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)),

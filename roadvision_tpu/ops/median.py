@@ -91,6 +91,30 @@ def median_planar_i32(x: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
     return jnp.sort(stack, axis=0)[(k * k) // 2].astype(x.dtype)
 
 
+def median_planar_strided_i32(x: jnp.ndarray, ksize: int,
+                              plan_y, plan_x) -> jnp.ndarray:
+    """Median output evaluated only at a strided sample grid.
+
+    ``plan_y``/``plan_x`` are ``(stride, offset, count)``: the output is
+    bit-identical to ``median_planar_i32(x)[..., off_y::s_y, off_x::s_x]``
+    (count entries per axis) but computes the exchange network at 1/(s_y·s_x)
+    of the positions. Used when a pure-slice letterbox immediately
+    subsamples the filtered frame (ops/letterbox.py axis_plan) — the
+    windows still read every input pixel; only compute and writes drop.
+    """
+    k = _normalize_ksize(ksize)
+    sy, oy, ny = plan_y
+    sx, ox, nx = plan_x
+    xp = _pad_spatial(x.astype(jnp.int16), k // 2)
+    views = [xp[..., oy + dy: oy + dy + sy * ny: sy,
+                ox + dx: ox + dx + sx * nx: sx]
+             for dy in range(k) for dx in range(k)]
+    if k == 3:
+        return _median9(views).astype(x.dtype)
+    stack = jnp.stack(views, axis=0)
+    return jnp.sort(stack, axis=0)[(k * k) // 2].astype(x.dtype)
+
+
 def _use_pallas() -> bool:
     import os
     return (os.environ.get("RVT_PALLAS", "0") == "1"

@@ -39,5 +39,20 @@ class PreprocessOp(ABC):
         raise NotImplementedError(
             f"{type(self).__name__} has no planar path")
 
+    def supports_planar_sampled(self) -> bool:
+        """True if :meth:`apply_planar_sampled` is implemented.
+
+        The sampled path is the pipeline's TERMINAL-op optimization: when
+        a pure-slice letterbox consumes the chain output, the last op
+        only needs to produce values at the sample grid (ops/letterbox.py
+        axis_plan "slice"), bit-identically to full-apply-then-subsample.
+        """
+        return False
+
+    def apply_planar_sampled(self, planes, plan_y, plan_x):
+        """Planar path evaluated at the (stride, offset, count) grids."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no sampled planar path")
+
     def __call__(self, image: np.ndarray) -> np.ndarray:
         return np.asarray(self.apply_batch(jnp.asarray(image)))

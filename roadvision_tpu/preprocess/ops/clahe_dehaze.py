@@ -15,7 +15,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ...ops import color
-from ...ops.clahe import clahe_planar_i32, clahe_u8
+from ...ops.clahe import (clahe_planar_i32, clahe_planar_sampled_i32,
+                          clahe_u8)
 from ..base import PreprocessOp
 
 
@@ -36,6 +37,29 @@ class CLAHEDehaze(PreprocessOp):
         y, cr, cb = color.bgr_planes_to_ycrcb_i32(b, g, r)
         y2 = clahe_planar_i32(y, clip_limit=clip_limit, grid=(grid, grid))
         return color.ycrcb_planes_to_bgr_i32(y2, cr, cb)
+
+    def supports_planar_sampled(self) -> bool:
+        return self.supports_planar()
+
+    def apply_planar_sampled(self, planes, plan_y, plan_x):
+        """Histogram/LUT on the full luma plane (defined over all
+        pixels); the LUT-apply sweep, the chroma transform, and the BGR
+        reconstruction evaluated only at the sample grid."""
+        _, clip_limit, grid = self._settings()
+        b, g, r = planes
+        sy, oy, ny = plan_y
+        sx, ox, nx = plan_x
+
+        def sub(p):
+            return p[..., oy:oy + sy * ny:sy, ox:ox + sx * nx:sx]
+
+        # full-res Y for the histogram (unused full-res chroma is DCE'd)
+        y_full = color.bgr_planes_to_ycrcb_i32(b, g, r)[0]
+        y2s = clahe_planar_sampled_i32(y_full, plan_y, plan_x,
+                                       clip_limit=clip_limit,
+                                       grid=(grid, grid))
+        _, crs, cbs = color.bgr_planes_to_ycrcb_i32(sub(b), sub(g), sub(r))
+        return color.ycrcb_planes_to_bgr_i32(y2s, crs, cbs)
 
     def apply_batch(self, frames: jnp.ndarray) -> jnp.ndarray:
         space, clip_limit, grid = self._settings()

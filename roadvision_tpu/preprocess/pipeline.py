@@ -79,6 +79,35 @@ class PreprocessPipeline:
             out = tuple(jnp.where(run, o, p) for o, p in zip(out, planes))
         return jnp.stack(out, axis=-1).astype(jnp.uint8)
 
+    def supports_sampled(self) -> bool:
+        """True when the chain can produce output directly at a strided
+        sample grid: planar-capable, un-gated (the gate reads full-res
+        output), and the terminal op implements the sampled path."""
+        return (not self.identity
+                and not self._gated
+                and all(op.supports_planar() for op in self.ops)
+                and self.ops[-1].supports_planar_sampled())
+
+    def sampled_planes_fn(self, plan_y, plan_x):
+        """(..., H, W, 3) u8 → int32 (b, g, r) planes at the sample grid.
+
+        All ops but the last run full-resolution (downstream ops read
+        full neighborhoods/histograms); the terminal op evaluates only
+        the ``(stride, offset, count)`` grid — bit-identical to running
+        the chain fully and then slicing (tested in
+        tests/test_preprocess_pipeline.py).
+        """
+        assert self.supports_sampled()
+
+        def fn(frames):
+            x = frames.astype(jnp.int32)
+            out = (x[..., 0], x[..., 1], x[..., 2])
+            for op in self.ops[:-1]:
+                out = op.apply_planar(out)
+            return self.ops[-1].apply_planar_sampled(out, plan_y, plan_x)
+
+        return fn
+
     def apply_batch(self, frames: jnp.ndarray) -> jnp.ndarray:
         """Device path: (..., H, W, 3) uint8 → processed uint8 batch."""
         if self.identity:

@@ -30,7 +30,7 @@ from ..detect.yolo_jax import YOLOJax
 from ..geometry import HomographyProjector, build_projector
 from ..geometry.projector import distance_device, project_boxes_device
 from ..io_video.capture import VideoSource
-from ..ops.letterbox import scale_boxes
+from ..ops.letterbox import axis_plan, finish_letterbox, scale_boxes
 from ..ops.nms import nms_batch
 from ..preprocess import PreprocessPipeline
 from ..track.sort_tpu import SortState, init_state, make_sort_step
@@ -118,6 +118,7 @@ class PipelineEngine:
         # attach hiccup, preempted chip). Warn — never kill — and skip
         # the first call per compiled shape (that one IS minutes-long
         # compilation). 0 disables.
+        self._sampled_pre = bool(tpu_cfg.get("sampled_preprocess", False))
         self._watchdog_s = float(tpu_cfg.get("watchdog_s", 60.0))
         self._warmed: set = set()
         self.watchdog_fired = threading.Event()
@@ -140,8 +141,30 @@ class PipelineEngine:
         track = self.track_enabled
         max_det = det.max_det if det else self.max_det
 
+        # sampled-preprocess path: when nothing consumes the full
+        # processed frame (want_proc=False) and the letterbox resize is a
+        # pure strided slice, the chain's terminal op can evaluate only
+        # at the sample grid (1/9 of the median/CLAHE-apply arithmetic at
+        # 1080p) — bit-identical to full-chain-then-subsample (tested).
+        # OPT-IN (tpu.sampled_preprocess): on this attach the stride-3
+        # lane access pattern measured 3x SLOWER than streaming the full
+        # plane (109 vs 360 fps headline) — strided int-plane reads
+        # serialize; re-evaluate on real silicon.
+        sampled_fn = None
+        if self._sampled_pre and det is not None and not want_proc \
+                and not pre.identity and pre.supports_sampled():
+            r = min(det.imgsz / h, det.imgsz / w)
+            new_h, new_w = round(h * r), round(w * r)
+            py, px = axis_plan(h, new_h), axis_plan(w, new_w)
+            if py[0] == "slice" and px[0] == "slice":
+                sampled_fn = pre.sampled_planes_fn(
+                    (py[1], py[2], new_h), (px[1], px[2], new_w))
+
         def step(params, sort_state, frames_u8, ts):
-            proc = frames_u8 if pre.identity else pre._batch_fn(frames_u8)
+            if sampled_fn is not None:
+                proc = jnp.zeros((), jnp.uint8)  # nothing reads full proc
+            else:
+                proc = frames_u8 if pre.identity else pre._batch_fn(frames_u8)
             if det is None:
                 z = jnp.zeros((b, max_det), jnp.float32)
                 empty = (jnp.zeros((b, max_det, 4), jnp.float32), z,
@@ -152,7 +175,12 @@ class PipelineEngine:
                          jnp.full((b, max_det), jnp.nan))
                 return proc, empty, sort_state
 
-            imgs, ratio, pad = det.letterbox(proc)
+            if sampled_fn is not None:
+                small = jnp.stack(sampled_fn(frames_u8), axis=-1)
+                imgs, ratio, pad = finish_letterbox(
+                    small, (h, w), size=det.imgsz, rect=det.rect)
+            else:
+                imgs, ratio, pad = det.letterbox(proc)
             boxes640, scores = det.forward_fn(params, imgs)
             boxes, conf, cls_id, valid = nms_batch(
                 boxes640, scores, conf_thres=det.conf, iou_thres=det.iou,

@@ -82,3 +82,41 @@ def test_ts_param_accepted_and_ignored():
     img = _frame(6)
     pipe = PreprocessPipeline(_cfg())
     np.testing.assert_array_equal(pipe(img, ts=123.456), pipe(img))
+
+
+def test_sampled_terminal_op_matches_full_then_slice():
+    """The sampled fast path (terminal op evaluated at the letterbox
+    sample grid) must be bit-identical to running the chain fully and
+    strided-slicing the result."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 256, (2, 48, 96, 3), np.uint8)
+    # stride-3 grids with the half-pixel "slice" offset (s-1)/2 = 1
+    plan_y, plan_x = (3, 1, 16), (3, 1, 32)
+
+    for chain in (
+        [{"name": "CLAHEDehaze", "params": {"tile_grid": 2}},
+         {"name": "MedianDerain", "params": {"ksize": 3}}],
+        [{"name": "CLAHEDehaze", "params": {"tile_grid": 2}}],
+        [{"name": "MedianDerain", "params": {"ksize": 5}}],
+    ):
+        pipe = PreprocessPipeline({"enabled": True, "chain": chain})
+        assert pipe.supports_sampled()
+        full = np.asarray(pipe.apply_batch(jnp.asarray(frames)))
+        want = full[:, 1::3, 1::3].astype(np.int32)
+        got = pipe.sampled_planes_fn(plan_y, plan_x)(jnp.asarray(frames))
+        got = np.stack([np.asarray(p) for p in got], axis=-1)
+        np.testing.assert_array_equal(got, want), chain
+
+
+def test_sampled_unsupported_when_gated_or_lab():
+    gated = PreprocessPipeline({
+        "enabled": True,
+        "chain": [{"name": "MedianDerain", "params": {"ksize": 3}}],
+        "auto_gate": {"enable_low_contrast_gate": True}})
+    assert not gated.supports_sampled()
+    lab = PreprocessPipeline({
+        "enabled": True,
+        "chain": [{"name": "CLAHEDehaze", "params": {"space": "LAB"}}]})
+    assert not lab.supports_sampled()
