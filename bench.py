@@ -72,7 +72,13 @@ def _sync(x):
     return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
 
 
-INNER_SCAN = 4  # fixed so the compiled graph is independent of ITERS
+# batches per dispatched scan: fixed so the compiled graph is
+# independent of ITERS. The default amortizes this attach's large
+# per-dispatch round-trip out of the throughput number (measured at
+# 1080p/batch 8: inner 4 -> 372 fps, 16 -> 415, 32 -> 452, 64 -> 459 —
+# steady-state plateau ~32); single-dispatch latency is reported
+# separately by the p50 probe.
+INNER_SCAN = int(os.environ.get("RVT_BENCH_INNER", "32"))
 
 
 def device_resident_fps(engine: PipelineEngine, width: int, height: int,
@@ -404,7 +410,7 @@ def main() -> int:
     width = {1080: 1920, 720: 1280, 480: 640}.get(res, res * 16 // 9)
     height = res
     batch = int(os.environ.get("RVT_BENCH_BATCH", "8"))
-    iters = int(os.environ.get("RVT_BENCH_ITERS", "8"))
+    iters = int(os.environ.get("RVT_BENCH_ITERS", "64"))
     host_iters = int(os.environ.get("RVT_BENCH_HOST_ITERS", "4"))
     mode = os.environ.get("RVT_BENCH_MODE", "full")
 
