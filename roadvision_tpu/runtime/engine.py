@@ -221,23 +221,33 @@ class PipelineEngine:
         return self._jit_cache[key]
 
     # ------------------------------------------------------------------
-    def process_batch(self, frames: np.ndarray,
-                      timestamps: np.ndarray,
-                      want_proc: bool = True,
-                      device_frames=None) -> List[FrameResult]:
-        """(B, H, W, 3) BGR uint8 + (B,) float64 stamps → per-frame results.
+    def dispatch_batch(self, frames: np.ndarray, timestamps: np.ndarray,
+                       want_proc: bool = True, device_frames=None):
+        """Enqueue one batch on the device WITHOUT waiting for results.
 
-        ``device_frames`` lets a prefetch thread start the host→device
-        transfer early; ``want_proc=False`` skips the processed-frame
-        return transfer (the detections are tiny)."""
+        Returns an in-flight handle for :meth:`collect_batch`. JAX
+        dispatch is asynchronous, so several batches can be in flight —
+        the streaming driver keeps a small pipeline so the device→host
+        round trip of batch i overlaps the compute of batch i+1 (on a
+        high-latency attach the per-batch sync otherwise caps streaming
+        throughput regardless of device speed)."""
         b, h, w = frames.shape[:3]
         if self._t0 is None:
             self._t0 = float(timestamps[0])
         ts_rel = (timestamps - self._t0).astype(np.float32)
-
         step = self._step_for((b, h, w), want_proc)
         params = self.detector.params if self.detector else {}
-        key = ((b, h, w), want_proc)
+        dev = device_frames if device_frames is not None \
+            else jnp.asarray(frames)
+        proc, det_arrays, self.sort_state = step(
+            params, self.sort_state, dev, jnp.asarray(ts_rel))
+        return (frames, timestamps, proc, det_arrays, want_proc,
+                ((b, h, w), want_proc))
+
+    def collect_batch(self, inflight) -> List[FrameResult]:
+        """Block until an in-flight batch completes; unpack results."""
+        frames, timestamps, proc_dev, det_arrays, want_proc, key = inflight
+        b = frames.shape[0]
         dog = None
         if self._watchdog_s > 0 and key in self._warmed:
             def bark():
@@ -251,11 +261,7 @@ class PipelineEngine:
             dog.start()
         try:
             with self.timer.stage("device_step"):
-                dev = device_frames if device_frames is not None \
-                    else jnp.asarray(frames)
-                proc, det_arrays, self.sort_state = step(
-                    params, self.sort_state, dev, jnp.asarray(ts_rel))
-                proc = np.asarray(proc) if want_proc else None
+                proc = np.asarray(proc_dev) if want_proc else None
                 arrays = [np.asarray(a) for a in det_arrays]
         finally:
             if dog is not None:
@@ -301,6 +307,20 @@ class PipelineEngine:
                     per_frame[i], float(timestamps[i])))
         return results
 
+    def process_batch(self, frames: np.ndarray,
+                      timestamps: np.ndarray,
+                      want_proc: bool = True,
+                      device_frames=None) -> List[FrameResult]:
+        """(B, H, W, 3) BGR uint8 + (B,) float64 stamps → per-frame results.
+
+        Synchronous convenience over dispatch/collect. ``device_frames``
+        lets a prefetch thread start the host→device transfer early;
+        ``want_proc=False`` skips the processed-frame return transfer
+        (the detections are tiny)."""
+        return self.collect_batch(self.dispatch_batch(
+            frames, timestamps, want_proc=want_proc,
+            device_frames=device_frames))
+
     # ------------------------------------------------------------------
     def stream(self, source: VideoSource, max_frames: Optional[int] = None,
                want_proc: bool = True) -> Iterator[FrameResult]:
@@ -334,15 +354,24 @@ class PipelineEngine:
 
         thread = threading.Thread(target=reader, daemon=True)
         thread.start()
+        # two batches in flight: the device→host round trip of batch i
+        # overlaps the compute of batch i+1 (results arrive one batch
+        # late, which realtime consumers don't observe — frames carry
+        # their own timestamps)
+        pending: "list" = []
         try:
             while True:
                 item = q.get()
                 if item is None:
                     break
                 frames, ts, dev = item
-                yield from self.process_batch(frames, ts,
-                                              want_proc=want_proc,
-                                              device_frames=dev)
+                pending.append(self.dispatch_batch(
+                    frames, ts, want_proc=want_proc, device_frames=dev))
+                if len(pending) >= 2:
+                    yield from self.collect_batch(pending.pop(0))
+            for inflight in pending:
+                yield from self.collect_batch(inflight)
+            pending = []
         finally:
             stop.set()
             # drain so the reader thread can exit
