@@ -149,26 +149,47 @@ def iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def greedy_associate(iou: jnp.ndarray, alive: jnp.ndarray,
                      dvalid: jnp.ndarray, thresh: float) -> jnp.ndarray:
     """Greedy global-argmax matching (:197-208). Returns det→track (D,) i32,
-    -1 for unmatched. First-flat-index tie-breaking matches np.argmax."""
+    -1 for unmatched. First-flat-index tie-breaking matches np.argmax.
+
+    Computed by parallel MUTUAL-MAXIMUM rounds instead of a
+    min(T, D)-step sequential argmax loop: in each round, every pair
+    that is simultaneously its row's and its column's (first-index)
+    argmax is taken, then its row/column are retired. This is exactly
+    the sequential greedy result — the global flat-first maximum is
+    always mutual (a tied earlier index in its row or column would
+    itself be the flat-first maximum), so each round takes precisely
+    the pairs greedy would take consecutively without interference;
+    induction over rounds gives equality, ties included. Round count =
+    the longest strictly-descending dependency chain (typically 2-4)
+    instead of up to min(T, D) = 100 sequential argmax steps; parity is
+    pinned by the float64 oracle + stress tests (tests/test_sort*.py).
+    """
     num_t, num_d = iou.shape
     masked = jnp.where(alive[:, None] & dvalid[None, :], iou, -1.0)
+    t_ids = jnp.arange(num_t, dtype=jnp.int32)
 
-    def body(_, carry):
-        mat, det2trk = carry
-        idx = jnp.argmax(mat)
-        t, d = idx // num_d, idx % num_d
-        v = mat.reshape(-1)[idx]
-        accept = (v >= thresh) & (v > -0.5)
-        det2trk = det2trk.at[d].set(jnp.where(accept, t.astype(jnp.int32),
-                                              det2trk[d]))
-        row = (jnp.arange(num_t) == t)[:, None]
-        col = (jnp.arange(num_d) == d)[None, :]
-        mat = jnp.where(accept & (row | col), -1.0, mat)
-        return mat, det2trk
+    def cond(carry):
+        _, _, changed = carry
+        return changed
 
-    _, det2trk = jax.lax.fori_loop(
-        0, min(num_t, num_d), body,
-        (masked, jnp.full((num_d,), -1, jnp.int32)))
+    def body(carry):
+        mat, det2trk, _ = carry
+        rbest = jnp.argmax(mat, axis=1)              # (T,) first-index
+        cbest = jnp.argmax(mat, axis=0)              # (D,) first-index
+        rval = jnp.max(mat, axis=1)
+        mutual_t = (cbest[rbest] == t_ids) & (rval >= thresh) \
+            & (rval > -0.5)
+        # distinct columns among mutual rows → scatter-max is exact
+        t_for_d = jnp.full((num_d,), -1, jnp.int32).at[rbest].max(
+            jnp.where(mutual_t, t_ids, -1))
+        taken_d = jnp.zeros((num_d,), bool).at[rbest].max(mutual_t)
+        det2trk = jnp.where(taken_d & (det2trk < 0), t_for_d, det2trk)
+        mat = jnp.where(mutual_t[:, None] | taken_d[None, :], -1.0, mat)
+        return mat, det2trk, jnp.any(mutual_t)
+
+    _, det2trk, _ = jax.lax.while_loop(
+        cond, body,
+        (masked, jnp.full((num_d,), -1, jnp.int32), jnp.bool_(True)))
     return det2trk
 
 

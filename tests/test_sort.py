@@ -214,3 +214,45 @@ def test_capacity_overflow_raises():
     tracker = SortTracker(_cfg(det_capacity=2))
     with pytest.raises(ValueError):
         tracker.update(_dets([(0, 0, 1, 1)] * 3), 0.0)
+
+
+def test_parallel_greedy_matches_sequential_reference():
+    """The mutual-maximum rounds must equal the sequential global-argmax
+    greedy exactly — including tie grids (np.argmax flat-first order)."""
+    import jax.numpy as jnp
+
+    from roadvision_tpu.track.sort_tpu import greedy_associate
+
+    def sequential(iou, alive, dvalid, thresh):
+        mat = np.where(alive[:, None] & dvalid[None, :], iou, -1.0).copy()
+        out = np.full(iou.shape[1], -1, np.int32)
+        for _ in range(min(mat.shape)):
+            idx = int(np.argmax(mat))
+            t, d = divmod(idx, mat.shape[1])
+            if mat[t, d] < thresh or mat[t, d] <= -0.5:
+                break
+            out[d] = t
+            mat[t, :] = -1.0
+            mat[:, d] = -1.0
+        return out
+
+    rng = np.random.RandomState(0)
+    for trial in range(40):
+        T, D = rng.randint(1, 12), rng.randint(1, 12)
+        # quantized values force frequent exact ties
+        iou = rng.randint(0, 5, (T, D)).astype(np.float32) / 4.0
+        alive = rng.rand(T) < 0.8
+        dvalid = rng.rand(D) < 0.8
+        thresh = float(rng.choice([0.25, 0.5]))
+        want = sequential(iou, alive, dvalid, thresh)
+        got = np.asarray(greedy_associate(
+            jnp.asarray(iou), jnp.asarray(alive), jnp.asarray(dvalid),
+            thresh))
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+    # all-equal grid: the canonical worst-case tie
+    iou = np.full((4, 4), 0.5, np.float32)
+    want = sequential(iou, np.ones(4, bool), np.ones(4, bool), 0.3)
+    got = np.asarray(greedy_associate(
+        jnp.asarray(iou), jnp.ones(4, bool), jnp.ones(4, bool), 0.3))
+    np.testing.assert_array_equal(got, want)
