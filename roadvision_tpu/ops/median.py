@@ -11,10 +11,12 @@ TPU strategy — planar int16 core (u8-domain values):
   * channels run as full-width (..., H, W) planes (channel-last (..., 3)
     arrays put a 3-wide axis in the 128-lane dimension — measured ~4× slower
     on this backend, tools/profile_preprocess.py);
-  * ``k == 3`` (the config default) — the classic 19-comparator median-of-9
-    exchange network (Paeth / Graphics Gems) over 9 shifted views: pure
-    ``min``/``max`` VPU ops, no sort, no gather; XLA fuses the shifted
-    slices into one elementwise chain;
+  * ``k == 3`` (the config default) — shared sorted vertical triples +
+    the exact separable identity ``median9 = med3(max3(lows),
+    med3(mids), min3(highs))``: each column position sorts once and is
+    reused by its three horizontal neighbors, ~20 int ops/pixel vs the
+    19-exchange network's 38 (which re-sorted every window's columns);
+    pure ``min``/``max``/add VPU ops, no sort, no gather;
   * ``k >= 5`` — k² shifted views stacked on a leading axis and selected via
     ``jnp.sort``'s middle element. Exact and simple; the k=3 default is the
     hot path, larger kernels are the reference's rarely-used "derain"
@@ -45,23 +47,35 @@ def _window_views(xp: jnp.ndarray, k: int, h: int, w: int):
             for dy in range(k) for dx in range(k)]
 
 
-def _median9(p):
-    """Median of 9 arrays via the 19-exchange network (elementwise)."""
-    p = list(p)
+def _med3(a, b, c):
+    """Median of three (4 ops)."""
+    return jnp.maximum(jnp.minimum(a, b),
+                       jnp.minimum(jnp.maximum(a, b), c))
 
-    def ex(i, j):
-        lo = jnp.minimum(p[i], p[j])
-        hi = jnp.maximum(p[i], p[j])
-        p[i], p[j] = lo, hi
 
-    ex(1, 2); ex(4, 5); ex(7, 8)
-    ex(0, 1); ex(3, 4); ex(6, 7)
-    ex(1, 2); ex(4, 5); ex(7, 8)
-    ex(0, 3); ex(5, 8); ex(4, 7)
-    ex(3, 6); ex(1, 4); ex(2, 5)
-    ex(4, 7); ex(4, 2); ex(6, 4)
-    ex(4, 2)
-    return p[4]
+def _median3x3_shared(col_rows, w: int, xs=None):
+    """3×3 median from SHARED sorted vertical triples.
+
+    ``col_rows`` = (a, b, c): the three vertically-shifted views of the
+    padded plane, each (..., rows, w+2). Each column position is sorted
+    ONCE (lo/mid/hi; mid as sum−lo−hi — exact for u8-domain int16,
+    ≤ 765) and reused by the three horizontal taps that share it, then
+    the classic exact identity
+    ``median9 = med3(max3(lows), med3(mids), min3(highs))``
+    finishes the merge: ~20 int ops per pixel vs the 19-exchange
+    network's 38. ``xs(v, dx)`` slices the horizontal taps (defaults to
+    the dense ``v[..., dx:dx+w]``; the strided variant samples)."""
+    a, b, c = col_rows
+    lo = jnp.minimum(jnp.minimum(a, b), c)
+    hi = jnp.maximum(jnp.maximum(a, b), c)
+    mid = a + b + c - lo - hi
+    if xs is None:
+        def xs(v, dx):
+            return v[..., dx:dx + w]
+    mx = jnp.maximum(jnp.maximum(xs(lo, 0), xs(lo, 1)), xs(lo, 2))
+    md = _med3(xs(mid, 0), xs(mid, 1), xs(mid, 2))
+    mn = jnp.minimum(jnp.minimum(xs(hi, 0), xs(hi, 1)), xs(hi, 2))
+    return _med3(mx, md, mn)
 
 
 def _normalize_ksize(ksize: int) -> int:
@@ -84,9 +98,10 @@ def median_planar_i32(x: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
     k = _normalize_ksize(ksize)
     h, w = x.shape[-2], x.shape[-1]
     xp = _pad_spatial(x.astype(jnp.int16), k // 2)
-    views = _window_views(xp, k, h, w)
     if k == 3:
-        return _median9(views).astype(x.dtype)
+        cols = (xp[..., 0:h, :], xp[..., 1:h + 1, :], xp[..., 2:h + 2, :])
+        return _median3x3_shared(cols, w).astype(x.dtype)
+    views = _window_views(xp, k, h, w)
     stack = jnp.stack(views, axis=0)
     return jnp.sort(stack, axis=0)[(k * k) // 2].astype(x.dtype)
 
@@ -106,11 +121,17 @@ def median_planar_strided_i32(x: jnp.ndarray, ksize: int,
     sy, oy, ny = plan_y
     sx, ox, nx = plan_x
     xp = _pad_spatial(x.astype(jnp.int16), k // 2)
+    if k == 3:
+        cols = tuple(xp[..., oy + dy: oy + dy + sy * ny: sy, :]
+                     for dy in range(3))
+
+        def xs(v, dx):
+            return v[..., ox + dx: ox + dx + sx * nx: sx]
+
+        return _median3x3_shared(cols, nx, xs=xs).astype(x.dtype)
     views = [xp[..., oy + dy: oy + dy + sy * ny: sy,
                 ox + dx: ox + dx + sx * nx: sx]
              for dy in range(k) for dx in range(k)]
-    if k == 3:
-        return _median9(views).astype(x.dtype)
     stack = jnp.stack(views, axis=0)
     return jnp.sort(stack, axis=0)[(k * k) // 2].astype(x.dtype)
 
