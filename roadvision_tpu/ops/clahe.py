@@ -275,7 +275,7 @@ def clahe_planar_i32(plane: jnp.ndarray, clip_limit: float = 2.0,
     x = plane.reshape((-1, h, w))
     luts, th, tw = _luts_for_plane(x, clip_limit, gy, gx)
     out = _apply_band_sweep(x, luts, th, tw, gy, gx)
-    return out.reshape(batch_shape + (h, w))
+    return out.reshape(batch_shape + (h, w)).astype(plane.dtype)
 
 
 def clahe_planar_sampled_i32(plane: jnp.ndarray, plan_y, plan_x,
@@ -301,7 +301,7 @@ def clahe_planar_sampled_i32(plane: jnp.ndarray, plan_y, plan_x,
     xs = x[:, oy:oy + sy * ny:sy, ox:ox + sx * nx:sx]
     out = _apply_band_sweep(xs, luts, th, tw, gy, gx,
                             full_hw=(h, w), rows=rows, cols=cols)
-    return out.reshape(batch_shape + (ny, nx))
+    return out.reshape(batch_shape + (ny, nx)).astype(plane.dtype)
 
 
 def compute_tile_luts(plane: jnp.ndarray, clip_limit: float = 2.0,

@@ -53,24 +53,39 @@ def _clip255(x: jnp.ndarray) -> jnp.ndarray:
 
 def gray_from_bgr_planes(b: jnp.ndarray, g: jnp.ndarray,
                          r: jnp.ndarray) -> jnp.ndarray:
-    """int32 BGR planes → int32 gray plane (BT.601 fixed point)."""
-    return _descale(r * _R2Y + g * _G2Y + b * _B2Y)
+    """Integer BGR planes → gray plane (BT.601 fixed point).
+
+    Dtype-preserving: the 14-bit fixed-point products widen to int32
+    internally (they exceed int16), and the u8-domain result narrows
+    back to the input dtype — int16 planes are the fused pipeline's
+    traffic-lean contract."""
+    dt = b.dtype
+    b32, g32, r32 = (p.astype(jnp.int32) for p in (b, g, r))
+    return _descale(r32 * _R2Y + g32 * _G2Y + b32 * _B2Y).astype(dt)
 
 
 def bgr_planes_to_ycrcb_i32(b: jnp.ndarray, g: jnp.ndarray, r: jnp.ndarray):
-    """int32 BGR planes → (y, cr, cb) int32 planes, OpenCV-exact + saturated."""
-    y = _descale(r * _R2Y + g * _G2Y + b * _B2Y)
-    cr = _clip255(_descale((r - y) * _CR_COEF + _DELTA))
-    cb = _clip255(_descale((b - y) * _CB_COEF + _DELTA))
-    return y, cr, cb
+    """Integer BGR planes → (y, cr, cb) planes, OpenCV-exact + saturated.
+
+    Dtype-preserving (see :func:`gray_from_bgr_planes`)."""
+    dt = b.dtype
+    b32, g32, r32 = (p.astype(jnp.int32) for p in (b, g, r))
+    y = _descale(r32 * _R2Y + g32 * _G2Y + b32 * _B2Y)
+    cr = _clip255(_descale((r32 - y) * _CR_COEF + _DELTA))
+    cb = _clip255(_descale((b32 - y) * _CB_COEF + _DELTA))
+    return y.astype(dt), cr.astype(dt), cb.astype(dt)
 
 
 def ycrcb_planes_to_bgr_i32(y: jnp.ndarray, cr: jnp.ndarray, cb: jnp.ndarray):
-    """int32 YCrCb planes → (b, g, r) int32 planes, OpenCV-exact + saturated."""
-    r = _clip255(y + _descale((cr - 128) * _CR2R))
-    g = _clip255(y + _descale((cr - 128) * _CR2G + (cb - 128) * _CB2G))
-    b = _clip255(y + _descale((cb - 128) * _CB2B))
-    return b, g, r
+    """Integer YCrCb planes → (b, g, r) planes, OpenCV-exact + saturated.
+
+    Dtype-preserving (see :func:`gray_from_bgr_planes`)."""
+    dt = y.dtype
+    y32, cr32, cb32 = (p.astype(jnp.int32) for p in (y, cr, cb))
+    r = _clip255(y32 + _descale((cr32 - 128) * _CR2R))
+    g = _clip255(y32 + _descale((cr32 - 128) * _CR2G + (cb32 - 128) * _CB2G))
+    b = _clip255(y32 + _descale((cb32 - 128) * _CB2B))
+    return b.astype(dt), g.astype(dt), r.astype(dt)
 
 
 def bgr_to_gray_u8(bgr: jnp.ndarray) -> jnp.ndarray:
