@@ -95,6 +95,32 @@ def test_augment_batch_flip_and_hsv():
     assert out_i.dtype == np.uint8 and not np.array_equal(out_i, imgs)
 
 
+def test_track_cli_mot_output(tmp_path):
+    import tools.track as track
+    out = tmp_path / "tracks.txt"
+    rec = tmp_path / "annot.avi"
+    rc = track.main(["--source", "synthetic:3", "--frames", "12",
+                     "--out", str(out), "--record", str(rec),
+                     "--weights",
+                     "assets/yolov8n_synthetic_256.npz",
+                     "--width", "256", "--height", "256"])
+    assert rc == 0
+    rows = [ln.split(",") for ln in out.read_text().splitlines()]
+    assert rows, "trained weights on the synthetic scene must yield tracks"
+    frames = {int(r[0]) for r in rows}
+    ids = {int(r[1]) for r in rows}
+    assert min(frames) >= 1 and max(frames) <= 12
+    assert min(ids) >= 1
+    for r in rows:
+        assert len(r) == 10
+        w, h = float(r[4]), float(r[5])
+        assert w > 0 and h > 0
+        assert 0.0 < float(r[6]) <= 1.0
+    # annotated recording is a valid MJPEG AVI with one JPEG per frame
+    data = rec.read_bytes()
+    assert data[:4] == b"RIFF" and data.count(b"\xff\xd8\xff") == 12
+
+
 def test_mosaic_batch_accounting():
     from roadvision_tpu.detect.dataset import mosaic_batch
 

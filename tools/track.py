@@ -1,0 +1,115 @@
+"""Offline tracking: run the full pipeline over a source, write MOT output.
+
+The reference only visualizes tracks live (main_preview.py); there is no
+machine-readable track artifact. This CLI runs the fused engine
+(preprocess → detect → SORT → geometry per the config) over any video
+source and writes the MOT Challenge text format —
+``frame,id,bb_left,bb_top,bb_width,bb_height,conf,x,y,z`` (frame and id
+1-based; x,y = ground-plane meters when geometry is enabled, else -1) —
+so tracks can be scored with standard MOT tooling, plus an optional
+annotated recording.
+
+Usage:
+  python tools/track.py --source clip.avi --out tracks.txt
+  python tools/track.py --source synthetic:4 --frames 64 --out t.txt \
+      --weights assets/yolov8n_synthetic_256.npz --record annotated.avi
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+from roadvision_tpu.config import load_config  # noqa: E402
+from roadvision_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+from roadvision_tpu.io_video import VideoSource, make_writer  # noqa: E402
+from roadvision_tpu.runtime import PipelineEngine  # noqa: E402
+from roadvision_tpu.utils import get_logger  # noqa: E402
+from roadvision_tpu.vis import draw_detections  # noqa: E402
+
+log = get_logger("roadvision.track")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--source", required=True,
+                    help="video path / image dir / synthetic[:N] / camera")
+    ap.add_argument("--out", required=True, help="MOT-format output file")
+    ap.add_argument("--config", default=None,
+                    help="pipeline config (detection+tracking enabled "
+                         "automatically)")
+    ap.add_argument("--weights", default=None,
+                    help="override detect.model")
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--conf", type=float, default=None)
+    ap.add_argument("--record", default=None,
+                    help="also write an annotated video here")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+    cfg.setdefault("detect", {})["enabled"] = True
+    cfg.setdefault("tracking", {})["enabled"] = True
+    if args.weights:
+        cfg["detect"]["model"] = args.weights
+    if args.conf is not None:
+        cfg["detect"]["conf_thres"] = args.conf
+    cam = cfg.get("camera", {}) or {}
+
+    vs = VideoSource(source=args.source,
+                     width=args.width or cam.get("width", 1280),
+                     height=args.height or cam.get("height", 720),
+                     fps_request=cam.get("fps_request", 30),
+                     num_frames=args.frames)
+    engine = PipelineEngine(cfg)
+    writer = make_writer(args.record) if args.record else None
+
+    lines = []
+    n_frames = 0
+    n_tracks = set()
+    try:
+        for res in engine.stream(vs, max_frames=args.frames,
+                                 want_proc=writer is not None):
+            n_frames += 1
+            for d in res.detections:
+                if d.track_id is None:
+                    continue
+                n_tracks.add(d.track_id)
+                gx = gy = -1.0
+                if d.distance_m is not None and engine.projector is not None:
+                    pt = engine.projector.project_bbox(
+                        (d.x1, d.y1, d.x2, d.y2))
+                    if pt is not None:
+                        gx, gy = pt
+                lines.append(
+                    f"{n_frames},{d.track_id},{d.x1:.2f},{d.y1:.2f},"
+                    f"{d.x2 - d.x1:.2f},{d.y2 - d.y1:.2f},{d.conf:.4f},"
+                    f"{gx:.2f},{gy:.2f},-1")
+            if writer is not None:
+                proc = np.ascontiguousarray(res.proc)
+                if res.detections:
+                    draw_detections(proc, res.detections)
+                writer.write(proc)
+    finally:
+        if writer is not None:
+            writer.release()
+        vs.release()
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text("\n".join(lines) + ("\n" if lines else ""))
+    log.info("wrote %d MOT rows (%d tracks over %d frames) to %s",
+             len(lines), len(n_tracks), n_frames, out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
