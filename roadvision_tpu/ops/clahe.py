@@ -32,9 +32,8 @@ backend, tools/profile_preprocess.py):
     uint32 ``l11 | l12<<8 | l21<<16 | l22<<24`` per (column, bin), built
     exactly by two one-hot matmuls of 16-bit pairs (< 2²⁴, f32-exact).
     The sweep costs compare + select per bin per pixel on the image's
-    native (rows, w) lane layout, several bins per fori step
-    (``_SWEEP_CHUNK``) so the single loop-carried accumulator round-trips
-    16× less often. The bilinear blend runs once per pixel afterwards in
+    native (rows, w) lane layout, ``_SWEEP_CHUNK`` bins per fori step so
+    the single loop-carried accumulator round-trips 32× less often. The bilinear blend runs once per pixel afterwards in
     exact uint32 fixed point (weights are rationals over 2·tile) with
     round-half-even — deterministic across all fusion contexts, unlike a
     float blend (or OpenCV's own SIMD paths). Rejected by measurement:
@@ -45,9 +44,11 @@ backend, tools/profile_preprocess.py):
     16-wide per-pixel sub-table materializes); see
     tools/profile_preprocess.py.
 
-Everything is static-shaped and jit-compiled; the core runs on int32
-planes (uint8 VMEM is not vectorizable on TPU), with uint8 casts only at
-the public ``clahe_u8`` boundary.
+Everything is static-shaped and jit-compiled; the core is
+dtype-preserving over integer planes (the fused pipeline feeds int16 —
+half the traffic of int32 for u8-domain values; uint8 itself is not
+vectorizable in TPU VMEM), with uint8 casts only at the public
+``clahe_u8`` boundary.
 """
 from __future__ import annotations
 
