@@ -36,6 +36,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from roadvision_tpu.config import DEFAULTS, merge  # noqa: E402
 from roadvision_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+from roadvision_tpu.utils.resolutions import res_width  # noqa: E402
 
 enable_compilation_cache()
 
@@ -364,7 +365,7 @@ def streams_fps(res: int, streams: int, batch: int, iters: int) -> float:
     path spans real multi-chip meshes — tests/test_sharded_inference.py
     proves cross-device correctness on a virtual mesh)."""
     from roadvision_tpu.parallel import make_mesh, make_sharded_stream_step
-    width = {1080: 1920, 720: 1280, 480: 640}.get(res, res * 16 // 9)
+    width = res_width(res)
     engine = PipelineEngine(_cfg(res, width, batch))
     mesh = make_mesh(len(jax.devices()), model_parallel=1)
     step, init_states = make_sharded_stream_step(engine, (batch, res, width),
@@ -407,7 +408,7 @@ def calibrate_tflops() -> float:
 
 def main() -> int:
     res = int(os.environ.get("RVT_BENCH_RES", "1080"))
-    width = {1080: 1920, 720: 1280, 480: 640}.get(res, res * 16 // 9)
+    width = res_width(res)
     height = res
     batch = int(os.environ.get("RVT_BENCH_BATCH", "8"))
     iters = int(os.environ.get("RVT_BENCH_ITERS", "64"))

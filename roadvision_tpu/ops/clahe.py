@@ -67,6 +67,14 @@ from jax import lax
 # (measured at 1080p/batch 8, 24 iters: chunk 1 → 14.2 ms, 16 → 4.6 ms,
 # 32 → 3.6 ms, 64 → 8.3 ms)
 _SWEEP_CHUNK = int(os.environ.get("RVT_CLAHE_CHUNK", "32"))
+# The sweep walks 256 bins in fori steps of _SWEEP_CHUNK; a chunk that
+# does not divide 256 would silently skip the trailing bins (pixels in
+# them come out 0).  Fail loudly at import instead of corrupting images.
+if not (1 <= _SWEEP_CHUNK <= 256) or 256 % _SWEEP_CHUNK != 0:
+    raise ValueError(
+        f"RVT_CLAHE_CHUNK={_SWEEP_CHUNK} must be a divisor of 256 in [1, 256] "
+        "(e.g. 1, 2, 4, 8, 16, 32, 64, 128, 256)"
+    )
 
 
 def _reflect_pad_101(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:

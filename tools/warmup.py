@@ -33,11 +33,9 @@ from roadvision_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
 from roadvision_tpu.runtime import PipelineEngine  # noqa: E402
-from roadvision_tpu.utils import get_logger  # noqa: E402
+from roadvision_tpu.utils import get_logger, res_width  # noqa: E402
 
 log = get_logger("roadvision.warmup")
-
-_RES_W = {1080: 1920, 720: 1280, 480: 854, 360: 640}
 
 
 def warm_shape(engine: PipelineEngine, height: int, width: int,
@@ -73,10 +71,11 @@ def main(argv=None) -> int:
         shapes = []
         for tok in str(args.res).split(","):
             h = int(tok)
-            shapes.append((h, _RES_W.get(h, h * 16 // 9)))
+            shapes.append((h, res_width(h)))
     else:
         cam = cfg.get("camera", {}) or {}
-        shapes = [(int(cam.get("height", 480)), int(cam.get("width", 854)))]
+        h = int(cam.get("height", 480))
+        shapes = [(h, int(cam.get("width", res_width(h))))]
 
     t0 = time.perf_counter()
     for h, w in shapes:
