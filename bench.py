@@ -159,7 +159,8 @@ def overlay_encode_ms(width: int, height: int, iters: int = 24) -> float:
                               track_id=i + 1, distance_m=25.0 + i,
                               speed_kmh=40.0 + i))
     path = tempfile.mktemp(suffix=".avi")
-    writer = MJPEGAVIWriter(path, fps=30)
+    writer = MJPEGAVIWriter(path, fps=30,
+                            quality=DEFAULTS["preview"]["record"]["quality"])
     try:
         t0 = time.perf_counter()
         for k in range(iters):
@@ -175,6 +176,89 @@ def overlay_encode_ms(width: int, height: int, iters: int = 24) -> float:
         if os.path.exists(path):
             os.remove(path)
     return dt * 1e3
+
+
+def sustained_record_fps(width: int, height: int,
+                         n_frames: int = 1000,
+                         quality: int = 90) -> Tuple[float, float, float]:
+    """BASELINE config 5's record tail, sustained: overlay + compare canvas
+    + MJPEG encode + mux of ``n_frames`` consecutive frames through the
+    real writer (the exact code path ``main_preview.py --record`` runs per
+    frame), on moving content so every JPEG differs.
+
+    Device compute is 1.6 ms/frame and runs overlapped with this host
+    tail in the stream driver, so sustained-tail fps ≥ 30 is the record
+    budget gate at 1080p30. Returns (fps, encode_ms/frame, tail_ms/frame).
+    """
+    import tempfile
+
+    from roadvision_tpu.detect.types import Detection
+    from roadvision_tpu.io_video.writer import MJPEGAVIWriter, encode_jpeg_bgr
+    from roadvision_tpu.vis import draw_detections, make_canvas
+
+    rng = np.random.RandomState(0)
+    # road-like content: smooth gradient + texture noise (JPEG cost is
+    # content-dependent; pure noise over-penalizes, flat fields under-)
+    base = (np.linspace(0, 200, width)[None, :, None]
+            + np.linspace(0, 55, height)[:, None, None])
+    frame = np.clip(base + rng.normal(0, 8, (height, width, 3)),
+                    0, 255).astype(np.uint8)
+
+    def dets_at(k: int):
+        out = []
+        for i in range(12):
+            x1 = float(20 + 80 * i + 3 * k) % (width - 120)
+            y1 = float(30 + 53 * i + 2 * k) % (height - 90)
+            out.append(Detection(x1, y1, x1 + 100, y1 + 70, 0.8, 2, "car",
+                                 track_id=i + 1, distance_m=25.0 + i,
+                                 speed_kmh=40.0 + i))
+        return out
+
+    # encode-alone split first (same canvas the loop below writes)
+    proc = frame.copy()
+    draw_detections(proc, dets_at(0))
+    canvas0 = make_canvas(frame, proc, layout="h", divider_px=4,
+                          label_raw="RAW", label_proc="PROC",
+                          fps=30.0, show_fps=True)
+    t0 = time.perf_counter()
+    for _ in range(16):
+        encode_jpeg_bgr(canvas0, quality)
+    enc_ms = (time.perf_counter() - t0) / 16 * 1e3
+
+    # moving content, generated OUTSIDE the timed tail: in the driver the
+    # raw/proc frames arrive from the device-unpack step (whose cost the
+    # engine reports separately as host_unpack); a 24-frame scroll ring
+    # keeps every JPEG different without charging content synthesis to
+    # the record budget.
+    ring = [np.roll(frame, 45 * i, axis=0) for i in range(24)]
+
+    path = tempfile.mktemp(suffix=".avi")
+    writer = MJPEGAVIWriter(path, fps=30, quality=quality)
+    try:
+        # short warm (font cache, first alloc), then the sustained run
+        for k in range(8):
+            proc = frame.copy()
+            draw_detections(proc, dets_at(k))
+            writer.write(make_canvas(frame, proc, layout="h", divider_px=4,
+                                     label_raw="RAW", label_proc="PROC",
+                                     fps=30.0, show_fps=True))
+        t0 = time.perf_counter()
+        for k in range(n_frames):
+            raw = ring[k % len(ring)]
+            # compose first, then draw the overlay into the canvas's PROC
+            # half in place — the canvas copy doubles as the fresh proc
+            # buffer (the driver's proc arrives fresh from device unpack)
+            canvas = make_canvas(raw, raw, layout="h", divider_px=4,
+                                 label_raw="RAW", label_proc="PROC",
+                                 fps=30.0, show_fps=True)
+            draw_detections(canvas[:, width + 4:], dets_at(k))
+            writer.write(canvas)
+        elapsed = time.perf_counter() - t0
+    finally:
+        writer.release()
+        if os.path.exists(path):
+            os.remove(path)
+    return n_frames / elapsed, enc_ms, elapsed / n_frames * 1e3
 
 
 def latency_p50_ms(engine: PipelineEngine, width: int, height: int,
@@ -427,6 +511,21 @@ def main() -> int:
         print(json.dumps({"metric": "homography_batch100_calls_per_sec",
                           "value": round(rate, 2), "unit": "calls/sec",
                           "vs_baseline": round(rate / NORTH_STAR_FPS, 4)}))
+        return 0
+    if mode == "record":
+        n_frames = int(os.environ.get("RVT_BENCH_RECORD_FRAMES", "1000"))
+        quality = int(os.environ.get("RVT_BENCH_RECORD_Q", "85"))
+        fps, enc_ms, tail_ms = sustained_record_fps(width, height,
+                                                    n_frames, quality)
+        print(json.dumps({
+            "metric": f"record_tail_{res}p_sustained_fps",
+            "value": round(fps, 2), "unit": "frames/sec",
+            "vs_baseline": round(fps / 30.0, 4)}))  # vs the 1080p30 budget
+        print(f"[bench] sustained record tail: {fps:.2f} fps over "
+              f"{n_frames} frames (tail {tail_ms:.2f} ms/frame, JPEG encode "
+              f"{enc_ms:.2f} ms/frame at q={quality}, canvas "
+              f"{2 * width + 4}x{height}); device compute runs overlapped "
+              f"(1.6 ms/frame)", file=sys.stderr)
         return 0
     if mode == "streams":
         n_streams = int(os.environ.get("RVT_BENCH_STREAMS", "4"))

@@ -124,7 +124,8 @@ def main(argv=None) -> int:
     want_record = bool(record_cfg.get("enable", False)) or args.record
     if want_record:
         path = args.record or record_cfg.get("path", "out_compare.avi")
-        writer = make_writer(path, fps=record_cfg.get("fps", 30))
+        writer = make_writer(path, fps=record_cfg.get("fps", 30),
+                             quality=int(record_cfg.get("quality", 85)))
         log.info("recording to %s", path)
 
     want_compare = bool(compare_cfg.get("enable", True))
@@ -142,8 +143,14 @@ def main(argv=None) -> int:
     watcher = ConfigWatcher(args.config, cfg) if args.watch_config else None
 
     n_frames = 0
+    tail_s = 0.0
+    t_first = None
+    import time as _time
     try:
         for res in engine.stream(vs, max_frames=args.max_frames):
+            if t_first is None:
+                t_first = _time.perf_counter()  # end-to-end clock starts
+                # after the first result (compile/warmup excluded)
             if watcher is not None and n_frames % engine.batch_size == 0:
                 fresh = watcher.poll()
                 if fresh is not None:
@@ -154,6 +161,7 @@ def main(argv=None) -> int:
                     want_compare = bool(compare_cfg.get("enable", True))
                     layout = compare_cfg.get("layout", "h")
                     divider_px = int(compare_cfg.get("divider_px", 4))
+            t_tail = _time.perf_counter()
             proc = np.ascontiguousarray(res.proc)
             if draw_cfg.get("det", True) and res.detections:
                 draw_detections(proc, res.detections,
@@ -172,6 +180,7 @@ def main(argv=None) -> int:
 
             if writer:
                 writer.write(canvas)
+            tail_s += _time.perf_counter() - t_tail
             if show:
                 cv2.imshow("Compare Preview" if want_compare else "Preview",
                            canvas)
@@ -189,6 +198,13 @@ def main(argv=None) -> int:
             cv2.destroyAllWindows()
         log.info("processed %d frames; stage times: %s",
                  n_frames, engine.timer.summary())
+        if n_frames > 1 and t_first is not None:
+            wall = _time.perf_counter() - t_first
+            log.info("sustained %.2f fps end-to-end (%d frames after "
+                     "warmup); overlay%s tail %.2f ms/frame",
+                     (n_frames - 1) / wall, n_frames - 1,
+                     "+record" if writer else "",
+                     tail_s / max(1, n_frames) * 1e3)
     return 0
 
 

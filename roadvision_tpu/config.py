@@ -31,7 +31,14 @@ DEFAULTS: Dict[str, Any] = {
         show_fps=True,
         compare=dict(enable=True, layout="h", label_raw="RAW",
                      label_proc="PROC", divider_px=4),
-        record=dict(enable=False, path="out_compare.mp4", fps=30),
+        # quality 85: the recorded-realtime default. On a 1-core host the
+        # MJPEG encode of the 2x1080p compare canvas measures ~18 ms/frame
+        # at q=85 vs ~21-25 at q=90 (run-to-run CPU variance included) —
+        # q=85 holds 30 fps sustained with margin, q=90 sits exactly at
+        # the budget. Raise it on hosts with cores to spare (the writer's
+        # encode pool re-engages automatically when >2 cores exist).
+        record=dict(enable=False, path="out_compare.mp4", fps=30,
+                    quality=85),
     ),
     "preprocess": dict(
         enabled=False, chain=[],

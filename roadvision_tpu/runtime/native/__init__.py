@@ -17,23 +17,30 @@ import numpy as np
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "host_ops.cpp"
 _LIB = _HERE / "libhostops.so"
+_JPEG_SRC = _HERE / "jpeg_enc.cpp"
+_JPEG_LIB = _HERE / "libjpegenc.so"
 
 _lib: Optional[ctypes.CDLL] = None
+_jpeg_lib = None  # None = untried, False = unavailable
 
 
-def _build() -> Optional[ctypes.CDLL]:
+def _compile(src: Path, lib: Path, extra=()) -> Optional[ctypes.CDLL]:
     if os.environ.get("RVT_NATIVE", "1") == "0":
         return None
     try:
-        if (not _LIB.exists()
-                or _LIB.stat().st_mtime < _SRC.stat().st_mtime):
+        if (not lib.exists()
+                or lib.stat().st_mtime < src.stat().st_mtime):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", str(_SRC),
-                 "-o", str(_LIB)],
+                ["g++", "-O3", "-shared", "-fPIC", str(src),
+                 "-o", str(lib), *extra],
                 check=True, capture_output=True, timeout=120)
-        return ctypes.CDLL(str(_LIB))
+        return ctypes.CDLL(str(lib))
     except Exception:
         return None
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    return _compile(_SRC, _LIB)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -64,6 +71,42 @@ def _ptr(arr: np.ndarray):
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def get_jpeg_lib():
+    """libjpeg-turbo encode tail; False when -ljpeg is unavailable."""
+    global _jpeg_lib
+    if _jpeg_lib is None:
+        lib = _compile(_JPEG_SRC, _JPEG_LIB, extra=("-ljpeg",))
+        if lib is not None:
+            lib.rvt_jpeg_encode_bgr.restype = ctypes.c_long
+            lib.rvt_jpeg_encode_bgr.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_long, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+            lib.rvt_jpeg_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        _jpeg_lib = lib if lib is not None else False
+    return _jpeg_lib
+
+
+def jpeg_encode_bgr(frame: np.ndarray, quality: int = 90,
+                    fast_dct: bool = True) -> Optional[bytes]:
+    """JPEG-encode an (h, w, 3) uint8 BGR frame; None if unavailable."""
+    lib = get_jpeg_lib()
+    if not lib:
+        return None
+    arr = np.ascontiguousarray(frame)
+    h, w = arr.shape[:2]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.rvt_jpeg_encode_bgr(_ptr(arr), h, w, arr.strides[0],
+                                int(quality), int(bool(fast_dct)),
+                                ctypes.byref(out))
+    if n < 0:
+        return None
+    try:
+        return ctypes.string_at(out, n)
+    finally:
+        lib.rvt_jpeg_free(out)
 
 
 def fill_rect(img: np.ndarray, x1: int, y1: int, x2: int, y2: int, color):

@@ -78,3 +78,56 @@ def test_draw_detections_native_equals_numpy():
     draw_mod.draw_detections(a, dets)          # native path (if available)
     _numpy_draw(draw_mod.draw_detections, b, dets)
     np.testing.assert_array_equal(a, b)
+
+
+def test_native_jpeg_encoder_decodes_back():
+    """The libjpeg-turbo tail produces a valid JPEG whose decoded pixels
+    match the input to normal lossy tolerance, in the right channel order
+    (JCS_EXT_BGR must not swap R/B)."""
+    import io
+
+    from PIL import Image
+
+    if native.get_jpeg_lib() in (None, False):
+        pytest.skip("libjpeg unavailable")
+    h, w = 60, 90
+    frame = np.zeros((h, w, 3), np.uint8)
+    frame[:, : w // 3] = (255, 0, 0)      # pure blue in BGR
+    frame[:, w // 3: 2 * w // 3] = (0, 255, 0)
+    frame[:, 2 * w // 3:] = (0, 0, 255)   # pure red in BGR
+    data = native.jpeg_encode_bgr(frame, quality=95)
+    assert data is not None and data[:3] == b"\xff\xd8\xff"
+    rgb = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    # left third must decode blue (high B, low R) — catches channel swap
+    assert rgb[h // 2, 5, 2] > 200 and rgb[h // 2, 5, 0] < 60
+    assert rgb[h // 2, w - 5, 0] > 200 and rgb[h // 2, w - 5, 2] < 60
+    bgr = rgb[..., ::-1]
+    assert np.mean(np.abs(bgr.astype(int) - frame.astype(int))) < 8
+
+
+def test_writer_encode_uses_native_and_matches_pil_closely():
+    """encode_jpeg_bgr routes through the native tail when available and
+    the result decodes within lossy tolerance of the PIL fallback."""
+    import io
+
+    from PIL import Image
+
+    from roadvision_tpu.io_video import writer as writer_mod
+
+    if native.get_jpeg_lib() in (None, False):
+        pytest.skip("libjpeg unavailable")
+    rng = np.random.RandomState(7)
+    frame = np.clip(
+        np.linspace(0, 200, 120)[None, :, None]
+        + rng.normal(0, 6, (80, 120, 3)), 0, 255).astype(np.uint8)
+    data = writer_mod.encode_jpeg_bgr(frame, quality=90)
+    nat = native.jpeg_encode_bgr(frame, quality=90, fast_dct=False)
+    assert data == nat  # the writer picked the native path
+
+    img = Image.frombuffer("RGB", (120, 80), np.ascontiguousarray(frame),
+                           "raw", "BGR", 0, 1)
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=90)
+    a = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), int)
+    b = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"), int)
+    assert np.mean(np.abs(a - b)) < 3.0
