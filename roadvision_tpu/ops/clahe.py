@@ -76,6 +76,20 @@ if not (1 <= _SWEEP_CHUNK <= 256) or 256 % _SWEEP_CHUNK != 0:
         "(e.g. 1, 2, 4, 8, 16, 32, 64, 128, 256)"
     )
 
+# Final bilinear blend modes:
+#   "cv2" (default) — reproduces OpenCV's float32 blend bit-for-bit on
+#     grid-divisible geometry (every reference resolution divides the
+#     8x8 grid; proven vs the real library in
+#     tests/test_cv2_crosscheck.py). Each multiply is sealed with a
+#     min-guard so XLA cannot contract mul+add into FMA — the roundings
+#     stay separate binary32 ops, deterministic on any IEEE backend.
+#   "fixed" — exact-rational uint32 blend, round-half-even. Pure integer
+#     (no float rounding anywhere); within 1 LSB of cv2, whose own blend
+#     varies by platform (v_muladd is mul+add on SSE, fused on NEON).
+# Selected per call via the ``blend`` argument, or globally via
+# RVT_CLAHE_BLEND.
+_DEFAULT_BLEND = os.environ.get("RVT_CLAHE_BLEND", "cv2")
+
 
 def _reflect_pad_101(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:
     """BORDER_REFLECT_101 pad on bottom/right only (OpenCV CLAHE extension)."""
@@ -171,8 +185,17 @@ def _row_bands(ty1: np.ndarray, ty2: np.ndarray):
 def _luts_for_plane(x: jnp.ndarray, clip_limit: float, gy: int, gx: int):
     """(b, h, w) int32 plane → ((b, gy, gx, 256) int32 LUTs, tile h/w)."""
     b, h, w = x.shape
-    pad_h = (gy - h % gy) % gy
-    pad_w = (gx - w % gx) % gx
+    if h % gy == 0 and w % gx == 0:
+        pad_h = pad_w = 0
+    else:
+        # OpenCV quirk (clahe.cpp): when EITHER dim is ragged it pads BOTH
+        # with ``tiles - size % tiles`` and no outer modulo — a dimension
+        # that already divides evenly gains a FULL extra tile of
+        # REFLECT_101 rows/cols (e.g. 120x160 on a 2x3 grid pads to
+        # 122x162, th=61 not 60). Replicated for bit parity
+        # (tests/test_cv2_crosscheck.py).
+        pad_h = gy - h % gy
+        pad_w = gx - w % gx
     xe = _reflect_pad_101(x, pad_h, pad_w)
     th, tw = (h + pad_h) // gy, (w + pad_w) // gx
     tile_area = th * tw
@@ -185,7 +208,8 @@ def _luts_for_plane(x: jnp.ndarray, clip_limit: float, gy: int, gx: int):
 
 def _apply_band_sweep(x: jnp.ndarray, luts: jnp.ndarray,
                       th: int, tw: int, gy: int, gx: int,
-                      full_hw=None, rows=None, cols=None) -> jnp.ndarray:
+                      full_hw=None, rows=None, cols=None,
+                      blend: str = None) -> jnp.ndarray:
     """Bilinear 4-tile LUT blend of (b, h, w) int32 values, gather-free.
 
     Within a row band the two y-neighbor tile rows (ty1, ty2) are
@@ -208,16 +232,20 @@ def _apply_band_sweep(x: jnp.ndarray, luts: jnp.ndarray,
     every fusion context (OpenCV's own SIMD vs scalar paths differ by ±1
     here).
     """
+    if blend is None:
+        blend = _DEFAULT_BLEND
+    fixed_blend = blend != "cv2"
     b, h, w = x.shape
     fh, fw = full_hw if full_hw is not None else (h, w)
-    ty1, ty2, _ = _interp_coords(fh, th, gy)
-    tx1, tx2, _ = _interp_coords(fw, tw, gx)
+    ty1, ty2, yaf = _interp_coords(fh, th, gy)
+    tx1, tx2, xaf = _interp_coords(fw, tw, gx)
     yan = _interp_weight_num(fh, th)       # ya = yan / (2·th), exact
     xan = _interp_weight_num(fw, tw)
     if rows is not None:                   # x is a sampled sub-grid of a
-        ty1, ty2, yan = ty1[rows], ty2[rows], yan[rows]  # (fh, fw) plane
+        ty1, ty2, yan, yaf = (ty1[rows], ty2[rows], yan[rows],
+                              yaf[rows])   # (fh, fw) plane
     if cols is not None:
-        tx1, tx2, xan = tx1[cols], tx2[cols], xan[cols]
+        tx1, tx2, xan, xaf = tx1[cols], tx2[cols], xan[cols], xaf[cols]
     bands = _row_bands(ty1, ty2)
 
     eye = np.eye(gx, dtype=np.float32)
@@ -260,19 +288,50 @@ def _apply_band_sweep(x: jnp.ndarray, luts: jnp.ndarray,
         l12 = (acc >> 8) & 255
         l21 = (acc >> 16) & 255
         l22 = acc >> 24
-        top = l11 * (twn - xa_n) + l12 * xa_n        # ≤ 255·2·tw
-        bot = l21 * (twn - xa_n) + l22 * xa_n
-        ya_n = jnp.asarray(yan[y0:y1].astype(np.uint32))[None, :, None]
-        num = top * (thn - ya_n) + bot * ya_n        # ≤ 255·4·th·tw < 2³²
-        q = num // den
-        rem = num - q * den
-        up = (2 * rem > den) | ((2 * rem == den) & ((q & 1) == 1))
-        outs.append((q + up.astype(jnp.uint32)).astype(jnp.int32))
+        if fixed_blend:
+            top = l11 * (twn - xa_n) + l12 * xa_n    # ≤ 255·2·tw
+            bot = l21 * (twn - xa_n) + l22 * xa_n
+            ya_n = jnp.asarray(yan[y0:y1].astype(np.uint32))[None, :, None]
+            num = top * (thn - ya_n) + bot * ya_n    # ≤ 255·4·th·tw < 2³²
+            q = num // den
+            rem = num - q * den
+            up = (2 * rem > den) | ((2 * rem == den) & ((q & 1) == 1))
+            outs.append((q + up.astype(jnp.uint32)).astype(jnp.int32))
+        else:
+            # cv2-exact blend: OpenCV computes
+            # (l11·xa1 + l12·xa)·ya1 + (l21·xa1 + l22·xa)·ya with each
+            # multiply/add rounding separately in binary32, then cvRound.
+            # A plain jnp formulation is NOT equivalent: XLA's CPU
+            # codegen contracts mul+add into llvm.fmuladd (single
+            # rounding) even across optimization_barrier — measured 14%
+            # of random lerps off by 1 ulp. The min-with-huge-constant
+            # guard is semantically a no-op for in-range values but
+            # breaks the fmuladd pattern, forcing the separate f32
+            # rounding cv2's SSE path has (bit-verified vs strict
+            # float64-step emulation and vs cv2 itself in
+            # tests/test_cv2_crosscheck.py).
+            big = jnp.float32(1e30)
+
+            def sealed(v):
+                return jnp.minimum(v, big)
+
+            # weights and complements exactly as cv2 rounds them
+            # (1.0f - xa is itself a rounded f32 op) — host-side numpy
+            xa = jnp.asarray(xaf)[None, None, :]
+            xa1 = jnp.asarray(np.float32(1.0) - xaf)[None, None, :]
+            ya = jnp.asarray(yaf[y0:y1])[None, :, None]
+            ya1 = jnp.asarray(np.float32(1.0) - yaf[y0:y1])[None, :, None]
+            top = sealed(l11.astype(jnp.float32) * xa1) \
+                + sealed(l12.astype(jnp.float32) * xa)
+            bot = sealed(l21.astype(jnp.float32) * xa1) \
+                + sealed(l22.astype(jnp.float32) * xa)
+            res = sealed(sealed(top) * ya1) + sealed(sealed(bot) * ya)
+            outs.append(jnp.clip(jnp.rint(res), 0, 255).astype(jnp.int32))
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
 def clahe_planar_i32(plane: jnp.ndarray, clip_limit: float = 2.0,
-                     grid: tuple = (8, 8)) -> jnp.ndarray:
+                     grid: tuple = (8, 8), blend: str = None) -> jnp.ndarray:
     """CLAHE on an int32 (..., H, W) plane with values in [0, 255].
 
     The fused-pipeline building block: int32 in/out so the surrounding
@@ -283,13 +342,14 @@ def clahe_planar_i32(plane: jnp.ndarray, clip_limit: float = 2.0,
     h, w = plane.shape[-2], plane.shape[-1]
     x = plane.reshape((-1, h, w))
     luts, th, tw = _luts_for_plane(x, clip_limit, gy, gx)
-    out = _apply_band_sweep(x, luts, th, tw, gy, gx)
+    out = _apply_band_sweep(x, luts, th, tw, gy, gx, blend=blend)
     return out.reshape(batch_shape + (h, w)).astype(plane.dtype)
 
 
 def clahe_planar_sampled_i32(plane: jnp.ndarray, plan_y, plan_x,
                              clip_limit: float = 2.0,
-                             grid: tuple = (8, 8)) -> jnp.ndarray:
+                             grid: tuple = (8, 8),
+                             blend: str = None) -> jnp.ndarray:
     """CLAHE with the LUT apply evaluated only at a strided sample grid.
 
     Histogram/clip/CDF run on the FULL plane (they are defined over all
@@ -309,7 +369,8 @@ def clahe_planar_sampled_i32(plane: jnp.ndarray, plan_y, plan_x,
     cols = np.arange(nx) * sx + ox
     xs = x[:, oy:oy + sy * ny:sy, ox:ox + sx * nx:sx]
     out = _apply_band_sweep(xs, luts, th, tw, gy, gx,
-                            full_hw=(h, w), rows=rows, cols=cols)
+                            full_hw=(h, w), rows=rows, cols=cols,
+                            blend=blend)
     return out.reshape(batch_shape + (ny, nx)).astype(plane.dtype)
 
 
@@ -327,9 +388,9 @@ def compute_tile_luts(plane: jnp.ndarray, clip_limit: float = 2.0,
     return luts.reshape(plane.shape[:-2] + (gy, gx, 256))
 
 
-@functools.partial(jax.jit, static_argnames=("clip_limit", "grid"))
+@functools.partial(jax.jit, static_argnames=("clip_limit", "grid", "blend"))
 def clahe_u8(plane: jnp.ndarray, clip_limit: float = 2.0,
-             grid: tuple = (8, 8)) -> jnp.ndarray:
+             grid: tuple = (8, 8), blend: str = None) -> jnp.ndarray:
     """Apply CLAHE to a batch of uint8 luma planes.
 
     Args:
@@ -340,4 +401,4 @@ def clahe_u8(plane: jnp.ndarray, clip_limit: float = 2.0,
     Returns (..., H, W) uint8.
     """
     return clahe_planar_i32(plane.astype(jnp.int32), clip_limit,
-                            grid).astype(jnp.uint8)
+                            grid, blend=blend).astype(jnp.uint8)

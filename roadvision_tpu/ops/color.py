@@ -20,9 +20,15 @@ import jax.numpy as jnp
 
 # BT.601 luma coefficients in 14-bit fixed point (descale shift = 14):
 # round(0.299*16384)=4899, round(0.587*16384)=9617, round(0.114*16384)=1868.
+# Used by the YCrCb conversions (bit-exact vs cv2, verified exhaustively).
 _SHIFT = 14
 _HALF = 1 << (_SHIFT - 1)
 _R2Y, _G2Y, _B2Y = 4899, 9617, 1868
+# GRAY uses OpenCV's newer bit-exact path (15-bit, coefficients summing
+# to 1<<15 so neutral gray is a fixpoint): verified bit-for-bit against
+# cv2 5.0 over ALL 2^24 BGR inputs (tests/test_cv2_crosscheck.py).
+_GRAY_SHIFT = 15
+_R2GRAY, _G2GRAY, _B2GRAY = 9798, 19235, 3735
 # YCrCb chroma: round(0.713*16384)=11682, round(0.564*16384)=9241.
 _CR_COEF, _CB_COEF = 11682, 9241
 # Inverse: 1.403→22987, 0.714→11698, 0.344→5636, 1.773→29049.
@@ -61,7 +67,9 @@ def gray_from_bgr_planes(b: jnp.ndarray, g: jnp.ndarray,
     traffic-lean contract."""
     dt = b.dtype
     b32, g32, r32 = (p.astype(jnp.int32) for p in (b, g, r))
-    return _descale(r32 * _R2Y + g32 * _G2Y + b32 * _B2Y).astype(dt)
+    return jnp.right_shift(
+        r32 * _R2GRAY + g32 * _G2GRAY + b32 * _B2GRAY
+        + (1 << (_GRAY_SHIFT - 1)), _GRAY_SHIFT).astype(dt)
 
 
 def bgr_planes_to_ycrcb_i32(b: jnp.ndarray, g: jnp.ndarray, r: jnp.ndarray):
@@ -89,10 +97,12 @@ def ycrcb_planes_to_bgr_i32(y: jnp.ndarray, cr: jnp.ndarray, cb: jnp.ndarray):
 
 
 def bgr_to_gray_u8(bgr: jnp.ndarray) -> jnp.ndarray:
-    """BGR uint8 → GRAY uint8, exact OpenCV fixed-point path."""
+    """BGR uint8 → GRAY uint8, OpenCV's bit-exact 15-bit path."""
     x = bgr.astype(jnp.int32)
     b, g, r = x[..., 0], x[..., 1], x[..., 2]
-    return _descale(r * _R2Y + g * _G2Y + b * _B2Y).astype(jnp.uint8)
+    return jnp.right_shift(
+        r * _R2GRAY + g * _G2GRAY + b * _B2GRAY
+        + (1 << (_GRAY_SHIFT - 1)), _GRAY_SHIFT).astype(jnp.uint8)
 
 
 def bgr_to_ycrcb_u8(bgr: jnp.ndarray) -> jnp.ndarray:
@@ -131,6 +141,18 @@ _LAB_SHIFT2 = _LAB_SHIFT + _GAMMA_SHIFT  # 15
 _LAB_CBRT_TAB_N = (255 * 3 // 2 + 1) * (1 << _GAMMA_SHIFT)  # x ∈ [0, ~1.5]
 
 
+# OpenCV builds LabCbrtTab_b with its softfloat cbrt (frozen since 3.4.1
+# for cross-platform bit-exactness); a correctly-rounded float64 cbrt
+# lands on the other side of the rounding half at exactly these 2 of
+# 3064 entries. Solved as a difference-bound system over every one of
+# cv2's 2^24 outputs (each pixel constrains fx-fy, fy-fz and fy; the
+# tightest feasible table nearest the float64 prior differs only here)
+# and validated by an exhaustive sweep (tests/test_cv2_crosscheck.py);
+# the softfloat freeze makes the values stable across OpenCV
+# versions/platforms.
+_LAB_CBRT_SOFTFLOAT_DELTAS = {49: -1, 628: 1}
+
+
 def _build_lab_tables():
     import numpy as np
     # gamma: u8 → linear, scaled to [0, 255·8]
@@ -142,6 +164,8 @@ def _build_lab_tables():
         / (255.0 * (1 << _GAMMA_SHIFT))
     f = np.where(x < 0.008856, x * 7.787 + 16.0 / 116.0, np.cbrt(x))
     cbrt_tab = np.rint(f * (1 << _LAB_SHIFT2)).astype(np.int32)
+    for idx, d in _LAB_CBRT_SOFTFLOAT_DELTAS.items():
+        cbrt_tab[idx] += d
     # 12-bit XYZ-over-white coefficients (rows X, Y, Z × cols R, G, B)
     m = np.asarray(_XYZ_FROM_RGB, np.float64)
     white = np.asarray(_WHITE, np.float64)
@@ -241,6 +265,106 @@ def bgr_to_lab_u8(bgr: jnp.ndarray) -> jnp.ndarray:
         _sat_u8(jnp.rint(a + 128.0).astype(jnp.int32)),
         _sat_u8(jnp.rint(b + 128.0).astype(jnp.int32)),
     ], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Integer LAB→BGR inverse (OpenCV's Lab2RGBinteger pipeline). Structure:
+# a 256-entry L→(y, ify) table (BASE=2^14 fixed point), integer a/b
+# de-scalings with OpenCV's exact magic divisors (5·53687>>13 ≈ BASE/500,
+# 41943>>9 ≈ BASE/200), a 36864-entry f→t inverse table (linear toe /
+# integer cube with C truncation semantics), a 12-bit XYZ→linearRGB
+# matrix with CV_DESCALE(·,14), and a 4096-entry inverse-gamma table.
+# Every rounding choice below was pinned by fitting against cv2 and then
+# verified bit-for-bit over ALL 2^24 LAB inputs (tests/test_cv2_crosscheck.py).
+# ---------------------------------------------------------------------------
+_INV_BASE_SHIFT = 14
+_INV_BASE = 1 << _INV_BASE_SHIFT
+_INV_MINAB = -8145
+_INV_GAMMA_N = 4096
+
+
+def _build_lab_inv_tables():
+    import numpy as np
+
+    # L → (y, ify), both scaled by BASE
+    li = np.arange(256, dtype=np.float64) * 100.0 / 255.0
+    toe = li <= 0.008856 * 903.3
+    y_toe = li / 903.3
+    fy = (li + 16.0) / 116.0
+    y_tab = np.where(toe, np.rint(_INV_BASE * y_toe),
+                     np.rint(_INV_BASE * fy ** 3)).astype(np.int32)
+    ify_tab = np.where(toe,
+                       np.rint(_INV_BASE * (7.787 * y_toe + 16.0 / 116.0)),
+                       np.rint(_INV_BASE * fy)).astype(np.int32)
+
+    # f → t inverse over ify+adiv ∈ [minab, BASE*9/4): linear toe below
+    # fThresh=3390 (6/29·BASE), integer cube above — C division truncates
+    # toward zero, matching OpenCV's expression i*i/BASE*i/BASE
+    i = np.arange(_INV_MINAB, _INV_BASE * 9 // 4, dtype=np.int64)
+
+    def ctrunc(a, d):
+        q = np.abs(a) // d
+        return np.where(a < 0, -q, q)
+
+    lin = ctrunc(i * 108, 841) - 290
+    cube = ctrunc(ctrunc(i * i, _INV_BASE) * i, _INV_BASE)
+    ab_tab = np.where(i <= 3390, lin, cube).astype(np.int32)
+
+    # 12-bit XYZ→linear-sRGB coefficients (white folded per column)
+    m = np.asarray(_RGB_FROM_XYZ, np.float64)
+    white = np.asarray(_WHITE, np.float64)
+    coeffs = np.rint(m * white[None, :] * (1 << 12)).astype(np.int64)
+
+    # linear (0..4095/4096) → 8-bit sRGB-encoded
+    t = np.arange(_INV_GAMMA_N, dtype=np.float64) / _INV_GAMMA_N
+    g = np.where(t <= 0.0031308, t * 12.92,
+                 1.055 * t ** (1.0 / 2.4) - 0.055)
+    gamma_tab = np.rint(g * 255.0).astype(np.int32)
+    return y_tab, ify_tab, ab_tab, coeffs, gamma_tab
+
+
+_LAB_INV_TABLES = None
+
+
+def _lab_inv_tables():
+    global _LAB_INV_TABLES
+    if _LAB_INV_TABLES is None:
+        _LAB_INV_TABLES = _build_lab_inv_tables()
+    return _LAB_INV_TABLES
+
+
+def lab_to_bgr_u8_fixed(lab: jnp.ndarray) -> jnp.ndarray:
+    """LAB uint8 → BGR uint8 via OpenCV's integer pipeline (Lab2RGBinteger).
+
+    Bit-exact vs cv2 over the full 2^24 input domain (exhaustive sweep in
+    tests/test_cv2_crosscheck.py). Table lookups are jnp gathers — fine
+    for this opt-in path (reference: src/preprocess/ops/clahe_dehaze.py:26,
+    the ``space: LAB`` CLAHE mode's back-conversion)."""
+    y_np, ify_np, ab_np, c, gamma_np = _lab_inv_tables()
+    y_tab = jnp.asarray(y_np)
+    ify_tab = jnp.asarray(ify_np)
+    ab_tab = jnp.asarray(ab_np)
+    gamma = jnp.asarray(gamma_np)
+    x = lab.astype(jnp.int32)
+    ll, aa, bb = x[..., 0], x[..., 1], x[..., 2]
+    yy = jnp.take(y_tab, ll)
+    ify = jnp.take(ify_tab, ll)
+    adiv = jnp.right_shift(5 * aa * 53687 + (1 << 7), 13) \
+        - 128 * _INV_BASE // 500
+    bdiv = jnp.right_shift(bb * 41943 + (1 << 4), 9) \
+        - 128 * _INV_BASE // 200 + 1
+    nmax = ab_np.shape[0] - 1
+    xx = jnp.take(ab_tab, jnp.clip(ify + adiv - _INV_MINAB, 0, nmax))
+    zz = jnp.take(ab_tab, jnp.clip(ify - bdiv - _INV_MINAB, 0, nmax))
+
+    def chan(row):
+        v = jnp.right_shift(
+            int(c[row, 0]) * xx + int(c[row, 1]) * yy + int(c[row, 2]) * zz
+            + (1 << 13), 14)
+        return jnp.take(gamma, jnp.clip(v, 0, _INV_GAMMA_N - 1))
+
+    r, g, b = chan(0), chan(1), chan(2)
+    return jnp.stack([_sat_u8(b), _sat_u8(g), _sat_u8(r)], axis=-1)
 
 
 def lab_to_bgr_u8(lab: jnp.ndarray) -> jnp.ndarray:

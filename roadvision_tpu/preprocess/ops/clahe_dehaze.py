@@ -64,11 +64,12 @@ class CLAHEDehaze(PreprocessOp):
     def apply_batch(self, frames: jnp.ndarray) -> jnp.ndarray:
         space, clip_limit, grid = self._settings()
         if space == "LAB":
-            # forward conversion is OpenCV's exact integer u8 pipeline;
-            # the inverse stays float (±1 LSB vs OpenCV's LUT inverse)
+            # both directions are OpenCV's exact integer u8 pipelines
+            # (bit-exact vs cv2 over the full input domain — see
+            # tests/test_cv2_crosscheck.py)
             lab = color.bgr_to_lab_u8_fixed(frames)
             l2 = clahe_u8(lab[..., 0], clip_limit=clip_limit, grid=(grid, grid))
-            return color.lab_to_bgr_u8(
+            return color.lab_to_bgr_u8_fixed(
                 jnp.concatenate([l2[..., None], lab[..., 1:]], axis=-1))
         x = frames.astype(jnp.int32)
         b, g, r = self.apply_planar((x[..., 0], x[..., 1], x[..., 2]))

@@ -15,9 +15,13 @@ def descale(x):
 
 
 def bgr_to_gray(bgr):
+    """OpenCV's bit-exact gray: 15-bit coefficients summing to 1<<15
+    (9798+19235+3735 = 32768), round-half-up descale. Verified against
+    cv2 5.0 over all 2^24 inputs (tests/test_cv2_crosscheck.py)."""
     x = bgr.astype(np.int64)
     b, g, r = x[..., 0], x[..., 1], x[..., 2]
-    return descale(r * 4899 + g * 9617 + b * 1868).astype(np.uint8)
+    return ((r * 9798 + g * 19235 + b * 3735 + (1 << 14)) >> 15) \
+        .astype(np.uint8)
 
 
 def bgr_to_ycrcb(bgr):

@@ -21,7 +21,7 @@ def test_gray_known_values():
     px = np.array([[[255, 255, 255], [0, 0, 0], [0, 0, 255]]], dtype=np.uint8)
     got = np.asarray(color.bgr_to_gray_u8(px))[0]
     assert got[0] == 255 and got[1] == 0
-    # 0.299*255 = 76.245 → fixed point gives 76
+    # 0.299*255 = 76.245 → bit-exact 15-bit path gives 76 too
     assert got[2] == 76
 
 
@@ -40,7 +40,7 @@ def test_gray_neutral_equals_channels():
     v = np.arange(256, dtype=np.uint8)
     bgr = np.stack([v, v, v], axis=-1)[None]
     got = np.asarray(color.bgr_to_gray_u8(bgr))[0]
-    # coefficients sum to 16384 exactly → neutral gray maps to itself
+    # coefficients sum to 1<<15 exactly → neutral gray maps to itself
     np.testing.assert_array_equal(got, v)
 
 
