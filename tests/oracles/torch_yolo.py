@@ -217,3 +217,54 @@ def unletterbox_boxes(boxes, ratio, pad, orig_hw):
     out[..., [0, 2]] = out[..., [0, 2]].clip(0, w)
     out[..., [1, 3]] = out[..., [1, 3]].clip(0, h)
     return out
+
+
+def greedy_nms(boxes, scores, conf_thres=0.25, iou_thres=0.7, max_det=100,
+               pre_topk=300, classes_keep=None):
+    """Sequential greedy class-aware NMS in plain numpy — the torch twin's
+    stand-in for the torchvision NMS that ultralytics predict runs
+    (reference: src/detect/yolo_ultralytics.py:28-35). Same pinned
+    semantics as roadvision_tpu.ops.nms: strict > thresholds, per-anchor
+    best class, 7680 class offset, score-descending greedy, max_det cap,
+    classes_keep filtered AFTER NMS/max_det. Written as the obvious
+    O(K^2) sequential loop so it is an independent check of the Jacobi
+    fixpoint formulation.
+
+    Returns (boxes (M,4), conf (M,), cls (M,) int) for the M survivors,
+    score-descending — variable length, the Python-list shape of the
+    reference's predict output.
+    """
+    boxes = np.asarray(boxes, np.float32)
+    scores = np.asarray(scores, np.float32)
+    conf = scores.max(-1)
+    cls = scores.argmax(-1).astype(np.int64)
+    cand = np.nonzero(conf > conf_thres)[0]
+    # score-descending, stable for ties (top_k on the jax side is stable)
+    cand = cand[np.argsort(-conf[cand], kind="stable")][:pre_topk]
+    b = boxes[cand] + cls[cand, None].astype(np.float32) * 7680.0
+    keep = []
+    for i in range(len(cand)):
+        x1, y1, x2, y2 = b[i]
+        area_i = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+        ok = True
+        for j in keep:
+            jx1, jy1, jx2, jy2 = b[j]
+            iw = min(x2, jx2) - max(x1, jx1)
+            ih = min(y2, jy2) - max(y1, jy1)
+            if iw <= 0 or ih <= 0:
+                continue
+            inter = iw * ih
+            area_j = max(0.0, jx2 - jx1) * max(0.0, jy2 - jy1)
+            union = area_i + area_j - inter
+            if union > 0 and inter / union > iou_thres:
+                ok = False
+                break
+        if ok:
+            keep.append(i)
+            if len(keep) == max_det:
+                break
+    sel = cand[keep]
+    if classes_keep is not None:
+        allowed = np.isin(cls[sel], np.asarray(list(classes_keep)))
+        sel = sel[allowed]
+    return boxes[sel], conf[sel], cls[sel]

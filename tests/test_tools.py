@@ -239,15 +239,21 @@ def test_calibrate_cli(tmp_path, capsys):
     X, Y = proj.project_point(320, 280)
     assert abs(X - 3.2) < 1e-3 and abs(Y - 20.0) < 1e-3
 
-    # degenerate (collinear) points: warns and fails the error gate
+    # degenerate (collinear) points: warns and fails the error gate —
+    # with explicit messages, never NaN prints or numpy RuntimeWarnings
+    import warnings
+
     bad = tmp_path / "bad.yaml"
     bad.write_text(yaml.safe_dump(
         {"image_points": [[0, 100], [100, 100], [200, 100], [300, 100]],
          "world_points": [[0, 0], [1, 0], [2, 0], [3, 1]]}))
-    rc_bad = calibrate.main(["--points", str(bad), "--max-error", "0.01"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        rc_bad = calibrate.main(["--points", str(bad), "--max-error", "0.01"])
     bad_out = capsys.readouterr()
     assert rc_bad != 0
     assert "collinear" in bad_out.out
+    assert "nan" not in bad_out.out.lower()
 
 
 def test_eval_map_cli(tmp_path, capsys):

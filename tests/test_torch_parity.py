@@ -131,3 +131,55 @@ def test_end_to_end_boxes_match_torch_pipeline():
 
     assert _max_err(jb, tb) < 0.1, _max_err(jb, tb)
     assert _max_err(js, ts) < 2e-3, _max_err(js, ts)
+
+
+def test_infer_detection_lists_match_torch_twin():
+    """The FULL ``infer()`` contract across implementations (VERDICT r2
+    next-step #6): uint8 frame → rect letterbox → forward → class-aware
+    NMS → max_det cap → post-NMS classes_keep filter → rescale →
+    score-descending Detection list. The jax side runs the production
+    detector; the twin runs the torch forward plus an independent
+    sequential numpy NMS (tests/oracles/torch_yolo.py:greedy_nms).
+    Reference being pinned: src/detect/yolo_ultralytics.py:26-53.
+    """
+    from roadvision_tpu.detect.yolo_jax import YOLOJax
+    from roadvision_tpu.ops.letterbox import rect_target_hw
+
+    # random init uses the ultralytics negative cls-bias scheme, so raw
+    # scores sit around 1e-4; conf 2e-5 yields ~75 candidates, of which
+    # greedy NMS keeps exactly max_det=20 — the cap is exercised too
+    keep_classes = (0, 2, 3, 5, 7)
+    base = {"model": "yolov8n.pt", "conf_thres": 2e-5, "iou_thres": 0.7,
+            "max_det": 20, "imgsz": 160, "compute_dtype": "float32",
+            "device": "cpu"}
+    params = yolov8.init_params(jax.random.PRNGKey(21), "n")
+    rng = np.random.RandomState(6)
+    frame = rng.randint(0, 256, (90, 160, 3), dtype=np.uint8)
+
+    timgs, tratio, tpad = torch_yolo.letterbox(frame[None], 160, auto=True)
+    assert timgs.shape[1:3] == rect_target_hw(90, 160, 160)
+    tb, ts = torch_yolo.v8_forward(params, timgs)
+
+    from roadvision_tpu.detect.types import COCO_NAMES
+    for keep in (None, keep_classes):
+        det = YOLOJax(dict(base, classes_keep=list(keep or [])))
+        det.set_params(params)
+        dets = det.infer(frame)
+        nb, nconf, ncls = torch_yolo.greedy_nms(
+            tb[0], ts[0], conf_thres=2e-5, iou_thres=0.7, max_det=20,
+            pre_topk=300, classes_keep=keep)
+        nb = torch_yolo.unletterbox_boxes(nb, tratio, tpad, (90, 160))
+
+        # survivors agree exactly in count, order, and class;
+        # boxes/conf to cross-framework fp32 tolerance
+        assert len(dets) == len(nb) > 0
+        if keep is None:
+            assert len(dets) == 20  # max_det cap reached
+        for d, box, c, k in zip(dets, nb, nconf, ncls):
+            assert d.cls_id == int(k)
+            assert d.cls_name == COCO_NAMES[int(k)]
+            assert abs(d.conf - float(c)) < 2e-5
+            got = np.array([d.x1, d.y1, d.x2, d.y2])
+            assert np.abs(got - box).max() < 0.1, (got, box)
+        # contract fields of a fresh detection
+        assert dets[0].track_id is None and dets[0].distance_m is None

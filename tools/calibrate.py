@@ -106,12 +106,22 @@ def main(argv=None) -> int:
         return 2
 
     H, ground, err = reprojection_report(img, wld)
-    for i, (p, g, e) in enumerate(zip(img, ground, err)):
-        print(f"point {i}: px({p[0]:8.1f},{p[1]:8.1f}) -> "
-              f"ground({g[0]:8.2f},{g[1]:8.2f}) m   err {e:6.3f} m")
-    print(f"reprojection error: mean {np.nanmean(err):.3f} m, "
-          f"max {np.nanmax(err):.3f} m over {len(err)} points")
     warns = diagnostics(img)
+    finite = np.isfinite(err)
+    if not finite.any():
+        for w in warns:
+            print(f"WARNING: {w}")
+        print("calibrate: no valid projected points — every pair maps to "
+              "w≈0 (degenerate homography); re-pick the points",
+              file=sys.stderr)
+        return 1
+    for i, (p, g, e) in enumerate(zip(img, ground, err)):
+        tail = (f"ground({g[0]:8.2f},{g[1]:8.2f}) m   err {e:6.3f} m"
+                if np.isfinite(e) else "ground at infinity (w≈0) — INVALID")
+        print(f"point {i}: px({p[0]:8.1f},{p[1]:8.1f}) -> {tail}")
+    print(f"reprojection error: mean {err[finite].mean():.3f} m, "
+          f"max {err[finite].max():.3f} m over {finite.sum()} finite "
+          f"of {len(err)} points")
     for w in warns:
         print(f"WARNING: {w}")
 
@@ -119,10 +129,19 @@ def main(argv=None) -> int:
         ci, cw, _ = _load_pairs(args.check)
         ones = np.ones((len(ci), 1))
         mapped = (H @ np.hstack([ci, ones]).T).T
-        cg = mapped[:, :2] / mapped[:, 2:3]
+        cw_ok = np.abs(mapped[:, 2]) > 1e-9
+        cg = np.where(cw_ok[:, None],
+                      mapped[:, :2] / np.where(cw_ok[:, None],
+                                               mapped[:, 2:3], 1.0), np.nan)
         cerr = np.linalg.norm(cg - cw, axis=1)
-        print(f"held-out error: mean {cerr.mean():.3f} m, "
-              f"max {cerr.max():.3f} m over {len(cerr)} points")
+        cfin = np.isfinite(cerr)
+        if cfin.any():
+            print(f"held-out error: mean {cerr[cfin].mean():.3f} m, "
+                  f"max {cerr[cfin].max():.3f} m over {cfin.sum()} finite "
+                  f"of {len(cerr)} points")
+        else:
+            print("held-out pairs all project to w≈0 — INVALID",
+                  file=sys.stderr)
         err = np.concatenate([err, cerr])
 
     origin = node.get("origin", [0.0, 0.0])
@@ -149,10 +168,12 @@ def main(argv=None) -> int:
     # a degenerate layout can still interpolate its OWN points exactly
     # (4 points = exact homography fit), so NaNs and diagnostics gate
     # the exit code alongside the numeric threshold
-    if not np.all(np.isfinite(err)) or np.nanmax(err) > args.max_error:
-        print(f"calibrate: max error {np.nanmax(err):.3f} m exceeds "
-              f"--max-error {args.max_error} (or non-finite)",
-              file=sys.stderr)
+    efin = np.isfinite(err)
+    if not efin.all() or err[efin].max() > args.max_error:
+        worst = err[efin].max() if efin.any() else float("inf")
+        print(f"calibrate: max finite error {worst:.3f} m exceeds "
+              f"--max-error {args.max_error} (or some points project "
+              "to w≈0)", file=sys.stderr)
         return 1
     if warns and not args.allow_warnings:
         print("calibrate: degenerate point layout (see WARNINGs); "
