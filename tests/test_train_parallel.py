@@ -140,3 +140,45 @@ def test_batch_parallel_inference_matches_single_device():
     b2, s2 = forward(params, xd, size="n")
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-3)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+
+
+def test_multichip_train_step_matches_unsharded():
+    """dp=4 x tp=2 sharded step vs the plain single-device step on the
+    SAME batch: loss and every updated parameter must agree to fp32
+    reduction-order tolerance (VERDICT r2 next-step #3 — training held
+    to the same equivalence bar as tests/test_sharded_inference.py)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    images, gt_boxes, gt_cls, gt_mask = _tiny_batch(bs=4, seed=3)
+    args = (jnp.asarray(gt_boxes), jnp.asarray(gt_cls), jnp.asarray(gt_mask))
+    step = make_train_step("n", lr=1e-3)
+
+    # unsharded: everything on the default single device
+    p0 = init_params(jax.random.PRNGKey(2), "n")
+    m0 = init_momentum(p0)
+    p1, m1, loss1, aux1 = step(p0, m0, jnp.asarray(images), *args)
+
+    # sharded: params tensor-parallel over 'model', batch over 'data'
+    mesh = make_mesh(8, model_parallel=2)
+    pshard = param_shardings(p0, mesh)
+    ps = shard_pytree(init_params(jax.random.PRNGKey(2), "n"), pshard)
+    ms = shard_pytree(init_momentum(ps), pshard)
+    imgs = jax.device_put(jnp.asarray(images), batch_sharding(mesh, 4))
+    p2, m2, loss2, aux2 = step(ps, ms, imgs, *args)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    assert int(aux1["num_fg"]) == int(aux2["num_fg"])
+    flat1 = jax.tree_util.tree_leaves_with_path(p1)
+    flat2 = jax.tree_util.tree_leaves_with_path(p2)
+    assert len(flat1) == len(flat2)
+    for (k1, a), (k2, b) in zip(flat1, flat2):
+        assert k1 == k2
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
+            err_msg=jax.tree_util.keystr(k1))
+    # momentum buffers agree too (same optimizer state trajectory)
+    for (k1, a), (k2, b) in zip(jax.tree_util.tree_leaves_with_path(m1),
+                                jax.tree_util.tree_leaves_with_path(m2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
+            err_msg=jax.tree_util.keystr(k1))
