@@ -28,7 +28,7 @@ enable_compilation_cache()
 from roadvision_tpu.io_video import FPSMeter, VideoSource, make_writer  # noqa: E402
 from roadvision_tpu.runtime import PipelineEngine  # noqa: E402
 from roadvision_tpu.utils import get_logger  # noqa: E402
-from roadvision_tpu.vis import draw_detections, make_canvas  # noqa: E402
+from roadvision_tpu.vis import draw_detections, make_canvas, tile_streams  # noqa: E402
 
 log = get_logger("roadvision.preview")
 
@@ -87,6 +87,73 @@ class ConfigWatcher:
         return fresh if hot else None
 
 
+def run_multi(args, cfg) -> int:
+    """Sharded multi-camera preview: ``tpu.mesh.enable`` + ``camera.sources``
+    (VERDICT r2 next-step #2 — the mesh knob now reaches the driver). Each
+    stream runs the full fused step on its mesh shard; the preview tiles
+    the per-stream overlays into one grid canvas."""
+    from roadvision_tpu.runtime import MultiStreamEngine, build_sources
+
+    cam_cfg = cfg.get("camera", {})
+    preview_cfg = cfg.get("preview", {}) or {}
+    record_cfg = preview_cfg.get("record", {}) or {}
+    draw_cfg = (cfg.get("vis", {}) or {}).get("draw", {}) or {}
+
+    sources = build_sources(cam_cfg, max_frames=args.max_frames)
+    engine = MultiStreamEngine(cfg, num_streams=len(sources))
+    log.info("multi-stream mode: %d sources over mesh %s",
+             len(sources), dict(engine.mesh.shape))
+    fpsm = FPSMeter(alpha=0.1)
+
+    writer = None
+    if bool(record_cfg.get("enable", False)) or args.record:
+        path = args.record or record_cfg.get("path", "out_compare.avi")
+        writer = make_writer(path, fps=record_cfg.get("fps", 30),
+                             quality=int(record_cfg.get("quality", 85)))
+        log.info("recording to %s", path)
+    show = _HAS_CV2 and not args.no_show
+
+    n_frames = 0
+    labels = [f"CAM{i}" for i in range(len(sources))]
+    try:
+        for batch in engine.stream(sources, max_frames=args.max_frames):
+            b = len(batch[0])
+            for i in range(b):
+                tiles = []
+                for s, stream_results in enumerate(batch):
+                    res = stream_results[i]
+                    frame = np.ascontiguousarray(res.proc)
+                    if draw_cfg.get("det", True) and res.detections:
+                        draw_detections(
+                            frame, res.detections,
+                            thickness=int(draw_cfg.get("thickness", 2)),
+                            font_scale=float(draw_cfg.get("font_scale", 0.6)))
+                    tiles.append(frame)
+                fps = fpsm.tick(batch[0][i].ts)
+                canvas = tile_streams(
+                    tiles, labels,
+                    fps=fps if preview_cfg.get("show_fps", True) else None)
+                if writer:
+                    writer.write(canvas)
+                if show:
+                    cv2.imshow("Multi-Stream Preview", canvas)
+                    if (cv2.waitKey(1) & 0xFF) in (27, ord("q")):
+                        raise KeyboardInterrupt
+                n_frames += 1
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if writer:
+            writer.release()
+        for src in sources:
+            src.release()
+        if show:
+            cv2.destroyAllWindows()
+        log.info("processed %d frames x %d streams; stage times: %s",
+                 n_frames, len(sources), engine.timer.summary())
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None)
@@ -102,6 +169,11 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
+    tpu_cfg = cfg.get("tpu", {}) or {}
+    mesh_cfg = tpu_cfg.get("mesh", {}) or {}
+    if bool(mesh_cfg.get("enable", False)) \
+            and len(cfg.get("camera", {}).get("sources") or []) > 1:
+        return run_multi(args, cfg)
     cam_cfg = cfg.get("camera", {})
     preview_cfg = cfg.get("preview", {})
     compare_cfg = preview_cfg.get("compare", {}) or {}

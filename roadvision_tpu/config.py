@@ -26,7 +26,11 @@ import yaml
 # extension absent from the reference.
 DEFAULTS: Dict[str, Any] = {
     "camera": dict(source=0, width=1280, height=720, fps_request=30,
-                   backend="auto"),
+                   backend="auto",
+                   # additive: one entry per stream for the sharded
+                   # multi-camera engine (tpu.mesh.enable) — bare source
+                   # specs or dicts overriding camera keys per stream
+                   sources=[]),
     "preview": dict(
         show_fps=True,
         compare=dict(enable=True, layout="h", label_raw="RAW",
@@ -58,7 +62,7 @@ DEFAULTS: Dict[str, Any] = {
     "vis": dict(draw=dict(det=True, thickness=2, font_scale=0.6)),
     "tpu": dict(batch_size=8, track_slots=None, compute_dtype="bfloat16",
                 watchdog_s=60.0, sampled_preprocess=False,
-                mesh=dict(enable=False, axis="data")),
+                mesh=dict(enable=False, axis="data", devices=None)),
 }
 
 

@@ -46,6 +46,40 @@ class FrameResult(NamedTuple):
     ts: float
 
 
+def unpack_detections(arrays, names: List[str], b: int) -> List[List[Detection]]:
+    """Masked fixed-shape device arrays → per-frame Detection lists.
+
+    One vectorized pass over the whole batch: compress the masked slots
+    with numpy, convert to python scalars in bulk, then build only the
+    valid Detection objects (the b×max_det python double loop was the
+    host-side ceiling at device rates). Shared by the single-stream and
+    sharded multi-stream engines.
+    """
+    boxes, conf, cls_id, valid, ids, dist, speed = arrays
+    fi, sj = np.nonzero(valid)
+    vb = boxes[fi, sj].tolist()
+    vconf = conf[fi, sj].tolist()
+    vcls = cls_id[fi, sj].tolist()
+    vids = ids[fi, sj].tolist()
+    vdist = dist[fi, sj]
+    vspeed = speed[fi, sj]
+    dist_ok = np.isfinite(vdist)
+    speed_ok = np.isfinite(vspeed)
+    vdist = vdist.tolist()
+    vspeed = vspeed.tolist()
+    per_frame: List[List[Detection]] = [[] for _ in range(b)]
+    n_names = len(names)
+    for n, (i, k) in enumerate(zip(fi.tolist(), vcls)):
+        x1, y1, x2, y2 = vb[n]
+        per_frame[i].append(Detection(
+            x1, y1, x2, y2, vconf[n], k,
+            names[k] if 0 <= k < n_names else str(k),
+            track_id=vids[n] if vids[n] > 0 else None,
+            distance_m=vdist[n] if dist_ok[n] else None,
+            speed_kmh=vspeed[n] if speed_ok[n] else None))
+    return per_frame
+
+
 class PipelineEngine:
     """Config-driven end-to-end engine with the reference's soft-fail
     construction semantics (main_preview.py:61-78): tracker/projector build
@@ -268,7 +302,6 @@ class PipelineEngine:
                 dog.cancel()
             self._warmed.add(key)
 
-        boxes, conf, cls_id, valid, ids, dist, speed = arrays
         if self.detector is not None:
             names = [self.detector.names.get(i, str(i))
                      for i in range(self.detector.nc)]
@@ -276,31 +309,7 @@ class PipelineEngine:
             names = list(COCO_NAMES)
         results = []
         with self.timer.stage("host_unpack"):
-            # one vectorized pass over the whole batch: compress the masked
-            # slots with numpy, convert to python scalars in bulk, then
-            # build only the valid Detection objects (the b×max_det python
-            # double loop was the host-side ceiling at device rates)
-            fi, sj = np.nonzero(valid)
-            vb = boxes[fi, sj].tolist()
-            vconf = conf[fi, sj].tolist()
-            vcls = cls_id[fi, sj].tolist()
-            vids = ids[fi, sj].tolist()
-            vdist = dist[fi, sj]
-            vspeed = speed[fi, sj]
-            dist_ok = np.isfinite(vdist)
-            speed_ok = np.isfinite(vspeed)
-            vdist = vdist.tolist()
-            vspeed = vspeed.tolist()
-            per_frame: List[List[Detection]] = [[] for _ in range(b)]
-            n_names = len(names)
-            for n, (i, k) in enumerate(zip(fi.tolist(), vcls)):
-                x1, y1, x2, y2 = vb[n]
-                per_frame[i].append(Detection(
-                    x1, y1, x2, y2, vconf[n], k,
-                    names[k] if 0 <= k < n_names else str(k),
-                    track_id=vids[n] if vids[n] > 0 else None,
-                    distance_m=vdist[n] if dist_ok[n] else None,
-                    speed_kmh=vspeed[n] if speed_ok[n] else None))
+            per_frame = unpack_detections(arrays, names, b)
             for i in range(b):
                 results.append(FrameResult(
                     frames[i], proc[i] if proc is not None else frames[i],

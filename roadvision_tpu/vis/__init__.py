@@ -1,5 +1,5 @@
 from .draw import (COLOR_TABLE, draw_detections, draw_rect, fill_rect,
-                   make_canvas, put_text, text_size)
+                   make_canvas, put_text, text_size, tile_streams)
 
 __all__ = ["draw_detections", "make_canvas", "COLOR_TABLE", "draw_rect",
-           "fill_rect", "put_text", "text_size"]
+           "fill_rect", "put_text", "text_size", "tile_streams"]

@@ -17,6 +17,7 @@ Behavior preserved:
 """
 from __future__ import annotations
 
+import math
 from typing import Iterable, Optional, Tuple
 
 import numpy as np
@@ -181,6 +182,36 @@ def _label_bottom(img, text, bottomleft, color, font_scale):
                          min(img.shape[0] - baseline - 1,
                              box_top + th + baseline)),
              (255, 255, 255), font_scale)
+
+
+def tile_streams(frames, labels=None, divider_px: int = 4,
+                 fps: Optional[float] = None) -> np.ndarray:
+    """Tile S same-shaped stream frames into one row-major grid canvas.
+
+    The multi-camera analog of :func:`make_canvas` — one tile per mesh
+    shard, a near-square grid, per-tile labels top-left. Shared by the
+    multi-stream preview driver and the MJPEG server.
+    """
+    s = len(frames)
+    cols = int(math.ceil(math.sqrt(s)))
+    rows = int(math.ceil(s / cols))
+    divider_px = max(0, int(divider_px))
+    h, w = frames[0].shape[:2]
+    canvas = np.full((rows * h + (rows - 1) * divider_px,
+                      cols * w + (cols - 1) * divider_px, 3),
+                     (40, 40, 40), np.uint8)
+    for i, f in enumerate(frames):
+        r, c = divmod(i, cols)
+        y, x = r * (h + divider_px), c * (w + divider_px)
+        canvas[y:y + h, x:x + w] = f
+        if labels is not None:
+            put_text(canvas, labels[i], (x + 8, y + 24),
+                     (50, 220, 50), font_scale=0.8, outline=(0, 0, 0))
+    if fps is not None:
+        put_text(canvas, f"FPS: {fps:.1f}",
+                 (8, canvas.shape[0] - 10), (0, 255, 255),
+                 font_scale=0.8, outline=(0, 0, 0))
+    return canvas
 
 
 def make_canvas(raw_bgr: np.ndarray, proc_bgr: np.ndarray, layout: str = "h",

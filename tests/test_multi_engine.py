@@ -1,0 +1,127 @@
+"""Config-driven multi-stream engine: the ``tpu.mesh`` knob reaches users.
+
+VERDICT r2 next-step #2: ``tpu.mesh.enable: true`` + ``camera.sources``
+must construct the sharded stream step through the ENGINE surface (not
+just tests/bench), and its per-stream outputs must be bit-equal to S
+independent single-device runs. Runs on the 8-virtual-CPU-device mesh
+from conftest (reference scale-out promise: SURVEY.md §2.5).
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from roadvision_tpu.config import DEFAULTS, merge
+from roadvision_tpu.runtime import (MultiStreamEngine, PipelineEngine,
+                                    build_sources)
+
+S, B, H, W = 8, 4, 96, 128
+
+
+def _cfg():
+    return merge(DEFAULTS, {
+        "camera": {"width": W, "height": H, "fps_request": 30,
+                   "sources": [f"synthetic:{2 + i}" for i in range(S)]},
+        "preprocess": {"enabled": True, "chain": [
+            {"name": "CLAHEDehaze",
+             "params": {"space": "YCrCb", "clip_limit": 2.0, "tile_grid": 4}},
+        ]},
+        "detect": {"enabled": True, "model": "missing.pt", "device": "cpu",
+                   "max_det": 8, "imgsz": 96, "classes_keep": [],
+                   "conf_thres": 0.0},
+        "tracking": {"enabled": True},
+        "tpu": {"batch_size": B, "track_slots": 8,
+                "mesh": {"enable": True, "axis": "data"}},
+    })
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    cfg = _cfg()
+    sources = build_sources(cfg["camera"], max_frames=2 * B)
+    engine = MultiStreamEngine(cfg, num_streams=len(sources))
+    return cfg, sources, engine
+
+
+def test_build_sources_inherits_and_overrides():
+    cam = {"source": 0, "width": 64, "height": 48, "fps_request": 15,
+           "backend": "auto",
+           "sources": ["synthetic:3", {"source": "synthetic:5", "width": 32}]}
+    srcs = build_sources(cam, max_frames=4)
+    assert len(srcs) == 2
+    f0 = srcs[0].read()
+    f1 = srcs[1].read()
+    assert f0.ok and f0.image.shape == (48, 64, 3)
+    assert f1.ok and f1.image.shape == (48, 32, 3)  # per-stream override
+    for s in srcs:
+        s.release()
+
+
+def test_config_path_matches_single_device_runs(setup):
+    cfg, _, engine = setup
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, (S, B, H, W, 3), dtype=np.uint8)
+    ts = np.arange(S * B, dtype=np.float32).reshape(S, B) / 30.0
+
+    multi = engine.process_batch(frames, ts)
+    assert len(multi) == S and all(len(m) == B for m in multi)
+
+    # reference: one single-stream engine per stream, fresh state each,
+    # fed the same frames — Detection lists must match exactly
+    for s in range(S):
+        single = PipelineEngine(cfg)
+        ref = single.process_batch(frames[s], ts[s])
+        for i in range(B):
+            got, want = multi[s][i].detections, ref[i].detections
+            assert len(got) == len(want)
+            for g, r in zip(got, want):
+                assert g == r, f"stream {s} frame {i}: {g} != {r}"
+
+
+def test_stream_lockstep_and_state_carry(setup):
+    cfg, sources, engine = setup
+    engine.reset()
+    batches = list(engine.stream(sources, max_frames=2 * B))
+    total = sum(len(b[0]) for b in batches)
+    assert total == 2 * B
+    assert all(len(b) == S for b in batches)
+    # tracking state persisted across batches on the sharded mesh
+    assert engine.states is not None
+    assert np.asarray(engine.states.next_id).shape == (S,)
+
+
+def test_states_span_the_mesh(setup):
+    _, _, engine = setup
+    assert engine.states is not None
+    devs = {d for leaf in jax.tree_util.tree_leaves(engine.states)
+            for d in leaf.sharding.device_set}
+    assert len(devs) == 8, "config-built engine should shard over the mesh"
+
+
+def test_main_preview_dispatches_multi():
+    """main_preview routes to run_multi iff mesh enabled + >1 source."""
+    import main_preview
+    assert hasattr(main_preview, "run_multi")
+
+
+def test_uneven_streams_pad_to_mesh(setup):
+    """4 streams over the 8-way axis: padded shards, outputs unchanged."""
+    cfg, _, _ = setup
+    s4 = 4
+    cfg4 = merge(cfg, {"camera": {
+        "sources": [f"synthetic:{2 + i}" for i in range(s4)]}})
+    engine = MultiStreamEngine(cfg4, num_streams=s4)
+    assert engine.padded_streams == 8
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, (s4, B, H, W, 3), dtype=np.uint8)
+    ts = np.arange(s4 * B, dtype=np.float32).reshape(s4, B) / 30.0
+    multi = engine.process_batch(frames, ts)
+    assert len(multi) == s4
+    single = PipelineEngine(cfg4)
+    for s in range(s4):
+        single.reset()
+        ref = single.process_batch(frames[s], ts[s])
+        for i in range(B):
+            assert multi[s][i].detections == ref[i].detections

@@ -80,3 +80,38 @@ def test_serve_stream_and_stats():
     finally:
         hub.close()
         server.shutdown()
+
+
+def test_serve_multi_stream():
+    """tpu.mesh.enable + camera.sources routes serve to the sharded
+    multi-stream loop and streams the tiled grid (VERDICT r2 #2)."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 (virtual) devices")
+    import tools.serve as serve
+
+    cfg = merge(_tiny_cfg(), {
+        "camera": {"sources": ["synthetic:2", "synthetic:3",
+                               "synthetic:4", "synthetic:5"]},
+        "tpu": {"mesh": {"enable": True, "axis": "data"}},
+    })
+    assert serve._wants_multi(cfg)
+    server, hub, worker = serve.serve_background(cfg, port=0, max_frames=4)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        worker.join(timeout=300)
+        assert not worker.is_alive()
+        final = json.loads(
+            urllib.request.urlopen(base + "/stats", timeout=5).read())
+        assert final["done"] and final["frames"] == 4
+        dets = json.loads(
+            urllib.request.urlopen(base + "/detections", timeout=5).read())
+        assert isinstance(dets["detections"], list)
+        if dets["detections"]:
+            assert "stream" in dets["detections"][0]
+    finally:
+        hub.close()
+        server.shutdown()

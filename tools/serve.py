@@ -42,7 +42,7 @@ enable_compilation_cache()
 from roadvision_tpu.io_video import FPSMeter, VideoSource  # noqa: E402
 from roadvision_tpu.runtime import PipelineEngine  # noqa: E402
 from roadvision_tpu.utils import get_logger  # noqa: E402
-from roadvision_tpu.vis import draw_detections, make_canvas  # noqa: E402
+from roadvision_tpu.vis import draw_detections, make_canvas, tile_streams  # noqa: E402
 
 log = get_logger("roadvision.serve")
 
@@ -214,6 +214,67 @@ def _pipeline_loop(cfg, hub: FrameHub, max_frames, quality: int) -> None:
         log.info("pipeline done after %d frames", hub.stats["frames"])
 
 
+def _multi_pipeline_loop(cfg, hub: FrameHub, max_frames,
+                         quality: int) -> None:
+    """Sharded camera-fleet loop: ``tpu.mesh.enable`` + ``camera.sources``
+    stream the tiled per-stream overlay grid instead of the compare canvas
+    (VERDICT r2 next-step #2 — the mesh knob reaches the serve surface)."""
+    from roadvision_tpu.io_video.writer import encode_jpeg_bgr
+    from roadvision_tpu.runtime import MultiStreamEngine, build_sources
+
+    cam_cfg = cfg.get("camera", {}) or {}
+    preview_cfg = cfg.get("preview", {}) or {}
+    draw_cfg = (cfg.get("vis", {}) or {}).get("draw", {}) or {}
+
+    sources = build_sources(cam_cfg, max_frames=max_frames)
+    engine = MultiStreamEngine(cfg, num_streams=len(sources))
+    log.info("multi-stream serve: %d sources over mesh %s",
+             len(sources), dict(engine.mesh.shape))
+    fpsm = FPSMeter(alpha=0.1)
+    labels = [f"CAM{i}" for i in range(len(sources))]
+    try:
+        for batch in engine.stream(sources, max_frames=max_frames):
+            for i in range(len(batch[0])):
+                tiles, all_dets = [], []
+                for s, stream_results in enumerate(batch):
+                    res = stream_results[i]
+                    frame = np.ascontiguousarray(res.proc)
+                    if draw_cfg.get("det", True) and res.detections:
+                        draw_detections(
+                            frame, res.detections,
+                            thickness=int(draw_cfg.get("thickness", 2)),
+                            font_scale=float(draw_cfg.get("font_scale", 0.6)))
+                    tiles.append(frame)
+                    all_dets.extend(
+                        dict(stream=s, bbox=[d.x1, d.y1, d.x2, d.y2],
+                             conf=d.conf, cls_id=d.cls_id, name=d.cls_name,
+                             track_id=d.track_id, distance_m=d.distance_m,
+                             speed_kmh=d.speed_kmh)
+                        for d in res.detections)
+                fps = fpsm.tick(batch[0][i].ts)
+                canvas = tile_streams(
+                    tiles, labels,
+                    fps=fps if preview_cfg.get("show_fps", True) else None)
+                n_tracks = sum(1 for d in all_dets
+                               if d["track_id"] is not None)
+                hub.publish(encode_jpeg_bgr(canvas, quality), fps, n_tracks,
+                            detections=all_dets, ts=batch[0][i].ts)
+    except Exception as exc:
+        log.warning("multi-stream loop ended: %s", exc)
+    finally:
+        for src in sources:
+            src.release()
+        hub.close()
+        log.info("multi-stream pipeline done after %d frames",
+                 hub.stats["frames"])
+
+
+def _wants_multi(cfg) -> bool:
+    mesh_cfg = (cfg.get("tpu", {}) or {}).get("mesh", {}) or {}
+    return (bool(mesh_cfg.get("enable", False))
+            and len((cfg.get("camera", {}) or {}).get("sources") or []) > 1)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--config", default=None)
@@ -249,9 +310,10 @@ def serve_background(cfg, host="127.0.0.1", port=0, quality=85,
     port when ``port=0`` (read ``server.server_address``)."""
     hub = FrameHub()
     server = ThreadingHTTPServer((host, port), _make_handler(hub))
+    loop = _multi_pipeline_loop if _wants_multi(cfg) else _pipeline_loop
     threads = [
         threading.Thread(target=server.serve_forever, daemon=True),
-        threading.Thread(target=_pipeline_loop,
+        threading.Thread(target=loop,
                          args=(cfg, hub, max_frames, quality), daemon=True),
     ]
     for t in threads:
