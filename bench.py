@@ -262,14 +262,22 @@ def sustained_record_fps(width: int, height: int,
 
 
 def latency_p50_ms(engine: PipelineEngine, width: int, height: int,
-                   iters: int = 12) -> float:
-    """p50 single-frame dispatch latency (BASELINE.md secondary metric).
+                   iters: int = 12) -> dict:
+    """p50 single-frame dispatch latency, DECOMPOSED (VERDICT r2 #7).
 
     Batch 1, device-resident render → full pipeline step → 1-element
-    fetch, timed per dispatch (each iteration synchronizes). This is the
-    floor a realtime caller sees per frame on this attach — on the
-    relayed backend it includes the tunnel round-trip, which the stderr
-    calibration line contextualizes."""
+    fetch, timed per dispatch (each iteration synchronizes). On the
+    relayed backend the total is dominated by the tunnel round-trip, so
+    the probe also times a no-op dispatch (jitted scalar add + 1-element
+    fetch — same dispatch/sync path, negligible compute) and reports
+
+      total    — what a realtime caller sees per frame on this attach
+      dispatch — the p50 no-op round-trip (tunnel + runtime overhead)
+      device   — total − dispatch, the on-device compute share; this is
+                 the frame-budget number for a locally-attached chip
+
+    Returns {"total": ms, "dispatch": ms, "device": ms}.
+    """
     src = DeviceSyntheticSource(width, height, num_vehicles=6)
     render = src.make_render_fn(1)
     raw_step = engine.build_raw_step((1, height, width), want_proc=False)
@@ -282,17 +290,29 @@ def latency_p50_ms(engine: PipelineEngine, width: int, height: int,
         _, outs, state = raw_step(params, state, frames, ts)
         return state, outs[3].sum()
 
+    @jax.jit
+    def noop(i):
+        return i + 1
+
     state = engine.sort_state
     state, c = one(params, state, jnp.int32(0))
     _sync(c)  # compile + warm
-    lats = []
+    _sync(noop(jnp.int32(0)))
+    lats, noops = [], []
     for k in range(iters):
         t0 = time.perf_counter()
         state, c = one(params, state, jnp.int32(k + 1))
         _sync(c)
         lats.append((time.perf_counter() - t0) * 1e3)
+        t0 = time.perf_counter()
+        _sync(noop(jnp.int32(k)))
+        noops.append((time.perf_counter() - t0) * 1e3)
     lats.sort()
-    return lats[len(lats) // 2]
+    noops.sort()
+    total = lats[len(lats) // 2]
+    dispatch = noops[len(noops) // 2]
+    return {"total": total, "dispatch": dispatch,
+            "device": max(0.0, total - dispatch)}
 
 
 def host_fed_fps(engine: PipelineEngine, width: int, height: int,
@@ -626,7 +646,9 @@ def main() -> int:
         extra += (f" | host overlay+encode {overlay_ms:.2f} ms/frame "
                   f"(overlapped with device compute)")
     if p50_ms is not None:
-        extra += f" | p50 single-frame latency {p50_ms:.1f} ms"
+        extra += (f" | p50 single-frame latency {p50_ms['total']:.1f} ms "
+                  f"(dispatch overhead {p50_ms['dispatch']:.1f} + device "
+                  f"{p50_ms['device']:.1f})")
     if host_fps is not None:
         extra += f" | host-fed {host_fps:.2f} fps"
     if tflops is not None:
