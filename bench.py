@@ -56,7 +56,10 @@ def _cfg(height: int, width: int, batch: int):
         "detect": {"enabled": True, "model": "yolov8n.pt",
                    "conf_thres": 0.25, "iou_thres": 0.7, "max_det": 100,
                    "classes_keep": [0, 2, 3, 5, 7],
-                   "compute_dtype": "bfloat16"},
+                   # autotune hooks (tools/autotune.py): conv path dtype
+                   # and the sampled-terminal-op preprocess variant
+                   "compute_dtype": os.environ.get("RVT_BENCH_DTYPE",
+                                                   "bfloat16")},
         "tracking": {"enabled": True, "max_staleness": 1.2, "min_hits": 3,
                      "iou_threshold": 0.35, "speed_window": 0.8},
         "geometry": {"enabled": True, "projector": {
@@ -65,7 +68,9 @@ def _cfg(height: int, width: int, batch: int):
                              [0, int(0.4 * height)], [width, int(0.4 * height)]],
             "world_points": [[0, 0], [20, 0], [0, 120], [20, 120]],
             "origin": [10.0, 0.0], "max_distance": 1000.0}},
-        "tpu": {"batch_size": batch},  # track_slots auto-sizes to max_det
+        "tpu": {"batch_size": batch,   # track_slots auto-sizes to max_det
+                "sampled_preprocess":
+                    os.environ.get("RVT_BENCH_SAMPLED", "0") == "1"},
     })
 
 

@@ -90,6 +90,17 @@ if not (1 <= _SWEEP_CHUNK <= 256) or 256 % _SWEEP_CHUNK != 0:
 # RVT_CLAHE_BLEND.
 _DEFAULT_BLEND = os.environ.get("RVT_CLAHE_BLEND", "cv2")
 
+# One-hot dtype for the nibble histogram matmul. Both are exact:
+#   "bf16" (default) — bf16 0/1 one-hots, f32 accumulation (exact below
+#     2²⁴; tile areas are ≤ a few 10⁵). Rides the MXU at bf16 rates.
+#   "int8" — int8 one-hots, int32 accumulation; no float round-trip and
+#     2× narrower operands, but int8 matmul throughput differs by
+#     generation. tools/autotune.py measures both; pin the winner here.
+_HIST_DTYPE = os.environ.get("RVT_CLAHE_HIST_DTYPE", "bf16")
+if _HIST_DTYPE not in ("bf16", "int8"):
+    raise ValueError(
+        f"RVT_CLAHE_HIST_DTYPE={_HIST_DTYPE!r} must be 'bf16' or 'int8'")
+
 
 def _reflect_pad_101(x: jnp.ndarray, pad_h: int, pad_w: int) -> jnp.ndarray:
     """BORDER_REFLECT_101 pad on bottom/right only (OpenCV CLAHE extension)."""
@@ -113,13 +124,19 @@ def _tile_histograms_sweep(tiled: jnp.ndarray) -> jnp.ndarray:
     (tile areas are ≤ a few 10⁵)."""
     tiled = tiled.astype(jnp.int16)  # u8-domain values: halves the
     i16 = jnp.arange(16, dtype=jnp.int16)  # compare-pass HBM traffic
-    hi_oh = ((tiled >> 4)[..., None] == i16).astype(jnp.bfloat16)
-    lo_oh = ((tiled & 15)[..., None] == i16).astype(jnp.bfloat16)
+    if _HIST_DTYPE == "int8":
+        hi_oh = ((tiled >> 4)[..., None] == i16).astype(jnp.int8)
+        lo_oh = ((tiled & 15)[..., None] == i16).astype(jnp.int8)
+        acc = jnp.int32
+    else:
+        hi_oh = ((tiled >> 4)[..., None] == i16).astype(jnp.bfloat16)
+        lo_oh = ((tiled & 15)[..., None] == i16).astype(jnp.bfloat16)
+        acc = jnp.float32
     # batch dims (b, gy, gx), contract over the tile area (th, tw)
     cnt = lax.dot_general(
         hi_oh, lo_oh,
         dimension_numbers=(((2, 4), (2, 4)), ((0, 1, 3), (0, 1, 3))),
-        preferred_element_type=jnp.float32)        # (b, gy, gx, 16, 16)
+        preferred_element_type=acc)                # (b, gy, gx, 16, 16)
     b, gy, gx = cnt.shape[:3]
     return cnt.reshape(b, gy, gx, 256).astype(jnp.int32)
 

@@ -107,3 +107,30 @@ def test_clahe_uniform_plane_stays_uniform():
     # and it matches the scalar oracle exactly
     want = clahe_oracle.clahe(plane, clip_limit=2.0, grid=(8, 8))
     np.testing.assert_array_equal(out, want)
+
+
+def test_int8_histogram_variant_exact():
+    """RVT_CLAHE_HIST_DTYPE=int8 one-hot matmul counts match bincount
+    (int8 0/1 operands, int32 accumulate — exact like the bf16/f32 path)."""
+    import numpy as np
+
+    from roadvision_tpu.ops import clahe as clahe_mod
+
+    rng = np.random.RandomState(3)
+    b, gy, th, gx, tw = 2, 3, 16, 4, 24
+    tiled = rng.randint(0, 256, (b, gy, th, gx, tw)).astype(np.int32)
+    want = np.stack([
+        np.stack([
+            np.stack([np.bincount(tiled[i, y, :, x, :].ravel(),
+                                  minlength=256)
+                      for x in range(gx)])
+            for y in range(gy)])
+        for i in range(b)])
+    old = clahe_mod._HIST_DTYPE
+    try:
+        for dtype in ("bf16", "int8"):
+            clahe_mod._HIST_DTYPE = dtype
+            got = np.asarray(clahe_mod._tile_histograms_sweep(tiled))
+            np.testing.assert_array_equal(got, want, err_msg=dtype)
+    finally:
+        clahe_mod._HIST_DTYPE = old

@@ -320,3 +320,54 @@ def test_shipped_v5_synthetic_weights_detect():
         matched += rep["matched"]
         total += rep["n_gt"]
     assert total > 0 and matched / total > 0.7, (matched, total)
+
+
+def test_autotune_harness(tmp_path, monkeypatch):
+    """Autotune orchestration: trial collection, winner pick, dotted
+    config recommendation — bench subprocesses stubbed for speed."""
+    import tools.autotune as at
+
+    fake = {("preprocess", "RVT_CLAHE_CHUNK", "1"): 100.0,
+            ("preprocess", "RVT_CLAHE_CHUNK", "16"): 300.0,
+            ("preprocess", "RVT_CLAHE_CHUNK", "32"): 400.0,
+            ("preprocess", "RVT_CLAHE_CHUNK", "64"): 250.0,
+            ("full", "RVT_BENCH_BATCH", "8"): 500.0,
+            ("full", "RVT_BENCH_BATCH", "16"): 450.0}
+
+    def fake_trial(mode, var, value, res, iters, timeout):
+        fps = fake.get((mode, var, value))
+        return fps, 0.01, "" if fps is not None else "boom"
+
+    monkeypatch.setattr(at, "run_trial", fake_trial)
+    out = tmp_path / "tune.json"
+    rc = at.main(["--sweeps", "clahe_chunk,batch", "--out", str(out),
+                  "--iters", "2", "--res", "480"])
+    assert rc == 0
+    rep = json.loads(out.read_text())
+    assert rep["sweeps"]["clahe_chunk"]["winner"] == "32"
+    assert rep["sweeps"]["clahe_chunk"]["matches_pinned"]
+    assert rep["sweeps"]["batch"]["winner"] == "8"
+    assert rep["recommended"]["env"]["RVT_CLAHE_CHUNK"] == "32"
+    assert rep["recommended"]["config"]["tpu"]["batch_size"] == 8
+
+
+def test_autotune_all_sweeps_declared():
+    """Every measurement-pinned knob has a sweep, and each sweep's env
+    hook actually exists in the code it tunes."""
+    import tools.autotune as at
+
+    assert set(at.SWEEPS) == {"clahe_chunk", "hist_dtype", "median_impl",
+                              "sampled_preprocess", "conv_dtype", "batch"}
+    import pathlib
+    root = pathlib.Path(at.ROOT)
+    hooks = {
+        "RVT_CLAHE_CHUNK": "roadvision_tpu/ops/clahe.py",
+        "RVT_CLAHE_HIST_DTYPE": "roadvision_tpu/ops/clahe.py",
+        "RVT_PALLAS": "roadvision_tpu/ops/median.py",
+        "RVT_BENCH_SAMPLED": "bench.py",
+        "RVT_BENCH_DTYPE": "bench.py",
+        "RVT_BENCH_BATCH": "bench.py",
+    }
+    for sw in at.SWEEPS.values():
+        assert sw["var"] in hooks
+        assert sw["var"] in (root / hooks[sw["var"]]).read_text()

@@ -1,0 +1,188 @@
+"""Re-measure every measurement-pinned tuning choice in one command.
+
+Several perf decisions in this codebase are pinned to numbers measured on
+one attach (VERDICT r2 #5): the CLAHE LUT sweep chunk (ops/clahe.py),
+histogram one-hot dtype, Pallas-vs-XLA median (ops/median.py), the
+sampled-preprocess variant (preprocess/pipeline.py), conv compute dtype
+(detect/yolo_jax.py), and the engine batch size. When the hardware
+changes (emulated attach → real silicon, new TPU generation), those
+constants must be re-validated — this tool turns the scattered
+"re-evaluate on real silicon" notes into one executable step.
+
+Each trial runs ``bench.py`` in a subprocess with the knob set via its
+env hooks (subprocesses isolate the import-time knobs and share the
+persistent compile cache), parses the single JSON line, and keeps the
+fps. Output: one JSON document (stdout + ``--out``) with every trial,
+the winner per sweep, and a ready-to-paste recommendation split into
+env vars (kernel-internal knobs) and config keys.
+
+Usage:
+  python tools/autotune.py [--res 1080] [--iters 8] [--quick]
+                           [--sweeps clahe_chunk,batch,...]
+                           [--out autotune.json] [--timeout 1800]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+# sweep name -> (bench mode, knob env var, candidate values, where the
+# winner lands: ("env", var) or ("config", dotted key))
+SWEEPS = {
+    "clahe_chunk": dict(
+        mode="preprocess", var="RVT_CLAHE_CHUNK",
+        values=["1", "16", "32", "64"],
+        target=("env", "RVT_CLAHE_CHUNK"),
+        pinned="32"),
+    "hist_dtype": dict(
+        mode="preprocess", var="RVT_CLAHE_HIST_DTYPE",
+        values=["bf16", "int8"],
+        target=("env", "RVT_CLAHE_HIST_DTYPE"),
+        pinned="bf16"),
+    "median_impl": dict(
+        mode="preprocess", var="RVT_PALLAS",
+        values=["0", "1"],
+        target=("env", "RVT_PALLAS"),
+        pinned="0",
+        note="RVT_PALLAS=1 is a no-op off-TPU (ops/median.py gates on "
+             "the backend); identical numbers mean the gate was closed"),
+    "sampled_preprocess": dict(
+        mode="full", var="RVT_BENCH_SAMPLED",
+        values=["0", "1"],
+        target=("config", "tpu.sampled_preprocess"),
+        pinned="0"),
+    "conv_dtype": dict(
+        mode="detect", var="RVT_BENCH_DTYPE",
+        values=["bfloat16", "int8"],
+        target=("config", "detect.compute_dtype"),
+        pinned="bfloat16"),
+    "batch": dict(
+        mode="full", var="RVT_BENCH_BATCH",
+        values=["8", "16"],
+        target=("config", "tpu.batch_size"),
+        pinned="8"),
+}
+
+
+def run_trial(mode: str, var: str, value: str, res: int, iters: int,
+              timeout: float):
+    """One bench subprocess → (fps or None, seconds, stderr tail)."""
+    env = dict(os.environ,
+               RVT_BENCH_MODE=mode,
+               RVT_BENCH_RES=str(res),
+               RVT_BENCH_ITERS=str(iters),
+               RVT_BENCH_HOST_ITERS="0",
+               RVT_BENCH_CALIBRATE="0",
+               RVT_BENCH_LATENCY="0",
+               RVT_BENCH_DEMO="0",
+               **{var: value})
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(ROOT / "bench.py")],
+            env=env, capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return None, time.perf_counter() - t0, "timeout"
+    dt = time.perf_counter() - t0
+    tail = (proc.stderr or "").strip().splitlines()[-1:] or [""]
+    if proc.returncode != 0:
+        return None, dt, f"rc={proc.returncode}: {tail[0][:200]}"
+    for line in (proc.stdout or "").splitlines():
+        try:
+            rec = json.loads(line)
+            return float(rec["value"]), dt, tail[0][:200]
+        except (ValueError, KeyError):
+            continue
+    return None, dt, "no JSON line in bench output"
+
+
+def set_dotted(d: dict, key: str, value):
+    parts = key.split(".")
+    for p in parts[:-1]:
+        d = d.setdefault(p, {})
+    d[parts[-1]] = value
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--res", type=int, default=1080)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--quick", action="store_true",
+                    help="small shapes + few iters (smoke the harness, "
+                    "not a tuning run)")
+    ap.add_argument("--sweeps", default=",".join(SWEEPS),
+                    help="comma list of sweeps to run (default: all)")
+    ap.add_argument("--out", default="autotune.json")
+    ap.add_argument("--timeout", type=float, default=1800.0,
+                    help="per-trial subprocess timeout (first compiles "
+                    "on a remote-compile attach are slow)")
+    args = ap.parse_args(argv)
+    if args.quick:
+        args.res, args.iters = 480, 2
+
+    names = [s.strip() for s in args.sweeps.split(",") if s.strip()]
+    unknown = [n for n in names if n not in SWEEPS]
+    if unknown:
+        ap.error(f"unknown sweeps {unknown}; available: {list(SWEEPS)}")
+
+    report = {"res": args.res, "iters": args.iters,
+              "sweeps": {}, "recommended": {"env": {}, "config": {}}}
+    for name in names:
+        sw = SWEEPS[name]
+        trials = {}
+        for value in sw["values"]:
+            print(f"[autotune] {name}: {sw['var']}={value} "
+                  f"(mode={sw['mode']}) ...", file=sys.stderr, flush=True)
+            fps, dt, tail = run_trial(sw["mode"], sw["var"], value,
+                                      args.res, args.iters, args.timeout)
+            trials[value] = {"fps": fps, "seconds": round(dt, 1)}
+            if fps is None:
+                trials[value]["error"] = tail
+            print(f"[autotune]   -> {fps if fps is not None else tail} "
+                  f"({dt:.0f}s)", file=sys.stderr, flush=True)
+        ok = {v: t["fps"] for v, t in trials.items()
+              if t["fps"] is not None}
+        winner = max(ok, key=ok.get) if ok else None
+        entry = {"mode": sw["mode"], "knob": sw["var"], "trials": trials,
+                 "winner": winner, "pinned": sw["pinned"],
+                 "matches_pinned": winner == sw["pinned"]}
+        if "note" in sw:
+            entry["note"] = sw["note"]
+        report["sweeps"][name] = entry
+        if winner is not None:
+            kind, key = sw["target"]
+            val = winner
+            if key in ("tpu.batch_size",):
+                val = int(winner)
+            elif key == "tpu.sampled_preprocess":
+                val = winner == "1"
+            if kind == "env":
+                report["recommended"]["env"][key] = val
+            else:
+                set_dotted(report["recommended"]["config"], key, val)
+
+    out = json.dumps(report, indent=2)
+    print(out)
+    Path(args.out).write_text(out + "\n")
+    print(f"[autotune] wrote {args.out}", file=sys.stderr)
+    changed = [n for n, s in report["sweeps"].items()
+               if s["winner"] is not None and not s["matches_pinned"]]
+    if changed:
+        print(f"[autotune] winners differ from pinned defaults for: "
+              f"{', '.join(changed)} — apply the recommended section",
+              file=sys.stderr)
+    else:
+        print("[autotune] all winners match the pinned defaults",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
