@@ -72,7 +72,12 @@ def mesh_from_config(tpu_cfg: Dict[str, Any]):
     mesh_cfg = tpu_cfg.get("mesh") or {}
     n_dev = mesh_cfg.get("devices")
     mesh = make_mesh(int(n_dev) if n_dev else None, model_parallel=1)
-    return mesh, str(mesh_cfg.get("axis", "data"))
+    axis = str(mesh_cfg.get("axis", "data"))
+    if axis not in mesh.axis_names:
+        raise ValueError(
+            f"tpu.mesh.axis={axis!r} is not a mesh axis "
+            f"(available: {list(mesh.axis_names)})")
+    return mesh, axis
 
 
 class MultiStreamEngine:
