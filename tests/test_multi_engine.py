@@ -125,3 +125,28 @@ def test_uneven_streams_pad_to_mesh(setup):
         ref = single.process_batch(frames[s], ts[s])
         for i in range(B):
             assert multi[s][i].detections == ref[i].detections
+
+
+def test_main_preview_runs_multi_end_to_end(tmp_path):
+    """Drive the driver: mesh config + sources → tiled grid recording."""
+    import yaml
+
+    import main_preview
+
+    cfgd = {
+        "camera": {"width": 64, "height": 48,
+                   "sources": ["synthetic:2", "synthetic:3"]},
+        "preprocess": {"enabled": False},
+        "detect": {"enabled": False},
+        "tracking": {"enabled": False},
+        "tpu": {"batch_size": 2, "mesh": {"enable": True, "axis": "data"}},
+    }
+    cfg_path = tmp_path / "multi.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfgd))
+    out = tmp_path / "fleet.avi"
+    rc = main_preview.main(["--config", str(cfg_path), "--no-show",
+                            "--max-frames", "4", "--record", str(out)])
+    assert rc == 0
+    data = out.read_bytes()
+    assert data[:4] == b"RIFF"
+    assert data.count(b"\xff\xd8\xff") == 4  # one tiled canvas per frame
