@@ -201,6 +201,12 @@ class MultiStreamEngine:
                     m = min(mb for _, _, mb in batches)
                     if m == 0:
                         break
+                    shapes = {f.shape[1:] for f, _, _ in batches}
+                    if len(shapes) > 1:
+                        raise ValueError(
+                            f"streams must share one frame shape to ride "
+                            f"the mesh in lockstep, got {sorted(shapes)} — "
+                            f"drop per-stream width/height overrides")
                     frames = np.stack([f[:m] for f, _, _ in batches])
                     ts = np.stack([t[:m] for _, t, _ in batches])
                     q.put((frames, ts))

@@ -350,6 +350,27 @@ def test_autotune_harness(tmp_path, monkeypatch):
     assert rep["recommended"]["env"]["RVT_CLAHE_CHUNK"] == "32"
     assert rep["recommended"]["config"]["tpu"]["batch_size"] == 8
 
+    # re-decide from the written report (no re-measurement)
+    rc = at.main(["--redecide", str(out), "--out", str(out)])
+    assert rc == 0
+    rep2 = json.loads(out.read_text())
+    assert rep2["sweeps"]["clahe_chunk"]["winner"] == "32"
+
+
+def test_autotune_tie_prefers_pinned():
+    """Sub-threshold wins do not displace the pinned default; real wins do."""
+    import tools.autotune as at
+
+    trials = {"8": {"fps": 500.0}, "16": {"fps": 505.0}}  # +1%: noise
+    e = at.decide("batch", trials, tie_pct=2.0)
+    assert e["winner"] == "8" and e["matches_pinned"]
+    assert e["tie"]["best_measured"] == "16"
+
+    trials = {"8": {"fps": 500.0}, "16": {"fps": 550.0}}  # +10%: real
+    e = at.decide("batch", trials, tie_pct=2.0)
+    assert e["winner"] == "16" and not e["matches_pinned"]
+    assert "tie" not in e
+
 
 def test_autotune_all_sweeps_declared():
     """Every measurement-pinned knob has a sweep, and each sweep's env

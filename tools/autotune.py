@@ -110,6 +110,55 @@ def set_dotted(d: dict, key: str, value):
     d[parts[-1]] = value
 
 
+def decide(name: str, trials: dict, tie_pct: float) -> dict:
+    """Pick a winner from {value: {fps, ...}} with a noise threshold.
+
+    The pinned default wins any tie: a candidate must beat it by more
+    than ``tie_pct`` percent to displace it (run-to-run attach variance
+    is larger than sub-percent deltas; flipping a pinned constant on
+    noise churns configs for nothing)."""
+    sw = SWEEPS[name]
+    ok = {v: t["fps"] for v, t in trials.items() if t.get("fps") is not None}
+    entry = {"mode": sw["mode"], "knob": sw["var"], "trials": trials,
+             "pinned": sw["pinned"]}
+    if "note" in sw:
+        entry["note"] = sw["note"]
+    if not ok:
+        entry.update(winner=None, matches_pinned=None)
+        return entry
+    best = max(ok, key=ok.get)
+    winner = best
+    if sw["pinned"] in ok and best != sw["pinned"]:
+        margin = (ok[best] - ok[sw["pinned"]]) / ok[sw["pinned"]] * 100.0
+        if margin <= tie_pct:
+            winner = sw["pinned"]
+            entry["tie"] = {"best_measured": best,
+                            "margin_pct": round(margin, 2),
+                            "threshold_pct": tie_pct}
+    entry.update(winner=winner, matches_pinned=winner == sw["pinned"])
+    return entry
+
+
+def recommend(report: dict) -> None:
+    """Fill report['recommended'] from the per-sweep winners."""
+    rec = {"env": {}, "config": {}}
+    for name, entry in report["sweeps"].items():
+        winner = entry.get("winner")
+        if winner is None:
+            continue
+        kind, key = SWEEPS[name]["target"]
+        val = winner
+        if key == "tpu.batch_size":
+            val = int(winner)
+        elif key == "tpu.sampled_preprocess":
+            val = winner == "1"
+        if kind == "env":
+            rec["env"][key] = val
+        else:
+            set_dotted(rec["config"], key, val)
+    report["recommended"] = rec
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--res", type=int, default=1080)
@@ -123,50 +172,47 @@ def main(argv=None) -> int:
     ap.add_argument("--timeout", type=float, default=1800.0,
                     help="per-trial subprocess timeout (first compiles "
                     "on a remote-compile attach are slow)")
+    ap.add_argument("--tie-pct", type=float, default=2.0,
+                    help="a candidate must beat the pinned default by "
+                    "more than this percent to displace it")
+    ap.add_argument("--redecide", default=None, metavar="REPORT",
+                    help="recompute winners/recommendation from an "
+                    "existing report's trials (no re-measurement)")
     args = ap.parse_args(argv)
     if args.quick:
         args.res, args.iters = 480, 2
 
-    names = [s.strip() for s in args.sweeps.split(",") if s.strip()]
-    unknown = [n for n in names if n not in SWEEPS]
-    if unknown:
-        ap.error(f"unknown sweeps {unknown}; available: {list(SWEEPS)}")
+    if args.redecide:
+        prior = json.loads(Path(args.redecide).read_text())
+        report = {"res": prior.get("res"), "iters": prior.get("iters"),
+                  "tie_pct": args.tie_pct, "sweeps": {}}
+        for name, entry in prior["sweeps"].items():
+            report["sweeps"][name] = decide(name, entry["trials"],
+                                            args.tie_pct)
+        recommend(report)
+    else:
+        names = [s.strip() for s in args.sweeps.split(",") if s.strip()]
+        unknown = [n for n in names if n not in SWEEPS]
+        if unknown:
+            ap.error(f"unknown sweeps {unknown}; available: {list(SWEEPS)}")
 
-    report = {"res": args.res, "iters": args.iters,
-              "sweeps": {}, "recommended": {"env": {}, "config": {}}}
-    for name in names:
-        sw = SWEEPS[name]
-        trials = {}
-        for value in sw["values"]:
-            print(f"[autotune] {name}: {sw['var']}={value} "
-                  f"(mode={sw['mode']}) ...", file=sys.stderr, flush=True)
-            fps, dt, tail = run_trial(sw["mode"], sw["var"], value,
-                                      args.res, args.iters, args.timeout)
-            trials[value] = {"fps": fps, "seconds": round(dt, 1)}
-            if fps is None:
-                trials[value]["error"] = tail
-            print(f"[autotune]   -> {fps if fps is not None else tail} "
-                  f"({dt:.0f}s)", file=sys.stderr, flush=True)
-        ok = {v: t["fps"] for v, t in trials.items()
-              if t["fps"] is not None}
-        winner = max(ok, key=ok.get) if ok else None
-        entry = {"mode": sw["mode"], "knob": sw["var"], "trials": trials,
-                 "winner": winner, "pinned": sw["pinned"],
-                 "matches_pinned": winner == sw["pinned"]}
-        if "note" in sw:
-            entry["note"] = sw["note"]
-        report["sweeps"][name] = entry
-        if winner is not None:
-            kind, key = sw["target"]
-            val = winner
-            if key in ("tpu.batch_size",):
-                val = int(winner)
-            elif key == "tpu.sampled_preprocess":
-                val = winner == "1"
-            if kind == "env":
-                report["recommended"]["env"][key] = val
-            else:
-                set_dotted(report["recommended"]["config"], key, val)
+        report = {"res": args.res, "iters": args.iters,
+                  "tie_pct": args.tie_pct, "sweeps": {}}
+        for name in names:
+            sw = SWEEPS[name]
+            trials = {}
+            for value in sw["values"]:
+                print(f"[autotune] {name}: {sw['var']}={value} "
+                      f"(mode={sw['mode']}) ...", file=sys.stderr, flush=True)
+                fps, dt, tail = run_trial(sw["mode"], sw["var"], value,
+                                          args.res, args.iters, args.timeout)
+                trials[value] = {"fps": fps, "seconds": round(dt, 1)}
+                if fps is None:
+                    trials[value]["error"] = tail
+                print(f"[autotune]   -> {fps if fps is not None else tail} "
+                      f"({dt:.0f}s)", file=sys.stderr, flush=True)
+            report["sweeps"][name] = decide(name, trials, args.tie_pct)
+        recommend(report)
 
     out = json.dumps(report, indent=2)
     print(out)
