@@ -3,6 +3,14 @@
 The reference knows only the "ultralytics" backend; that name is preserved
 and resolves to the native JAX implementation (there is no torch at
 runtime). "jax" and "yolov8" are explicit aliases.
+
+The reference's shipped config also reserves "onnx" and "tensorrt"
+(configs/default.yaml:38, requirements.txt onnx/onnxruntime-gpu). "onnx" is
+honored natively: the configured ``.onnx`` export is parsed for its weight
+initializers (models/yolo/onnx_io.py — no onnxruntime) and runs through the
+same jitted XLA graph. "tensorrt" has no TPU meaning (XLA *is* the
+ahead-of-time compiler here); it raises with a pointer to the AOT warmup
+tool rather than pretending.
 """
 from __future__ import annotations
 
@@ -14,6 +22,17 @@ from .yolo_jax import YOLOJax
 
 def build_detector(cfg: Dict[str, Any]) -> Detector:
     backend = (cfg.get("backend") or "ultralytics").lower()
-    if backend in ("ultralytics", "jax", "yolov8"):
+    if backend in ("ultralytics", "jax", "yolov8", "onnx"):
+        if backend == "onnx":
+            model = str(cfg.get("model", ""))
+            if not model.endswith(".onnx"):
+                raise ValueError(
+                    f"detect.backend 'onnx' needs detect.model to be a "
+                    f".onnx file (got {model!r})")
         return YOLOJax(cfg)
+    if backend == "tensorrt":
+        raise ValueError(
+            "detect.backend 'tensorrt' is CUDA-only; on TPU the XLA jit is "
+            "the engine builder — use backend 'ultralytics' (alias 'jax') "
+            "and tools/warmup.py for ahead-of-time compilation")
     raise ValueError(f"unknown detect backend: {backend}")

@@ -1,0 +1,319 @@
+"""ONNX weight interchange — reader/writer for the reserved ``onnx`` backend.
+
+The reference's shipped config reserves ``onnx``/``tensorrt`` backend names
+(``/root/reference/configs/default.yaml:38``) and lists onnx/onnxruntime in
+``requirements.txt`` without using them. Here the ``onnx`` surface is made
+real the TPU-native way: an ultralytics-style ``yolov8*.onnx`` export is
+parsed for its weight initializers and imported into the SAME JAX graph the
+``.pt`` path feeds (models/yolo/weights.py) — no onnxruntime at runtime, the
+forward pass stays one jitted XLA program.
+
+The ``onnx`` pip package is not available in this environment, so this module
+speaks the protobuf wire format directly (ModelProto → GraphProto →
+TensorProto per onnx.proto3). Only initializers are read; node graphs,
+attributes and subgraphs are skipped. That covers the ultralytics export
+convention: BN is fused before export, so every conv weight/bias survives as
+a named initializer (``model.N....conv.weight``/``.bias``) that
+weights.state_dict_to_params already understands.
+
+The writer emits a *weights-carrier* ModelProto (valid wire format,
+initializers only, one no-op Identity node so the graph is non-empty) — the
+interchange artifact for moving checkpoints between this framework's own
+installs without torch; it is not a runnable inference graph for other
+runtimes.
+"""
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Any, Dict, Iterator, Mapping, Tuple
+
+import numpy as np
+
+# onnx.proto3 TensorProto.DataType → numpy dtype
+_DTYPES = {
+    1: np.dtype(np.float32), 2: np.dtype(np.uint8), 3: np.dtype(np.int8),
+    4: np.dtype(np.uint16), 5: np.dtype(np.int16), 6: np.dtype(np.int32),
+    7: np.dtype(np.int64), 9: np.dtype(np.bool_), 10: np.dtype(np.float16),
+    11: np.dtype(np.float64), 12: np.dtype(np.uint32), 13: np.dtype(np.uint64),
+}
+_F32, _I64 = 1, 7
+
+
+# ---------------------------------------------------------------------------
+# wire-format primitives
+# ---------------------------------------------------------------------------
+def _read_varint(buf: bytes, i: int) -> Tuple[int, int]:
+    val, shift = 0, 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint overflow (corrupt ONNX file)")
+
+
+def _fields(buf: bytes) -> Iterator[Tuple[int, int, Any]]:
+    """Yield (field_number, wire_type, value) over one message's bytes.
+
+    Length-delimited values come back as memoryview slices; varints as int;
+    fixed32/fixed64 as raw 4/8-byte slices.
+    """
+    view = memoryview(buf)
+    i, n = 0, len(buf)
+    while i < n:
+        key, i = _read_varint(buf, i)
+        field, wt = key >> 3, key & 7
+        if wt == 0:  # varint
+            val, i = _read_varint(buf, i)
+        elif wt == 2:  # length-delimited
+            ln, i = _read_varint(buf, i)
+            val = view[i:i + ln]
+            i += ln
+        elif wt == 5:  # fixed32
+            val = view[i:i + 4]
+            i += 4
+        elif wt == 1:  # fixed64
+            val = view[i:i + 8]
+            i += 8
+        else:
+            raise ValueError(f"unsupported wire type {wt} (group encoding?)")
+        yield field, wt, val
+
+
+def _packed_varints(data) -> list:
+    buf = bytes(data)
+    out, i = [], 0
+    while i < len(buf):
+        v, i = _read_varint(buf, i)
+        out.append(v)
+    return out
+
+
+def _as_int64(v: int) -> int:
+    """Interpret a varint as two's-complement int64 (proto int64 fields)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+def _parse_tensor(buf) -> Tuple[str, np.ndarray]:
+    """Decode one TensorProto. Accepts packed AND unpacked repeated fields,
+    raw_data or typed *_data arrays (both appear in the wild)."""
+    dims: list = []
+    data_type = _F32
+    name = ""
+    raw = None
+    floats: list = []
+    ints: list = []
+    doubles: list = []
+    for field, wt, val in _fields(bytes(buf)):
+        if field == 1:  # dims: repeated int64
+            if wt == 0:
+                dims.append(_as_int64(val))
+            else:
+                dims.extend(_as_int64(v) for v in _packed_varints(val))
+        elif field == 2 and wt == 0:  # data_type
+            data_type = val
+        elif field == 4:  # float_data
+            if wt == 5:
+                floats.append(struct.unpack("<f", bytes(val))[0])
+            else:
+                floats.extend(np.frombuffer(bytes(val), "<f4").tolist())
+        elif field in (5, 7, 11):  # int32_data / int64_data / uint64_data
+            if wt == 0:
+                ints.append(_as_int64(val) if field == 7 else val)
+            else:
+                vs = _packed_varints(val)
+                if field == 7:
+                    vs = [_as_int64(v) for v in vs]
+                ints.extend(vs)
+        elif field == 8 and wt == 2:  # name
+            name = bytes(val).decode("utf-8")
+        elif field == 9 and wt == 2:  # raw_data
+            raw = bytes(val)
+        elif field == 10:  # double_data
+            if wt == 1:
+                doubles.append(struct.unpack("<d", bytes(val))[0])
+            else:
+                doubles.extend(np.frombuffer(bytes(val), "<f8").tolist())
+        # segment(3), string_data(6), external_data(13), etc.: skipped
+    if data_type == 16 and raw is not None:  # bfloat16: no numpy dtype name
+        u16 = np.frombuffer(raw, "<u2").astype(np.uint32) << 16
+        arr = u16.view(np.float32).astype(np.float32)
+    elif raw is not None:
+        dt = _DTYPES.get(data_type)
+        if dt is None:
+            raise ValueError(f"tensor '{name}': unsupported data_type "
+                             f"{data_type}")
+        arr = np.frombuffer(raw, dt.newbyteorder("<"))
+    elif floats:
+        arr = np.asarray(floats, np.float32)
+    elif doubles:
+        arr = np.asarray(doubles, np.float64)
+    elif ints:
+        dt = _DTYPES.get(data_type, np.dtype(np.int64))
+        arr = np.asarray(ints, dt)
+    else:
+        arr = np.zeros(0, _DTYPES.get(data_type, np.dtype(np.float32)))
+    shape = tuple(int(d) for d in dims)
+    if shape and int(np.prod(shape)) != arr.size:
+        raise ValueError(f"tensor '{name}': dims {shape} != {arr.size} elems")
+    return name, arr.reshape(shape)
+
+
+def _graph_initializers(buf, out: Dict[str, np.ndarray]) -> None:
+    for field, wt, val in _fields(bytes(buf)):
+        if field == 5 and wt == 2:  # initializer: repeated TensorProto
+            name, arr = _parse_tensor(val)
+            if name:
+                out[name] = arr
+
+
+def load_onnx(path) -> Dict[str, np.ndarray]:
+    """Read every named initializer of an ONNX model → {name: ndarray}.
+
+    The result is a torch-style state dict (OIHW conv weights, fused-BN
+    names for ultralytics exports) consumable by
+    weights.state_dict_to_params / load_params.
+    """
+    buf = Path(path).read_bytes()
+    out: Dict[str, np.ndarray] = {}
+    for field, wt, val in _fields(buf):
+        if field == 7 and wt == 2:  # ModelProto.graph
+            _graph_initializers(val, out)
+    if not out:
+        raise ValueError(f"{path}: no initializers found (not an ONNX "
+                         f"model, or weights stored as external data)")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wt: int) -> bytes:
+    return _varint((field << 3) | wt)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _vi(field: int, v: int) -> bytes:
+    return _tag(field, 0) + _varint(v)
+
+
+def _tensor_bytes(name: str, arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype == np.float64:
+        arr = arr.astype(np.float32)
+    dtype_code = None
+    for code, dt in _DTYPES.items():
+        if dt == arr.dtype:
+            dtype_code = code
+            break
+    if dtype_code is None:
+        raise ValueError(f"unsupported export dtype {arr.dtype} for {name}")
+    dims = b"".join(_varint(int(d)) for d in arr.shape)
+    msg = _ld(1, dims) if arr.shape else b""
+    msg += _vi(2, dtype_code)
+    msg += _ld(8, name.encode("utf-8"))
+    msg += _ld(9, arr.astype(arr.dtype.newbyteorder("<"), copy=False).tobytes())
+    return msg
+
+
+def save_onnx(state_dict: Mapping[str, np.ndarray], path, *,
+              doc: str = "roadvision_tpu weights carrier") -> None:
+    """Write a valid-wire-format ONNX ModelProto holding ``state_dict`` as
+    named initializers (plus a single Identity node so the graph is
+    well-formed). Round-trips through :func:`load_onnx`."""
+    inits = b"".join(_ld(5, _tensor_bytes(k, np.asarray(v)))
+                     for k, v in state_dict.items())
+    # NodeProto: input("w0") output("w0_out") op_type("Identity")
+    first = next(iter(state_dict), None)
+    node = b""
+    if first is not None:
+        node = _ld(1, _ld(1, first.encode()) + _ld(2, b"identity_out") +
+                   _ld(4, b"Identity"))
+    graph = node + _ld(2, b"roadvision_weights") + inits
+    # OperatorSetIdProto: version=17 (field 2)
+    opset = _vi(2, 17)
+    model = (_vi(1, 8)  # ir_version 8
+             + _ld(2, b"roadvision_tpu")  # producer_name
+             + _ld(6, doc.encode("utf-8"))  # doc_string
+             + _ld(7, graph)
+             + _ld(8, opset))
+    Path(path).write_bytes(model)
+
+
+# ---------------------------------------------------------------------------
+# params pytree → ultralytics-style fused state dict (export direction)
+# ---------------------------------------------------------------------------
+def _put_conv(sd: Dict[str, np.ndarray], prefix: str, p: Mapping) -> None:
+    sd[f"{prefix}.conv.weight"] = \
+        np.asarray(p["w"], np.float32).transpose(3, 2, 0, 1)  # HWIO→OIHW
+    sd[f"{prefix}.conv.bias"] = np.asarray(p["b"], np.float32)
+
+
+def _put_plain(sd: Dict[str, np.ndarray], prefix: str, p: Mapping) -> None:
+    sd[f"{prefix}.weight"] = \
+        np.asarray(p["w"], np.float32).transpose(3, 2, 0, 1)
+    sd[f"{prefix}.bias"] = np.asarray(p["b"], np.float32)
+
+
+def params_to_state_dict(params: Mapping[str, Any],
+                         arch: str = "v8") -> Dict[str, np.ndarray]:
+    """Inverse of weights.state_dict_to_params (fused form: conv.weight +
+    conv.bias, no BN keys — the post-``model.fuse()`` ultralytics layout)."""
+    from . import weights as W
+    sd: Dict[str, np.ndarray] = {}
+    if arch == "v8":
+        conv_layers, block_layers, head = W._CONV_LAYERS, W._C2F_LAYERS, "22"
+    else:
+        conv_layers, block_layers, head = (W._V5_CONV_LAYERS,
+                                           W._V5_C3_LAYERS, "24")
+    for i in conv_layers:
+        _put_conv(sd, f"model.{i}", params[i])
+    for i in block_layers:
+        blk = params[i]
+        for cv in ("cv1", "cv2", "cv3"):
+            if cv in blk:
+                _put_conv(sd, f"model.{i}.{cv}", blk[cv])
+        for j, m in enumerate(blk["m"]):
+            _put_conv(sd, f"model.{i}.m.{j}.cv1", m["cv1"])
+            _put_conv(sd, f"model.{i}.m.{j}.cv2", m["cv2"])
+    _put_conv(sd, "model.9.cv1", params["9"]["cv1"])
+    _put_conv(sd, "model.9.cv2", params["9"]["cv2"])
+    if arch == "v8":
+        det = params[head]
+        for branch in ("cv2", "cv3"):
+            for lvl in range(3):
+                stages = det[branch][lvl]
+                _put_conv(sd, f"model.22.{branch}.{lvl}.0", stages[0])
+                _put_conv(sd, f"model.22.{branch}.{lvl}.1", stages[1])
+                _put_plain(sd, f"model.22.{branch}.{lvl}.2", stages[2])
+    else:
+        for lvl, m in enumerate(params[head]["m"]):
+            _put_plain(sd, f"model.24.m.{lvl}", m)
+    return sd
+
+
+def export_onnx(params: Mapping[str, Any], path, arch: str = "v8") -> None:
+    """Export a param pytree as an ultralytics-named ONNX weights carrier."""
+    save_onnx(params_to_state_dict(params, arch), path)

@@ -8,8 +8,10 @@ HWIO, and keys mapped onto the layer-indexed param tree of yolov8.py.
 
 Accepted inputs: a mapping of tensors/arrays (a state dict), a ``.pt`` file
 (plain state dict via ``torch.load(weights_only=True)``, or a full
-ultralytics checkpoint when the ultralytics package is importable), or an
-``.npz`` exported by :func:`export_npz`.
+ultralytics checkpoint when the ultralytics package is importable), an
+``.npz`` exported by :func:`export_npz`, or an ``.onnx`` export (ultralytics
+``yolo export format=onnx`` convention: BN fused, named initializers) parsed
+by models/yolo/onnx_io.py without the onnx package.
 """
 from __future__ import annotations
 
@@ -172,7 +174,10 @@ def load_params(path_or_sd, size: str = "n", nc: int = 80,
     elif isinstance(path_or_sd, (str, Path)):
         p = Path(path_or_sd)
         if p.exists():
-            if p.suffix == ".npz":
+            if p.suffix == ".onnx":
+                from .onnx_io import load_onnx
+                sd = load_onnx(p)
+            elif p.suffix == ".npz":
                 raw = dict(np.load(p))
                 if raw and all(k.startswith("L") for k in raw):
                     params = import_npz(p)  # our own exported pytree

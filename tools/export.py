@@ -1,0 +1,49 @@
+"""Checkpoint format converter: .pt / .npz / .onnx → .npz / .onnx.
+
+The torch-free interchange surface for the reserved ``onnx`` backend
+(reference configs/default.yaml:38): any checkpoint the framework can load
+(ultralytics ``.pt``, our ``.npz``, an ultralytics ``.onnx`` export) is
+re-emitted as a portable weights file. The ONNX output is a weights-carrier
+ModelProto with ultralytics-style fused initializer names (readable by
+models/yolo/onnx_io.load_onnx and by the standard onnx package alike).
+
+    python tools/export.py --weights yolov8n.pt --format onnx --out w.onnx
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--weights", required=True,
+                    help="input checkpoint (.pt / .npz / .onnx)")
+    ap.add_argument("--format", choices=("onnx", "npz"), default="onnx")
+    ap.add_argument("--out", default=None,
+                    help="output path (default: input stem + new suffix)")
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # pure host-side conversion
+
+    from roadvision_tpu.models.yolo import onnx_io, weights
+
+    params, arch, size, loaded = weights.load_params(
+        args.weights, allow_random=False)
+    out = Path(args.out) if args.out else \
+        Path(args.weights).with_suffix(f".{args.format}")
+    if args.format == "npz":
+        weights.export_npz(params, out)
+    else:
+        onnx_io.export_onnx(params, out, arch=arch)
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"[roadvision] exported yolo{arch}{size} ({n:,} params) -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
