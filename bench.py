@@ -140,13 +140,27 @@ def device_resident_fps(engine: PipelineEngine, width: int, height: int,
     return frames_done / elapsed, tracked / frames_done
 
 
+def _road_frame(width: int, height: int) -> np.ndarray:
+    """Road-like benchmark content: smooth gradient + texture noise.
+
+    JPEG cost is content-dependent; pure noise over-penalizes (worst-case
+    entropy coding), flat fields under-penalize. Shared by the overlay
+    probe and the sustained-record gate so their ms/frame are comparable."""
+    rng = np.random.RandomState(0)
+    base = (np.linspace(0, 200, width)[None, :, None]
+            + np.linspace(0, 55, height)[:, None, None])
+    return np.clip(base + rng.normal(0, 8, (height, width, 3)),
+                   0, 255).astype(np.uint8)
+
+
 def overlay_encode_ms(width: int, height: int, iters: int = 24) -> float:
     """Host overlay + compare canvas + MJPEG encode per frame.
 
     BASELINE config 5 ends with "draw overlay + MP4 record" — that tail
     runs on the host CPU concurrently with device compute (the stream
     driver overlaps them), so it is measured separately here, attach-
-    independent, at production box density (12 tracked detections)."""
+    independent, at production box density (12 tracked detections) on
+    road-like content (same generator as sustained_record_fps)."""
     import os
     import tempfile
 
@@ -154,8 +168,7 @@ def overlay_encode_ms(width: int, height: int, iters: int = 24) -> float:
     from roadvision_tpu.io_video.writer import MJPEGAVIWriter
     from roadvision_tpu.vis import draw_detections, make_canvas
 
-    rng = np.random.RandomState(0)
-    frame = rng.randint(0, 256, (height, width, 3), dtype=np.uint8)
+    frame = _road_frame(width, height)
     dets = []
     for i in range(12):
         x1 = float(20 + 80 * i) % (width - 120)
@@ -201,13 +214,7 @@ def sustained_record_fps(width: int, height: int,
     from roadvision_tpu.io_video.writer import MJPEGAVIWriter, encode_jpeg_bgr
     from roadvision_tpu.vis import draw_detections, make_canvas
 
-    rng = np.random.RandomState(0)
-    # road-like content: smooth gradient + texture noise (JPEG cost is
-    # content-dependent; pure noise over-penalizes, flat fields under-)
-    base = (np.linspace(0, 200, width)[None, :, None]
-            + np.linspace(0, 55, height)[:, None, None])
-    frame = np.clip(base + rng.normal(0, 8, (height, width, 3)),
-                    0, 255).astype(np.uint8)
+    frame = _road_frame(width, height)
 
     def dets_at(k: int):
         out = []
