@@ -24,11 +24,17 @@ def build_detector(cfg: Dict[str, Any]) -> Detector:
     backend = (cfg.get("backend") or "ultralytics").lower()
     if backend in ("ultralytics", "jax", "yolov8", "onnx"):
         if backend == "onnx":
+            from pathlib import Path
             model = str(cfg.get("model", ""))
             if not model.endswith(".onnx"):
                 raise ValueError(
                     f"detect.backend 'onnx' needs detect.model to be a "
                     f".onnx file (got {model!r})")
+            if not Path(model).exists():
+                # explicitly configured interchange file: fail fast
+                # rather than silently running random-init weights
+                raise FileNotFoundError(
+                    f"detect.backend 'onnx': model file not found: {model}")
         return YOLOJax(cfg)
     if backend == "tensorrt":
         raise ValueError(

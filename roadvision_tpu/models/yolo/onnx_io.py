@@ -45,7 +45,10 @@ _F32, _I64 = 1, 7
 # ---------------------------------------------------------------------------
 def _read_varint(buf: bytes, i: int) -> Tuple[int, int]:
     val, shift = 0, 0
+    n = len(buf)
     while True:
+        if i >= n:
+            raise ValueError("truncated varint (corrupt ONNX file)")
         b = buf[i]
         i += 1
         val |= (b & 0x7F) << shift
@@ -123,13 +126,18 @@ def _parse_tensor(buf) -> Tuple[str, np.ndarray]:
             if wt == 5:
                 floats.append(struct.unpack("<f", bytes(val))[0])
             else:
-                floats.extend(np.frombuffer(bytes(val), "<f4").tolist())
+                floats.append(np.frombuffer(bytes(val), "<f4"))
         elif field in (5, 7, 11):  # int32_data / int64_data / uint64_data
+            # int32_data also carries int8/int16/uint8/uint16/bool/fp16/
+            # bf16 per onnx.proto; negatives of any signed width are
+            # encoded as 10-byte (2^64-|v|) varints → two's-complement
+            # decode for the signed fields, raw for uint64_data.
+            signed = field in (5, 7)
             if wt == 0:
-                ints.append(_as_int64(val) if field == 7 else val)
+                ints.append(_as_int64(val) if signed else val)
             else:
                 vs = _packed_varints(val)
-                if field == 7:
+                if signed:
                     vs = [_as_int64(v) for v in vs]
                 ints.extend(vs)
         elif field == 8 and wt == 2:  # name
@@ -140,8 +148,13 @@ def _parse_tensor(buf) -> Tuple[str, np.ndarray]:
             if wt == 1:
                 doubles.append(struct.unpack("<d", bytes(val))[0])
             else:
-                doubles.extend(np.frombuffer(bytes(val), "<f8").tolist())
+                doubles.append(np.frombuffer(bytes(val), "<f8"))
         # segment(3), string_data(6), external_data(13), etc.: skipped
+    def _cat(parts, dt):
+        return np.concatenate(
+            [p if isinstance(p, np.ndarray) else np.array([p], dt)
+             for p in parts]).astype(dt, copy=False)
+
     if data_type == 16 and raw is not None:  # bfloat16: no numpy dtype name
         u16 = np.frombuffer(raw, "<u2").astype(np.uint32) << 16
         arr = u16.view(np.float32).astype(np.float32)
@@ -152,12 +165,21 @@ def _parse_tensor(buf) -> Tuple[str, np.ndarray]:
                              f"{data_type}")
         arr = np.frombuffer(raw, dt.newbyteorder("<"))
     elif floats:
-        arr = np.asarray(floats, np.float32)
+        arr = _cat(floats, np.dtype(np.float32))
     elif doubles:
-        arr = np.asarray(doubles, np.float64)
+        arr = _cat(doubles, np.dtype(np.float64))
     elif ints:
-        dt = _DTYPES.get(data_type, np.dtype(np.int64))
-        arr = np.asarray(ints, dt)
+        # typed *_data for half floats stores BIT PATTERNS (onnx.proto:
+        # "float16/bfloat16 values bit-cast to uint16"), not numerics
+        if data_type == 10:  # float16
+            arr = np.asarray(ints, np.uint16).view(np.float16)
+        elif data_type == 16:  # bfloat16 → widen to float32
+            u32 = np.asarray(ints, np.uint16).astype(np.uint32) << 16
+            arr = u32.view(np.float32)
+        else:
+            dt = _DTYPES.get(data_type, np.dtype(np.int64))
+            wide = np.uint64 if dt.kind == "u" else np.int64
+            arr = np.asarray(ints, wide).astype(dt)
     else:
         arr = np.zeros(0, _DTYPES.get(data_type, np.dtype(np.float32)))
     shape = tuple(int(d) for d in dims)
@@ -166,10 +188,18 @@ def _parse_tensor(buf) -> Tuple[str, np.ndarray]:
     return name, arr.reshape(shape)
 
 
-def _graph_initializers(buf, out: Dict[str, np.ndarray]) -> None:
+def _graph_initializers(buf, out: Dict[str, np.ndarray],
+                        skipped: list) -> None:
     for field, wt, val in _fields(bytes(buf)):
         if field == 5 and wt == 2:  # initializer: repeated TensorProto
-            name, arr = _parse_tensor(val)
+            try:
+                name, arr = _parse_tensor(val)
+            except ValueError as exc:
+                # an unconvertible initializer (fp8/int4/string payloads)
+                # need not block the load: the YOLO weight mapping may
+                # never read it — note it and move on
+                skipped.append(str(exc))
+                continue
             if name:
                 out[name] = arr
 
@@ -179,13 +209,20 @@ def load_onnx(path) -> Dict[str, np.ndarray]:
 
     The result is a torch-style state dict (OIHW conv weights, fused-BN
     names for ultralytics exports) consumable by
-    weights.state_dict_to_params / load_params.
+    weights.state_dict_to_params / load_params. Initializers with
+    payloads this parser cannot represent (fp8/int4/strings) are skipped
+    with a console note; the load fails only if nothing is readable.
     """
     buf = Path(path).read_bytes()
     out: Dict[str, np.ndarray] = {}
+    skipped: list = []
     for field, wt, val in _fields(buf):
         if field == 7 and wt == 2:  # ModelProto.graph
-            _graph_initializers(val, out)
+            _graph_initializers(val, out, skipped)
+    if skipped:
+        print(f"[roadvision] {path}: skipped {len(skipped)} unreadable "
+              f"initializer(s): {skipped[0]}"
+              + (" ..." if len(skipped) > 1 else ""))
     if not out:
         raise ValueError(f"{path}: no initializers found (not an ONNX "
                          f"model, or weights stored as external data)")
@@ -265,16 +302,14 @@ def save_onnx(state_dict: Mapping[str, np.ndarray], path, *,
 # ---------------------------------------------------------------------------
 # params pytree → ultralytics-style fused state dict (export direction)
 # ---------------------------------------------------------------------------
-def _put_conv(sd: Dict[str, np.ndarray], prefix: str, p: Mapping) -> None:
-    sd[f"{prefix}.conv.weight"] = \
-        np.asarray(p["w"], np.float32).transpose(3, 2, 0, 1)  # HWIO→OIHW
-    sd[f"{prefix}.conv.bias"] = np.asarray(p["b"], np.float32)
-
-
 def _put_plain(sd: Dict[str, np.ndarray], prefix: str, p: Mapping) -> None:
     sd[f"{prefix}.weight"] = \
-        np.asarray(p["w"], np.float32).transpose(3, 2, 0, 1)
+        np.asarray(p["w"], np.float32).transpose(3, 2, 0, 1)  # HWIO→OIHW
     sd[f"{prefix}.bias"] = np.asarray(p["b"], np.float32)
+
+
+def _put_conv(sd: Dict[str, np.ndarray], prefix: str, p: Mapping) -> None:
+    _put_plain(sd, f"{prefix}.conv", p)
 
 
 def params_to_state_dict(params: Mapping[str, Any],

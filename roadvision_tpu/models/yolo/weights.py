@@ -176,7 +176,15 @@ def load_params(path_or_sd, size: str = "n", nc: int = 80,
         if p.exists():
             if p.suffix == ".onnx":
                 from .onnx_io import load_onnx
-                sd = load_onnx(p)
+                try:
+                    sd = load_onnx(p)
+                except ValueError as exc:
+                    # same degradation contract as a corrupt .pt
+                    # (_load_torch → None): random init unless forbidden
+                    if not allow_random:
+                        raise
+                    print(f"[roadvision] unreadable ONNX ({exc}); "
+                          f"using random init")
             elif p.suffix == ".npz":
                 raw = dict(np.load(p))
                 if raw and all(k.startswith("L") for k in raw):

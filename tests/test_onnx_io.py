@@ -129,6 +129,70 @@ def test_onnx_backend_wants_onnx_model():
         build_detector({"backend": "onnx", "model": "yolov8n.pt"})
 
 
+def test_onnx_backend_missing_file_fails_fast():
+    with pytest.raises(FileNotFoundError, match="not found"):
+        build_detector({"backend": "onnx", "model": "/nope/missing.onnx"})
+
+
+def test_typed_int32_data_halffloats_and_negatives(tmp_path):
+    """fp16 via int32_data is bit-patterns; negative ints are 10-byte
+    varints — both per onnx.proto's typed-array encodings."""
+    _vi, _ld = onnx_io._vi, onnx_io._ld
+    # fp16 tensor [1.0, -2.0] as bit patterns 0x3C00, 0xC000 in int32_data
+    t_half = (_vi(1, 2) + _vi(2, 10)
+              + _vi(5, 0x3C00) + _vi(5, 0xC000)
+              + _ld(8, b"half"))
+    # int32 tensor [-1, 3]: -1 encodes as 2^64-1
+    t_int = (_vi(1, 2) + _vi(2, 6)
+             + _vi(5, (1 << 64) - 1) + _vi(5, 3)
+             + _ld(8, b"ints"))
+    graph = _ld(5, t_half) + _ld(5, t_int)
+    p = tmp_path / "typed.onnx"
+    p.write_bytes(_vi(1, 8) + _ld(7, graph))
+    back = onnx_io.load_onnx(p)
+    assert back["half"].dtype == np.float16
+    np.testing.assert_array_equal(back["half"],
+                                  np.array([1.0, -2.0], np.float16))
+    assert back["ints"].dtype == np.int32
+    np.testing.assert_array_equal(back["ints"], np.array([-1, 3], np.int32))
+
+
+def test_unreadable_initializer_skipped(tmp_path, capsys):
+    """A bad-payload initializer is skipped; readable ones still load."""
+    _vi, _ld = onnx_io._vi, onnx_io._ld
+    good = onnx_io._tensor_bytes("ok", np.arange(3, dtype=np.float32))
+    # dims say 4 elements but raw_data carries one float → size mismatch
+    bad = (_vi(1, 4) + _vi(2, 1) + _ld(8, b"bad")
+           + _ld(9, struct.pack("<f", 1.0)))
+    p = tmp_path / "mixed.onnx"
+    p.write_bytes(_vi(1, 8) + _ld(7, _ld(5, bad) + _ld(5, good)))
+    back = onnx_io.load_onnx(p)
+    assert "skipped 1 unreadable" in capsys.readouterr().out
+    assert set(back) == {"ok"}
+    np.testing.assert_array_equal(back["ok"],
+                                  np.arange(3, dtype=np.float32))
+
+
+def test_corrupt_onnx_degrades_to_random_init(tmp_path, capsys):
+    p = tmp_path / "corrupt.onnx"
+    p.write_bytes(b"\x00\xffnot a model at all")
+    params, arch, size, loaded = weights.load_params(str(p))
+    assert not loaded and arch == "v8"
+    assert "unreadable ONNX" in capsys.readouterr().out
+    with pytest.raises(ValueError):
+        weights.load_params(str(p), allow_random=False)
+
+
+def test_export_tool_refuses_self_overwrite(tmp_path):
+    from tools.export import main as export_main
+    params = init_params(jax.random.PRNGKey(8), "n")
+    path = tmp_path / "w.onnx"
+    onnx_io.export_onnx(params, path, arch="v8")
+    before = path.read_bytes()
+    assert export_main(["--weights", str(path), "--format", "onnx"]) == 2
+    assert path.read_bytes() == before
+
+
 def test_tensorrt_backend_message():
     with pytest.raises(ValueError, match="tensorrt"):
         build_detector({"backend": "tensorrt"})

@@ -36,6 +36,10 @@ def main(argv=None) -> int:
         args.weights, allow_random=False)
     out = Path(args.out) if args.out else \
         Path(args.weights).with_suffix(f".{args.format}")
+    if out.resolve() == Path(args.weights).resolve():
+        print(f"[roadvision] refusing to overwrite the input {out} — "
+              f"pass --out for an in-place-style rewrite", file=sys.stderr)
+        return 2
     if args.format == "npz":
         weights.export_npz(params, out)
     else:
