@@ -1,9 +1,14 @@
-"""Detection dataset loading (YOLO-txt format + synthetic road scenes).
+"""Detection dataset loading (YOLO-txt, COCO JSON, synthetic road scenes).
 
 YOLO layout: ``images/*.jpg|png`` with ``labels/<stem>.txt`` lines of
-``<cls> <cx> <cy> <w> <h>`` (normalized). Images are letterboxed to the
-model size; boxes are converted to pixel xyxy in letterbox space and padded
-to fixed capacity (static shapes for the jitted train step).
+``<cls> <cx> <cy> <w> <h>`` (normalized). COCO layout: an annotation
+``.json`` (``images``/``annotations``/``categories``) with image files
+resolved relative to it (or ``images_root``); category ids map to
+contiguous 0..nc-1 in sorted-id order (the ultralytics convention).
+Either way images are letterboxed to the model size; boxes are converted
+to pixel xyxy in letterbox space and padded to fixed capacity (static
+shapes for the jitted train step). ``load_dataset`` dispatches on the
+path (``.json`` → COCO, directory → YOLO).
 
 ``synthetic_batches`` yields procedurally generated road scenes with exact
 ground truth (vehicle class = COCO "car"), so the training loop is testable
@@ -85,6 +90,85 @@ def load_yolo_dir(root: str, imgsz: int = 640, max_boxes: int = 50,
         raise FileNotFoundError(f"no images under {root}")
     return (np.stack(images), np.stack(boxes_all), np.stack(cls_all),
             np.stack(mask_all))
+
+
+def load_coco_json(ann_path: str, images_root: Optional[str] = None,
+                   imgsz: int = 640, max_boxes: int = 50,
+                   limit: Optional[int] = None):
+    """Load a COCO-format annotation file → same arrays as load_yolo_dir.
+
+    ``ann_path`` is the instances JSON; image files resolve against
+    ``images_root`` (default: the JSON's directory). COCO ``bbox`` is
+    [x, y, w, h] in source pixels; ``iscrowd`` regions are excluded from
+    eval/training targets per the standard protocol. Returns
+    (images (N,S,S,3) u8 RGB, boxes (N,M,4) letterbox-space xyxy,
+    cls (N,M) contiguous ids, mask (N,M)), plus ``names`` {cid: name}
+    via :func:`coco_names`.
+    """
+    import json as _json
+
+    from PIL import Image
+
+    ann_path = Path(ann_path)
+    root = Path(images_root) if images_root else ann_path.parent
+    spec = _json.loads(ann_path.read_text())
+    cat_ids = sorted(c["id"] for c in spec.get("categories", []))
+    to_contig = {cid: i for i, cid in enumerate(cat_ids)}
+    per_image: dict = {}
+    for a in spec.get("annotations", []):
+        if a.get("iscrowd"):
+            continue
+        per_image.setdefault(a["image_id"], []).append(a)
+
+    images, boxes_all, cls_all, mask_all = [], [], [], []
+    infos = spec.get("images", [])
+    if limit:
+        infos = infos[:limit]
+    for info in infos:
+        p = root / info["file_name"]
+        img = np.asarray(Image.open(p).convert("RGB"))
+        h, w = img.shape[:2]
+        lb, r, (dw, dh) = _letterbox_np(img, imgsz)
+        images.append(lb)
+        boxes = np.zeros((max_boxes, 4), np.float32)
+        cls = np.zeros((max_boxes,), np.int32)
+        mask = np.zeros((max_boxes,), bool)
+        anns = per_image.get(info["id"], [])
+        if len(anns) > max_boxes:
+            print(f"[roadvision] {p.name}: {len(anns)} annotations "
+                  f"truncated to max_boxes={max_boxes} — raise max_boxes "
+                  f"for correct eval/training on crowded scenes")
+        for i, a in enumerate(anns[:max_boxes]):
+            x, y, bw, bh = a["bbox"]
+            boxes[i] = (x * r + dw, y * r + dh,
+                        (x + bw) * r + dw, (y + bh) * r + dh)
+            cls[i] = to_contig.get(a["category_id"], 0)
+            mask[i] = True
+        boxes_all.append(boxes)
+        cls_all.append(cls)
+        mask_all.append(mask)
+    if not images:
+        raise FileNotFoundError(f"no images listed in {ann_path}")
+    return (np.stack(images), np.stack(boxes_all), np.stack(cls_all),
+            np.stack(mask_all))
+
+
+def coco_names(ann_path: str) -> dict:
+    """{contiguous_id: category name} for a COCO annotation file."""
+    import json as _json
+    spec = _json.loads(Path(ann_path).read_text())
+    cats = sorted(spec.get("categories", []), key=lambda c: c["id"])
+    return {i: c.get("name", str(c["id"])) for i, c in enumerate(cats)}
+
+
+def load_dataset(path: str, imgsz: int = 640, max_boxes: int = 50,
+                 limit: Optional[int] = None):
+    """Dispatch on dataset layout: ``.json`` → COCO, directory → YOLO-txt."""
+    if str(path).endswith(".json"):
+        return load_coco_json(path, imgsz=imgsz, max_boxes=max_boxes,
+                              limit=limit)
+    return load_yolo_dir(path, imgsz=imgsz, max_boxes=max_boxes,
+                         limit=limit)
 
 
 def _rgb_to_hsv(rgb: np.ndarray) -> np.ndarray:

@@ -31,6 +31,78 @@ def test_dataset_loader_yolo_dir(tmp_path):
     np.testing.assert_allclose(boxes[0, 0], [30, 20, 70, 50], atol=1.5)
 
 
+def _make_coco_json(tmp_path, n=3, size=96):
+    """Same scene/labels as _make_yolo_dir, in COCO instances format.
+    Non-contiguous category ids (3→contig 1) + one iscrowd annotation."""
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    images, anns = [], []
+    for i in range(n):
+        img = rng.randint(0, 255, (size, size, 3), np.uint8)
+        img[20:50, 30:70] = (200, 30, 30)
+        Image.fromarray(img).save(tmp_path / f"im{i}.png")
+        images.append({"id": i + 10, "file_name": f"im{i}.png",
+                       "width": size, "height": size})
+        anns.append({"id": 100 + i, "image_id": i + 10, "category_id": 3,
+                     "bbox": [30, 20, 40, 30], "iscrowd": 0})
+    # an iscrowd region: must be excluded
+    anns.append({"id": 999, "image_id": 10, "category_id": 3,
+                 "bbox": [0, 0, 90, 90], "iscrowd": 1})
+    spec = {"images": images, "annotations": anns,
+            "categories": [{"id": 1, "name": "person"},
+                           {"id": 3, "name": "car"}]}
+    p = tmp_path / "instances.json"
+    p.write_text(json.dumps(spec))
+    return p
+
+
+def test_dataset_loader_coco_json(tmp_path):
+    from roadvision_tpu.detect.dataset import coco_names, load_coco_json
+    p = _make_coco_json(tmp_path)
+    imgs, boxes, cls, mask = load_coco_json(p, imgsz=96, max_boxes=5)
+    assert imgs.shape == (3, 96, 96, 3)
+    assert mask.sum() == 3  # iscrowd excluded
+    assert (cls[mask] == 1).all()  # category 3 → contiguous 1
+    np.testing.assert_allclose(boxes[0, 0], [30, 20, 70, 50], atol=1.5)
+    assert coco_names(p) == {0: "person", 1: "car"}
+
+
+def test_load_dataset_dispatch_matches(tmp_path):
+    """COCO and YOLO loads of the same scene agree (via load_dataset)."""
+    from roadvision_tpu.detect.dataset import load_dataset
+    ydir = tmp_path / "y"
+    ydir.mkdir()
+    _make_yolo_dir(ydir)
+    cdir = tmp_path / "c"
+    cdir.mkdir()
+    cjson = _make_coco_json(cdir)
+    yi, yb, _, ym = load_dataset(ydir, imgsz=96, max_boxes=5)
+    ci, cb, _, cm = load_dataset(str(cjson), imgsz=96, max_boxes=5)
+    np.testing.assert_array_equal(yi, ci)
+    np.testing.assert_array_equal(ym, cm)
+    np.testing.assert_allclose(yb[ym], cb[cm], atol=1e-4)
+
+
+def test_eval_map_cli_coco(tmp_path, capsys):
+    import tools.eval_map as ev
+    p = _make_coco_json(tmp_path)
+    rc = ev.main(["--data", str(p), "--weights", "none.pt",
+                  "--imgsz", "96", "--limit", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "mAP@0.5" in out
+
+
+def test_train_cli_coco_json(tmp_path):
+    import tools.train as tr
+    p = _make_coco_json(tmp_path)
+    out = tmp_path / "w.npz"
+    rc = tr.main(["--data", str(p), "--steps", "1", "--imgsz", "96",
+                  "--batch", "2", "--weights", "none.pt",
+                  "--out", str(out), "--no-augment"])
+    assert rc == 0 and out.exists()
+
+
 def test_dataset_synthetic_batches():
     from roadvision_tpu.detect.dataset import synthetic_batches
     gen = synthetic_batches(2, imgsz=96, max_boxes=8)

@@ -1,7 +1,7 @@
-"""Evaluate detection mAP on a YOLO-format labeled directory.
+"""Evaluate detection mAP on a YOLO-format directory or COCO json.
 
 Usage:
-  python tools/eval_map.py --data /path/to/yolo_dir [--weights W] \
+  python tools/eval_map.py --data yolo_dir|instances.json [--weights W] \
       [--iou-thres 0.5,0.75]
 """
 from __future__ import annotations
@@ -20,7 +20,7 @@ from roadvision_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
 from roadvision_tpu.detect import build_detector  # noqa: E402
-from roadvision_tpu.detect.dataset import load_yolo_dir  # noqa: E402
+from roadvision_tpu.detect.dataset import load_dataset  # noqa: E402
 from roadvision_tpu.detect.eval import evaluate_detector  # noqa: E402
 
 
@@ -38,7 +38,7 @@ def main(argv=None) -> int:
                           "conf_thres": args.conf, "iou_thres": 0.7,
                           "max_det": 300, "imgsz": args.imgsz,
                           "classes_keep": []})
-    images, gt_boxes, gt_cls, gt_mask = load_yolo_dir(
+    images, gt_boxes, gt_cls, gt_mask = load_dataset(
         args.data, imgsz=args.imgsz, limit=args.limit)
 
     thresholds = [float(t) for t in args.iou_thres.split(",")]

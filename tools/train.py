@@ -8,7 +8,7 @@ data parallelism over a device mesh.
 Usage:
   python tools/train.py --data synthetic --steps 50 --imgsz 320 \
       --batch 8 --out runs/ft.npz
-  python tools/train.py --data /path/to/yolo_dir --weights yolov8n.pt \
+  python tools/train.py --data yolo_dir|coco.json --weights yolov8n.pt \
       --steps 500 --lr 5e-4 --dp 4
 """
 from __future__ import annotations
@@ -30,7 +30,7 @@ from roadvision_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
-from roadvision_tpu.detect.dataset import load_yolo_dir, synthetic_batches  # noqa: E402
+from roadvision_tpu.detect.dataset import load_dataset, synthetic_batches  # noqa: E402
 from roadvision_tpu.models.yolo import weights as yolo_weights  # noqa: E402
 from roadvision_tpu.models.yolo.train import (init_momentum,  # noqa: E402
                                               make_ema_update,
@@ -131,7 +131,7 @@ def main(argv=None) -> int:
             eval_set = next(held)
     else:
         from roadvision_tpu.detect.dataset import augment_batch, mosaic_batch
-        imgs, boxes, cls, mask = load_yolo_dir(args.data, imgsz=args.imgsz)
+        imgs, boxes, cls, mask = load_dataset(args.data, imgsz=args.imgsz)
         if args.eval_every and imgs.shape[0] > 2:
             k = min(args.eval_size, imgs.shape[0] // 3)
             eval_set = (imgs[-k:], boxes[-k:], cls[-k:], mask[-k:])
