@@ -22,3 +22,12 @@ __version__ = "0.1.0"
 
 from .config import load_config, DEFAULTS  # noqa: F401
 from .detect.types import Detection  # noqa: F401
+
+
+def __getattr__(name):
+    # Pipeline pulls in the full engine stack (jax compile machinery);
+    # lazy so `import roadvision_tpu` stays light for config-only users.
+    if name == "Pipeline":
+        from .api import Pipeline
+        return Pipeline
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
