@@ -193,6 +193,35 @@ def test_track_cli_mot_output(tmp_path):
     assert data[:4] == b"RIFF" and data.count(b"\xff\xd8\xff") == 12
 
 
+def test_track_cli_gt_scoring(tmp_path, capsys):
+    """--gt scores the run; own-output self-scoring must be perfect."""
+    import tools.track as track
+    out = tmp_path / "tracks.txt"
+    rc = track.main(["--source", "synthetic:3", "--frames", "8",
+                     "--out", str(out), "--gt", str(out),
+                     "--weights", "assets/yolov8n_synthetic_256.npz",
+                     "--width", "256", "--height", "256"])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["mota"] == 1.0
+    assert result["id_switches"] == 0
+    assert result["misses"] == 0 and result["false_positives"] == 0
+    assert result["matches"] == result["total_gt"] > 0
+
+
+def test_read_mot_conf_zero_ignored(tmp_path):
+    from tools.track import read_mot
+    p = tmp_path / "gt.txt"
+    p.write_text("1,1,10,10,20,20,1,-1,-1,-1\n"
+                 "1,2,50,50,10,10,0,-1,-1,-1\n"   # conf 0: don't-care
+                 "3,1,12,10,20,20,1,-1,-1,-1\n")
+    frames = read_mot(p, 2)
+    assert len(frames) == 3  # row beyond n_frames extends
+    assert frames[0] == [(10.0, 10.0, 30.0, 30.0, 1)]
+    assert frames[1] == []
+    assert frames[2][0][4] == 1
+
+
 def test_mosaic_batch_accounting():
     from roadvision_tpu.detect.dataset import mosaic_batch
 

@@ -13,6 +13,8 @@ Usage:
   python tools/track.py --source clip.avi --out tracks.txt
   python tools/track.py --source synthetic:4 --frames 64 --out t.txt \
       --weights assets/yolov8n_synthetic_256.npz --record annotated.avi
+  python tools/track.py --source clip.avi --out t.txt --gt gt/gt.txt
+      # scores the run in-process: MOTA, id switches, misses, FPs
 """
 from __future__ import annotations
 
@@ -53,6 +55,11 @@ def main(argv=None) -> int:
     ap.add_argument("--conf", type=float, default=None)
     ap.add_argument("--record", default=None,
                     help="also write an annotated video here")
+    ap.add_argument("--gt", default=None,
+                    help="MOT-format ground-truth file: score the run "
+                         "(MOTA, id switches, misses, FPs) after tracking")
+    ap.add_argument("--eval-iou", type=float, default=0.5,
+                    help="IoU match threshold for --gt scoring")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -108,7 +115,41 @@ def main(argv=None) -> int:
     out.write_text("\n".join(lines) + ("\n" if lines else ""))
     log.info("wrote %d MOT rows (%d tracks over %d frames) to %s",
              len(lines), len(n_tracks), n_frames, out)
+
+    if args.gt:
+        import json
+
+        from roadvision_tpu.track.eval import evaluate_tracking
+        gt_frames = read_mot(args.gt, n_frames)
+        pred_frames = read_mot(out, n_frames)
+        result = evaluate_tracking(gt_frames, pred_frames,
+                                   iou_thres=args.eval_iou)
+        print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                          for k, v in result.items()}))
     return 0
+
+
+def read_mot(path, n_frames: int):
+    """MOT Challenge text → frames[f] = [(x1,y1,x2,y2,id)], 0-based frames.
+
+    Rows: frame,id,bb_left,bb_top,bb_width,bb_height,conf[,x,y,z]. Rows
+    with conf == 0 are ignored (the MOT gt convention for don't-care
+    regions); frames beyond ``n_frames`` extend the list.
+    """
+    frames: list = [[] for _ in range(n_frames)]
+    for ln in Path(path).read_text().splitlines():
+        parts = ln.replace(" ", "").split(",")
+        if len(parts) < 6 or not parts[0]:
+            continue
+        f = int(float(parts[0])) - 1
+        tid = int(float(parts[1]))
+        x, y, w, h = (float(v) for v in parts[2:6])
+        if len(parts) > 6 and float(parts[6]) == 0.0:
+            continue
+        while f >= len(frames):
+            frames.append([])
+        frames[f].append((x, y, x + w, y + h, tid))
+    return frames
 
 
 if __name__ == "__main__":
