@@ -160,7 +160,48 @@ class Pipeline:
                 "unique_tracks": len(track_ids),
                 "output": output}
 
+    # ------------------------------------------------------------------
+    def streams(self, sources: Optional[list] = None,
+                max_frames: Optional[int] = None
+                ) -> Iterator[list]:
+        """Multi-camera lockstep streaming sharded over the device mesh.
+
+        ``sources`` is a list of source specs (or VideoSources); None
+        uses ``camera.sources`` from the config. Each yielded item is
+        the per-batch result: ``results[stream][frame]`` FrameResult
+        lists, bit-equal per stream to independent single-device runs
+        (runtime/multi_engine.py). Requires ``tpu.mesh.enable`` devices
+        ≥ 1; stream counts not dividing the mesh's data axis are padded
+        internally."""
+        from .runtime.multi_engine import MultiStreamEngine, build_sources
+
+        cam = dict(self.cfg.get("camera", {}) or {})
+        caller_owned = (sources is not None
+                        and all(isinstance(s, VideoSource)
+                                for s in sources))
+        if caller_owned:
+            vss = list(sources)
+        else:
+            if sources is not None:
+                cam["sources"] = list(sources)
+            vss = build_sources(cam, max_frames=max_frames)
+        cache = getattr(self, "_multi_engines", None)
+        if cache is None:
+            cache = self._multi_engines = {}
+        engine = cache.get(len(vss))
+        if engine is None:
+            engine = cache[len(vss)] = MultiStreamEngine(self.cfg,
+                                                         len(vss))
+        try:
+            yield from engine.stream(vss, max_frames=max_frames)
+        finally:
+            if not caller_owned:
+                for v in vss:
+                    v.release()
+
     def reset(self) -> None:
         """Clear tracker state (between independent clips)."""
         self.engine.reset()
         self._t_next = 0.0
+        for eng in getattr(self, "_multi_engines", {}).values():
+            eng.reset()

@@ -86,6 +86,29 @@ def test_detect_image_disabled_raises():
         p.detect_image(np.zeros((64, 64, 3), np.uint8))
 
 
+def test_streams_multi_camera():
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    p = rv.Pipeline(SMALL,
+                    camera={"width": 128, "height": 128,
+                            "sources": [f"synthetic:{2 + i}"
+                                        for i in range(4)]},
+                    tpu={"batch_size": 2, "track_slots": 16,
+                         "mesh": {"enable": True, "axis": "data"}})
+    batches = list(p.streams(max_frames=4))
+    assert len(batches) == 2  # 4 frames / batch 2
+    for per_stream in batches:
+        assert len(per_stream) == 4  # streams
+        for frames in per_stream:
+            assert len(frames) == 2  # batch
+            assert frames[0].raw.shape == (128, 128, 3)
+    # explicit source specs override the config list
+    batches2 = list(p.streams(["synthetic:2", "synthetic:3"],
+                              max_frames=2))
+    assert len(batches2[0]) == 2
+
+
 def test_process_video_records(tmp_path, pipe):
     pipe.reset()
     out = tmp_path / "out.avi"
