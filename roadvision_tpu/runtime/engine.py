@@ -33,7 +33,8 @@ from ..io_video.capture import VideoSource
 from ..ops.letterbox import axis_plan, finish_letterbox, scale_boxes
 from ..ops.nms import nms_batch
 from ..preprocess import PreprocessPipeline
-from ..track.sort_tpu import SortState, init_state, make_sort_step
+from ..track.registry import build_device_step
+from ..track.sort_tpu import SortState, init_state
 from ..utils import StageTimer, get_logger
 
 log = get_logger("roadvision.engine")
@@ -121,12 +122,10 @@ class PipelineEngine:
         self._sort_step = None
         if self.track_enabled:
             try:
-                self._sort_step = make_sort_step(
-                    float(track_cfg.get("iou_threshold", 0.3)),
-                    float(track_cfg.get("max_staleness", 1.0)),
-                    float(track_cfg.get("speed_window", 0.75)),
-                    int(track_cfg.get("min_hits", 3)),
-                    association=str(track_cfg.get("association", "greedy")))
+                # backend-aware (sort / bytetrack) — every backend shares
+                # the SortState step contract, so the fused device path
+                # below is identical either way
+                self._sort_step = build_device_step(track_cfg)
             except Exception as exc:  # soft fail (main_preview.py:66-70)
                 log.warning("tracker init failed: %s", exc)
                 self.track_enabled = False

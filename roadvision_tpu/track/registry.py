@@ -2,16 +2,27 @@
 
 Table-driven like the preprocess registry, so additional association
 backends (e.g. a Hungarian variant) plug in as new entries.
+
+Two factories, one per calling convention:
+  * :func:`build_tracker` — host-facing Tracker objects with the
+    reference's ``update(dets, ts, projector)`` list API;
+  * :func:`build_device_step` — the raw jit-traceable step the fused
+    engine composes into its device-resident pipeline
+    (runtime/engine.py), dispatching on the same ``backend`` key so a
+    config drives both paths identically.
 """
 from __future__ import annotations
 
 from typing import Any, Dict, Type
 
 from .base import Tracker
+from .bytetrack import ByteTracker, make_byte_step
 from .sort_tracker import SortTracker
+from .sort_tpu import make_sort_step
 
 BACKENDS: Dict[str, Type[Tracker]] = {
     "sort": SortTracker,
+    "bytetrack": ByteTracker,
 }
 
 
@@ -22,3 +33,32 @@ def build_tracker(cfg: Dict[str, Any]) -> Tracker:
     except KeyError:
         raise ValueError(f"unknown tracking backend: {name}") from None
     return cls(cfg)
+
+
+def build_device_step(cfg: Dict[str, Any]):
+    """Un-jitted single-frame tracking step from a ``tracking:`` config.
+
+    Signature of the returned step: ``step(state, boxes (D,4), cls (D,),
+    conf (D,), dvalid (D,), ts (), proj) → (state', SortOutput)`` for
+    every backend (ByteTrack shares SortState), so engine/scan/vmap
+    composition is backend-agnostic.
+    """
+    name = str(cfg.get("backend") or "sort").lower()
+    if name == "sort":
+        return make_sort_step(
+            float(cfg.get("iou_threshold", 0.3)),
+            float(cfg.get("max_staleness", 1.0)),
+            float(cfg.get("speed_window", 0.75)),
+            int(cfg.get("min_hits", 3)),
+            association=str(cfg.get("association", "greedy")))
+    if name == "bytetrack":
+        return make_byte_step(
+            float(cfg.get("max_staleness", 1.0)),
+            float(cfg.get("speed_window", 0.75)),
+            track_high_thresh=float(cfg.get("track_high_thresh", 0.5)),
+            track_low_thresh=float(cfg.get("track_low_thresh", 0.1)),
+            new_track_thresh=float(cfg.get("new_track_thresh", 0.6)),
+            match_iou=float(cfg.get("match_iou",
+                                    cfg.get("iou_threshold", 0.3))),
+            second_match_iou=float(cfg.get("second_match_iou", 0.5)))
+    raise ValueError(f"unknown tracking backend: {name}")

@@ -344,7 +344,8 @@ def _history_append_and_window(state: SortState, sel, ts, gx, gy, window):
 
 def make_sort_step(iou_threshold: float, max_staleness: float,
                    speed_window: float, min_hits: int = 3,
-                   association: str = "greedy"):
+                   association: str = "greedy",
+                   associate_fn=None, new_track_fn=None):
     """Build the jit-traceable single-frame SORT step.
 
     Returned signature:
@@ -355,16 +356,34 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
     ``association``: "greedy" (the reference's behavior, default) or
     "hungarian" (optimal assignment via the ε-auction,
     :func:`auction_associate`).
+
+    Strategy hooks (the extension seam other trackers plug into —
+    bytetrack.py builds its two-stage step entirely from these):
+      ``associate_fn(iou (T,D), alive (T,), dvalid (D,), conf (D,))
+      → det→track (D,) i32, -1 unmatched`` replaces the association
+      stage (``association`` is then ignored);
+      ``new_track_fn(dvalid, matched_d, conf) → (D,) bool`` replaces
+      the new-track eligibility mask (default: every unmatched valid
+      detection — the reference's immediate-ID behavior).
     """
     thresh = float(iou_threshold)
     staleness = float(max_staleness)
     window = max(0.05, float(speed_window))  # _Track floor (:93)
     del min_hits  # tracked in state but never gates output (parity quirk)
-    if association not in ("greedy", "hungarian"):
-        raise ValueError(f"unknown association: {association!r} "
-                         f"(expected 'greedy' or 'hungarian')")
-    associate = greedy_associate if association == "greedy" \
-        else auction_associate
+    if associate_fn is None:
+        if association not in ("greedy", "hungarian"):
+            raise ValueError(f"unknown association: {association!r} "
+                             f"(expected 'greedy' or 'hungarian')")
+        base_assoc = greedy_associate if association == "greedy" \
+            else auction_associate
+
+        def associate_fn(iou, alive, dvalid, conf):
+            del conf
+            return base_assoc(iou, alive, dvalid, thresh)
+    if new_track_fn is None:
+        def new_track_fn(dvalid, matched_d, conf):
+            del conf
+            return dvalid & ~matched_d
 
     from ..geometry.projector import project_boxes_device
 
@@ -383,10 +402,12 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
                                last_predict_ts=last_predict_ts)
 
         # 2. association on IoU of predicted boxes vs det boxes (greedy
-        # default — reference behavior; "hungarian" = ε-auction LAP)
+        # default — reference behavior; "hungarian" = ε-auction LAP;
+        # custom associate_fn = plugin strategies like ByteTrack's
+        # two-stage high/low split)
         track_boxes = x_to_bbox(state.mean)
-        det2trk = associate(iou_matrix(track_boxes, boxes),
-                            state.alive, dvalid, thresh)
+        det2trk = associate_fn(iou_matrix(track_boxes, boxes),
+                               state.alive, dvalid, conf)
         matched_d = det2trk >= 0
         # inverse map track→det (association is one-to-one); unmatched dets
         # scatter out-of-bounds and are dropped
@@ -434,7 +455,7 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
             alive=state.alive & ((ts - state.last_update_ts) <= staleness))
 
         # 6. create tracks for unmatched valid dets, IDs in det order (:253-269)
-        is_new = dvalid & ~matched_d
+        is_new = new_track_fn(dvalid, matched_d, conf)
         rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # (D,)
         new_ids = state.next_id + rank
         free_order = jnp.argsort(state.alive.astype(jnp.int32),
