@@ -90,6 +90,26 @@ if not (1 <= _SWEEP_CHUNK <= 256) or 256 % _SWEEP_CHUNK != 0:
 # RVT_CLAHE_BLEND.
 _DEFAULT_BLEND = os.environ.get("RVT_CLAHE_BLEND", "cv2")
 
+# Sweep implementation:
+#   "xla" (default) — the chunked fori-loop sweep below; the loop-carried
+#     accumulator round-trips HBM once per chunk (amortized by
+#     _SWEEP_CHUNK).
+#   "pallas" — ops/pallas_clahe.py: the whole 256-bin sweep over a
+#     VMEM-resident block, no carry round-trips at all (used on TPU
+#     backends only; bit-identical — the blend stays in XLA either way).
+#     Measured slower on the emulated attach (dispatch overhead), kept
+#     as the real-silicon candidate; tools/autotune.py measures both.
+_SWEEP_IMPL = os.environ.get("RVT_CLAHE_SWEEP", "xla")
+if _SWEEP_IMPL not in ("xla", "pallas"):
+    raise ValueError(
+        f"RVT_CLAHE_SWEEP={_SWEEP_IMPL!r} must be 'xla' or 'pallas'")
+
+
+def _pallas_sweep_active() -> bool:
+    import jax as _jax
+    return _SWEEP_IMPL == "pallas" and _jax.default_backend() == "tpu"
+
+
 # One-hot dtype for the nibble histogram matmul. Both are exact:
 #   "bf16" (default) — bf16 0/1 one-hots, f32 accumulation (exact below
 #     2²⁴; tile areas are ≤ a few 10⁵). Rides the MXU at bf16 rates.
@@ -276,30 +296,39 @@ def _apply_band_sweep(x: jnp.ndarray, luts: jnp.ndarray,
     den = np.uint32(4 * th * tw)
     n_chunks = 256 // _SWEEP_CHUNK
 
+    pallas_sweep = _pallas_sweep_active()
     x16 = x.astype(jnp.int16)  # vals are re-read every chunk iteration;
     outs = []                  # int16 halves that loop's HBM traffic
     for (y0, y1, t1, t2) in bands:
         vals = x16[:, y0:y1]               # (b, rows, w)
         lp = lf[:, t1] + 65536.0 * lf[:, t2]         # 16-bit pairs, f32-exact
-        e1 = jnp.einsum("wk,bkv->bwv", m1, lp)       # l11 + 65536·l21
-        e2 = jnp.einsum("wk,bkv->bwv", m2, lp)       # l12 + 65536·l22
-        packed = e1.astype(jnp.uint32) + e2.astype(jnp.uint32) * 256
+        if pallas_sweep:
+            from .pallas_clahe import sweep_pallas
+            # (b, 256, w) layout: bin rows are lane-contiguous in VMEM
+            e1t = jnp.einsum("wk,bkv->bvw", m1, lp)
+            e2t = jnp.einsum("wk,bkv->bvw", m2, lp)
+            packed_t = e1t.astype(jnp.uint32) + e2t.astype(jnp.uint32) * 256
+            acc = sweep_pallas(vals, packed_t)
+        else:
+            e1 = jnp.einsum("wk,bkv->bwv", m1, lp)   # l11 + 65536·l21
+            e2 = jnp.einsum("wk,bkv->bwv", m2, lp)   # l12 + 65536·l22
+            packed = e1.astype(jnp.uint32) + e2.astype(jnp.uint32) * 256
 
-        def eat(acc, v0, chunk, vals=vals):
-            for i in range(_SWEEP_CHUNK):
-                acc = jnp.where(vals == v0 + i,
-                                chunk[:, :, i][:, None, :], acc)
-            return acc
+            def eat(acc, v0, chunk, vals=vals):
+                for i in range(_SWEEP_CHUNK):
+                    acc = jnp.where(vals == v0 + i,
+                                    chunk[:, :, i][:, None, :], acc)
+                return acc
 
-        def body(t, acc, vals=vals, packed=packed):
-            v0 = t * _SWEEP_CHUNK
-            chunk = lax.dynamic_slice(packed, (0, 0, v0),
-                                      (b, w, _SWEEP_CHUNK))
-            return eat(acc, v0, chunk)
+            def body(t, acc, vals=vals, packed=packed):
+                v0 = t * _SWEEP_CHUNK
+                chunk = lax.dynamic_slice(packed, (0, 0, v0),
+                                          (b, w, _SWEEP_CHUNK))
+                return eat(acc, v0, chunk)
 
-        z = jnp.zeros(vals.shape, jnp.uint32)
-        acc = eat(z, 0, packed) if n_chunks == 1 \
-            else lax.fori_loop(0, n_chunks, body, z)
+            z = jnp.zeros(vals.shape, jnp.uint32)
+            acc = eat(z, 0, packed) if n_chunks == 1 \
+                else lax.fori_loop(0, n_chunks, body, z)
 
         l11 = acc & 255
         l12 = (acc >> 8) & 255

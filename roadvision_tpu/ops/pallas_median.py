@@ -107,7 +107,7 @@ def median3_pallas(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((n, tiles_h * TILE, tiles_w * TILE),
                                        jnp.int32),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, TILE, TILE),
             lambda b, i, j: (b, i, j),

@@ -46,6 +46,14 @@ SWEEPS = {
         values=["bf16", "int8"],
         target=("env", "RVT_CLAHE_HIST_DTYPE"),
         pinned="bf16"),
+    "clahe_sweep": dict(
+        mode="preprocess", var="RVT_CLAHE_SWEEP",
+        values=["xla", "pallas"],
+        target=("env", "RVT_CLAHE_SWEEP"),
+        pinned="xla",
+        note="pallas keeps the 256-bin accumulator VMEM-resident (no "
+             "loop-carry HBM round-trips); off-TPU the knob is a no-op "
+             "(ops/clahe.py gates on the backend)"),
     "median_impl": dict(
         mode="preprocess", var="RVT_PALLAS",
         values=["0", "1"],
