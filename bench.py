@@ -45,6 +45,10 @@ from roadvision_tpu.runtime import PipelineEngine  # noqa: E402
 
 NORTH_STAR_FPS = 500.0
 
+# RVT_BENCH_DTYPE: bfloat16 | int8 (dynamic scales) | int8-static
+# (calibrated scales baked before the timed run — see _maybe_calibrate)
+_BENCH_DTYPE = os.environ.get("RVT_BENCH_DTYPE", "bfloat16")
+
 
 def _cfg(height: int, width: int, batch: int):
     return merge(DEFAULTS, {
@@ -58,8 +62,8 @@ def _cfg(height: int, width: int, batch: int):
                    "classes_keep": [0, 2, 3, 5, 7],
                    # autotune hooks (tools/autotune.py): conv path dtype
                    # and the sampled-terminal-op preprocess variant
-                   "compute_dtype": os.environ.get("RVT_BENCH_DTYPE",
-                                                   "bfloat16")},
+                   "compute_dtype": "int8" if _BENCH_DTYPE == "int8-static"
+                                    else _BENCH_DTYPE},
         "tracking": {"enabled": True, "max_staleness": 1.2, "min_hits": 3,
                      "iou_threshold": 0.35, "speed_window": 0.8},
         "geometry": {"enabled": True, "projector": {
@@ -522,6 +526,22 @@ def calibrate_tflops() -> float:
     return 2 * k ** 3 * n / (time.perf_counter() - t0) / 1e12
 
 
+def _maybe_calibrate(engine: PipelineEngine, width: int, height: int,
+                     n_frames: int = 16) -> None:
+    """RVT_BENCH_DTYPE=int8-static: bake static activation scales from
+    synthetic road frames BEFORE the timed run (the deployment story is
+    detect.int8_calibration over the stream's first frames; the bench's
+    device-resident scan bypasses infer_batch, so calibrate explicitly)."""
+    if _BENCH_DTYPE != "int8-static" or engine.detector is None:
+        return
+    src = DeviceSyntheticSource(width, height, num_vehicles=6)
+    frames = np.stack([np.asarray(src.host.render(i))
+                       for i in range(n_frames)])
+    n = engine.detector.calibrate_int8(frames)
+    print(f"[bench] int8 static calibration baked {n} conv scales from "
+          f"{n_frames} frames", file=sys.stderr)
+
+
 def main() -> int:
     res = int(os.environ.get("RVT_BENCH_RES", "1080"))
     width = res_width(res)
@@ -582,6 +602,7 @@ def main() -> int:
 
     t_start = time.perf_counter()
     engine = PipelineEngine(merge(_cfg(height, width, batch), cfg_over))
+    _maybe_calibrate(engine, width, height)
 
     fps, mean_tracks = device_resident_fps(engine, width, height, batch,
                                            iters)

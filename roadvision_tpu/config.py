@@ -50,7 +50,10 @@ DEFAULTS: Dict[str, Any] = {
     ),
     "detect": dict(enabled=False, backend="ultralytics", model="yolov8n.pt",
                    device="auto", conf_thres=0.25, iou_thres=0.7, max_det=100,
-                   classes_keep=[], rect=True),
+                   classes_keep=[], rect=True,
+                   # int8 mode only: auto-calibrate static activation
+                   # scales from the first N stream frames (0 = dynamic)
+                   int8_calibration=0),
     "tracking": dict(enabled=False, backend="sort", max_staleness=1.0,
                      min_hits=3, iou_threshold=0.3, speed_window=0.75,
                      association="greedy"),

@@ -76,6 +76,12 @@ class YOLOJax(Detector):
             from ..models.yolo.quant import quantize_params
             self.params = quantize_params(self.params)
             self.dtype = jnp.float32  # dequant/activation math
+        # int8_calibration: N > 0 auto-calibrates static activation
+        # scales from the first N stream frames (running abs-max), then
+        # bakes them — the config-reachable path to calibrate_int8()
+        self._calib_left = int(cfg.get("int8_calibration", 0)) \
+            if self.int8 else 0
+        self._calib_running = None
         self.names = {i: n for i, n in enumerate(COCO_NAMES)} \
             if self.nc == len(COCO_NAMES) else {i: str(i) for i in range(self.nc)}
         self._jit_cache: Dict[Tuple[int, int, int], Any] = {}
@@ -96,6 +102,16 @@ class YOLOJax(Detector):
         return yolov8.forward(params, imgs, size=self.size, nc=self.nc,
                               dtype=self.dtype)
 
+    def forward_fn_raw(self, params, imgs):
+        """Un-jitted forward — for calibration passes that must observe
+        conv execution order / live param dicts (models/yolo/quant.py)."""
+        if self.arch == "v5":
+            from ..models.yolo import yolov5
+            return yolov5.forward_raw(params, imgs, size=self.size,
+                                      nc=self.nc, dtype=self.dtype)
+        return yolov8.forward_raw(params, imgs, size=self.size, nc=self.nc,
+                                  dtype=self.dtype)
+
     def _build_fn(self, shape: Tuple[int, int, int]):
         conf, iou, max_det, keep = self.conf, self.iou, self.max_det, self.keep
         h, w = shape[1], shape[2]
@@ -115,6 +131,51 @@ class YOLOJax(Detector):
             return b, c, k, v
 
         return functools.partial(run, params)
+
+    def calibrate_int8(self, frames_u8, batch_size: int = 8) -> int:
+        """Bake static per-conv activation scales from calibration frames.
+
+        ``frames_u8``: (N, H, W, 3) BGR uint8 representative frames (the
+        first seconds of the deployment's own stream work well). Scales
+        are the running abs-max over all batches (models/yolo/quant.py);
+        afterwards every conv skips its dynamic abs-max reduction — the
+        measured overhead that made dynamic int8 trail bf16. Returns the
+        number of convs calibrated. Compiled steps rebind automatically
+        (params are a traced argument); call BEFORE the hot loop to
+        avoid a mid-stream retrace.
+        """
+        if not self.int8:
+            raise RuntimeError("calibrate_int8 requires "
+                               "detect.compute_dtype: 'int8'")
+        frames = np.asarray(frames_u8)
+        if frames.ndim == 3:
+            frames = frames[None]
+        for i in range(0, frames.shape[0], batch_size):
+            self._calib_collect(frames[i:i + batch_size])
+        self._calib_left = 0  # manual call supersedes the auto counter
+        return self._calib_finalize()
+
+    def _calib_collect(self, frames_u8: np.ndarray) -> None:
+        """Fold one batch's dynamic scales into the running abs-max."""
+        from ..models.yolo import quant
+        if not hasattr(self, "_calib_jit"):
+            self._calib_jit = jax.jit(functools.partial(
+                quant.capture_scales, self.forward_fn_raw))
+        imgs, _, _ = self.letterbox(jnp.asarray(frames_u8))
+        s = np.asarray(self._calib_jit(self.params, imgs))
+        self._calib_running = s if self._calib_running is None \
+            else np.maximum(self._calib_running, s)
+
+    def _calib_finalize(self) -> int:
+        """Bake the accumulated scales into the live param pytree."""
+        from ..models.yolo import quant
+        # eager pass over a tiny canvas: visit order is shape-independent
+        tiny = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        n = quant.assign_scales(self.forward_fn_raw, self.params,
+                                self._calib_running, tiny)
+        self._calib_running = None
+        self.set_params(self.params)
+        return n
 
     def set_params(self, params) -> None:
         """Swap the weight pytree without rebuilding the detector: the
@@ -143,6 +204,17 @@ class YOLOJax(Detector):
     # ------------------------------------------------------------------
     def infer_batch(self, frames_u8: np.ndarray) -> DetectionBatch:
         """(B, H, W, 3) BGR uint8 → DetectionBatch with (B, max_det) arrays."""
+        if self._calib_left > 0:
+            # config-driven auto-calibration (detect.int8_calibration: N):
+            # fold the first N stream frames into the running abs-max,
+            # then bake static scales — one retrace, before the hot loop
+            self._calib_collect(frames_u8)
+            self._calib_left -= int(frames_u8.shape[0])
+            if self._calib_left <= 0:
+                self._calib_left = 0
+                n = self._calib_finalize()
+                print(f"[roadvision] int8 auto-calibration baked static "
+                      f"scales for {n} convs")
         fn = self._fn_for(frames_u8)
         b, c, k, v = fn(jnp.asarray(frames_u8))
         return DetectionBatch(np.asarray(b), np.asarray(c),

@@ -179,8 +179,15 @@ def forward_head(params, feats, spec, dtype=jnp.float32):
             for lvl, f in enumerate(feats)]
 
 
-@functools.partial(jax.jit, static_argnames=("size", "nc", "dtype"))
-def forward(params, x, size: str = "n", nc: int = 80, dtype=jnp.float32):
+def forward_raw(params, x, size: str = "n", nc: int = 80,
+                dtype=jnp.float32):
+    """Un-jitted inference graph — compose inside larger jitted steps,
+    or trace directly (int8 calibration walks the live param dicts:
+    models/yolo/quant.py capture_scales/assign_scales need the
+    un-jitted body so conv order and dict identity are observable)."""
     spec = arch_spec(size, nc)
     feats = forward_features(params, x, spec, dtype)
     return decode(forward_head(params, feats, spec, dtype), nc)
+
+
+forward = jax.jit(forward_raw, static_argnames=("size", "nc", "dtype"))

@@ -286,13 +286,21 @@ def decode(level_outputs, nc: int):
     return boxes, jax.nn.sigmoid(cls_logits)
 
 
-@functools.partial(jax.jit, static_argnames=("size", "nc", "dtype"))
-def forward(params, x, size: str = "n", nc: int = 80, dtype=jnp.float32):
-    """Full inference graph: (B, H, W, 3) float [0,1] → (boxes, scores)."""
+def forward_raw(params, x, size: str = "n", nc: int = 80,
+                dtype=jnp.float32):
+    """Un-jitted inference graph — compose inside larger jitted steps,
+    or trace directly (int8 calibration walks the live param dicts:
+    models/yolo/quant.py capture_scales/assign_scales need the
+    un-jitted body so conv order and dict identity are observable).
+
+    Full inference graph: (B, H, W, 3) float [0,1] → (boxes, scores)."""
     spec = arch_spec(size, nc)
     feats = forward_features(params, x, spec, dtype)
     outs = forward_head(params, feats, spec, dtype)
     return decode(outs, nc)
+
+
+forward = jax.jit(forward_raw, static_argnames=("size", "nc", "dtype"))
 
 
 def count_params(params) -> int:

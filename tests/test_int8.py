@@ -63,3 +63,121 @@ def test_detector_int8_config_runs():
     out = det.infer_batch(frames)
     assert out.boxes.shape == (2, 10, 4)
     assert out.valid.any()
+
+
+def test_capture_scales_order_and_first_scale():
+    """One scale per conv, first scale == max|input image| / 127."""
+    from roadvision_tpu.models.yolo.quant import capture_scales
+
+    params = yolov8.init_params(jax.random.PRNGKey(5), "n")
+    qparams = quantize_params(params)
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+
+    fwd = lambda p, im: yolov8.forward_raw(p, im, size="n", nc=80,
+                                           dtype=jnp.float32)
+    scales = np.asarray(jax.jit(
+        lambda p, im: capture_scales(fwd, p, im))(qparams, x))
+    n_convs = sum(1 for leaf in jax.tree_util.tree_leaves(qparams)
+                  if leaf.ndim == 4)
+    assert scales.shape == (n_convs,)
+    assert (scales > 0).all()
+    np.testing.assert_allclose(scales[0], np.abs(np.asarray(x)).max() / 127.0,
+                               rtol=1e-6)
+
+
+def test_static_scales_match_dynamic_on_calibration_input():
+    """Calibrating on exactly the inference input makes the static path
+    reproduce the dynamic path bit-for-bit (identical scales flow)."""
+    from roadvision_tpu.models.yolo.quant import (assign_scales,
+                                                  capture_scales,
+                                                  has_static_scales)
+
+    params = yolov8.init_params(jax.random.PRNGKey(7), "n")
+    qparams = quantize_params(params)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    fwd = lambda p, im: yolov8.forward_raw(p, im, size="n", nc=80,
+                                           dtype=jnp.float32)
+    b_dyn, s_dyn = fwd(qparams, x)
+    scales = capture_scales(fwd, qparams, x)
+    assert not has_static_scales(qparams)
+    n = assign_scales(fwd, qparams, np.asarray(scales),
+                      jnp.zeros((1, 32, 32, 3), jnp.float32))
+    assert has_static_scales(qparams)
+    assert n == len(np.asarray(scales))
+    b_st, s_st = fwd(qparams, x)
+    np.testing.assert_allclose(np.asarray(s_dyn), np.asarray(s_st),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b_dyn), np.asarray(b_st),
+                               rtol=0, atol=1e-4)
+
+
+def test_clear_static_scales_roundtrip():
+    from roadvision_tpu.models.yolo.quant import (assign_scales,
+                                                  capture_scales,
+                                                  clear_static_scales,
+                                                  has_static_scales)
+
+    params = yolov8.init_params(jax.random.PRNGKey(9), "n")
+    qparams = quantize_params(params)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32) + 0.5
+    fwd = lambda p, im: yolov8.forward_raw(p, im, size="n", nc=80,
+                                           dtype=jnp.float32)
+    assign_scales(fwd, qparams, np.asarray(capture_scales(fwd, qparams, x)),
+                  x)
+    assert has_static_scales(qparams)
+    clear_static_scales(qparams)
+    assert not has_static_scales(qparams)
+
+
+def test_detector_calibrate_int8_end_to_end():
+    """YOLOJax.calibrate_int8 bakes scales; inference still runs and the
+    outputs stay close to the dynamic-quant outputs on calibration-like
+    data."""
+    from roadvision_tpu.detect.yolo_jax import YOLOJax
+    from roadvision_tpu.models.yolo.quant import has_static_scales
+
+    det = YOLOJax({"model": "missing.pt", "compute_dtype": "int8",
+                   "imgsz": 128, "max_det": 10, "conf_thres": 0.0,
+                   "classes_keep": []})
+    rng = np.random.RandomState(10)
+    frames = rng.randint(0, 256, (4, 96, 128, 3), dtype=np.uint8)
+    before = det.infer_batch(frames[:2])
+    n = det.calibrate_int8(frames, batch_size=2)
+    assert n > 50  # yolov8n has ~60+ convs
+    assert has_static_scales(det.params)
+    after = det.infer_batch(frames[:2])
+    assert after.boxes.shape == before.boxes.shape
+    assert after.valid.any()
+    # same data distribution: decoded boxes stay within a few pixels
+    db = np.abs(np.asarray(after.boxes) - np.asarray(before.boxes))
+    assert np.median(db) < 8.0, np.median(db)
+
+
+def test_auto_calibration_from_config():
+    """detect.int8_calibration: N bakes static scales after the first N
+    stream frames flow through infer_batch — no API call needed."""
+    from roadvision_tpu.detect.yolo_jax import YOLOJax
+    from roadvision_tpu.models.yolo.quant import has_static_scales
+
+    det = YOLOJax({"model": "missing.pt", "compute_dtype": "int8",
+                   "imgsz": 128, "max_det": 10, "conf_thres": 0.0,
+                   "classes_keep": [], "int8_calibration": 4})
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, (2, 96, 128, 3), dtype=np.uint8)
+    det.infer_batch(frames)                 # 2/4 calibration frames
+    assert not has_static_scales(det.params)
+    det.infer_batch(frames)                 # 4/4 → bake
+    assert has_static_scales(det.params)
+    out = det.infer_batch(frames)           # static path serves inference
+    assert out.boxes.shape == (2, 10, 4)
+
+
+def test_calibrate_requires_int8_mode():
+    import pytest
+    from roadvision_tpu.detect.yolo_jax import YOLOJax
+    det = YOLOJax({"model": "missing.pt", "imgsz": 128, "max_det": 5,
+                   "classes_keep": []})
+    with pytest.raises(RuntimeError, match="int8"):
+        det.calibrate_int8(np.zeros((1, 64, 64, 3), np.uint8))

@@ -68,9 +68,12 @@ SWEEPS = {
         pinned="0"),
     "conv_dtype": dict(
         mode="detect", var="RVT_BENCH_DTYPE",
-        values=["bfloat16", "int8"],
+        values=["bfloat16", "int8", "int8-static"],
         target=("config", "detect.compute_dtype"),
-        pinned="bfloat16"),
+        pinned="bfloat16",
+        note="int8-static = int8 with calibrated activation scales "
+             "(detect.int8_calibration) — drops the per-conv dynamic "
+             "abs-max reduction that made dynamic int8 trail bf16"),
     "batch": dict(
         mode="full", var="RVT_BENCH_BATCH",
         values=["8", "16"],
@@ -156,6 +159,11 @@ def recommend(report: dict) -> None:
             continue
         kind, key = SWEEPS[name]["target"]
         val = winner
+        if key == "detect.compute_dtype" and winner == "int8-static":
+            # not a config literal: int8 mode + stream auto-calibration
+            set_dotted(rec["config"], "detect.compute_dtype", "int8")
+            set_dotted(rec["config"], "detect.int8_calibration", 16)
+            continue
         if key == "tpu.batch_size":
             val = int(winner)
         elif key == "tpu.sampled_preprocess":
