@@ -64,7 +64,8 @@ def make_byte_associate(track_high_thresh: float, track_low_thresh: float,
     iou1 = float(match_iou)
     iou2 = float(second_match_iou)
 
-    def associate(iou, alive, dvalid, conf):
+    def associate(iou, alive, dvalid, conf, ctx):
+        del ctx  # predicted-IoU association only; no observation memory
         num_t = iou.shape[0]
         high = dvalid & (conf >= hi_t)
         low = dvalid & ~high & (conf >= lo_t)

@@ -17,12 +17,14 @@ from typing import Any, Dict, Type
 
 from .base import Tracker
 from .bytetrack import ByteTracker, make_byte_step
+from .ocsort import OcSortTracker, make_oc_step
 from .sort_tracker import SortTracker
 from .sort_tpu import make_sort_step
 
 BACKENDS: Dict[str, Type[Tracker]] = {
     "sort": SortTracker,
     "bytetrack": ByteTracker,
+    "ocsort": OcSortTracker,
 }
 
 
@@ -61,4 +63,16 @@ def build_device_step(cfg: Dict[str, Any]):
             match_iou=float(cfg.get("match_iou",
                                     cfg.get("iou_threshold", 0.3))),
             second_match_iou=float(cfg.get("second_match_iou", 0.5)))
+    if name == "ocsort":
+        ocr = cfg.get("ocr_iou")
+        iou_t = float(cfg.get("iou_threshold", 0.3))
+        return make_oc_step(
+            iou_t,
+            float(cfg.get("max_staleness", 1.0)),
+            float(cfg.get("speed_window", 0.75)),
+            vdc_weight=float(cfg.get("vdc_weight", 0.2)),
+            ocr_iou=float(ocr) if ocr is not None else iou_t,
+            use_ocr=bool(cfg.get("use_ocr", True)),
+            oru_steps=int(cfg.get("oru_steps", 4)),
+            new_track_thresh=float(cfg.get("new_track_thresh", 0.6)))
     raise ValueError(f"unknown tracking backend: {name}")

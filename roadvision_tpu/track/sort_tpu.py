@@ -79,6 +79,16 @@ class SortState(NamedTuple):
     hist_head: jnp.ndarray   # (T,) i32
     hist_len: jnp.ndarray    # (T,) i32
     next_id: jnp.ndarray     # () i32
+    # observation memory (maintained for every backend; consumed by the
+    # observation-centric strategies in ocsort.py — OCM velocity-direction
+    # cost, OCR recovery on last observations, ORU virtual re-update from
+    # the posterior snapshot at the last accepted observation)
+    last_obs: jnp.ndarray    # (T, 4) f32 xyxy of the last observation
+    last_obs_ts: jnp.ndarray  # (T,) f32
+    prev_obs: jnp.ndarray    # (T, 4) f32 the observation before that
+    prev_obs_ts: jnp.ndarray  # (T,) f32
+    obs_mean: jnp.ndarray    # (T, 7) f32 KF posterior at last observation
+    obs_cov: jnp.ndarray     # (T, 7, 7) f32
 
 
 class SortOutput(NamedTuple):
@@ -108,6 +118,12 @@ def init_state(num_slots: int) -> SortState:
         hist_head=jnp.zeros((t,), jnp.int32),
         hist_len=jnp.zeros((t,), jnp.int32),
         next_id=jnp.int32(1),  # IDs start at 1 (:180)
+        last_obs=jnp.zeros((t, MEAS_DIM), jnp.float32),
+        last_obs_ts=jnp.zeros((t,), jnp.float32),
+        prev_obs=jnp.zeros((t, MEAS_DIM), jnp.float32),
+        prev_obs_ts=jnp.zeros((t,), jnp.float32),
+        obs_mean=jnp.zeros((t, STATE_DIM), jnp.float32),
+        obs_cov=jnp.tile(_P0[None], (t, 1, 1)),
     )
 
 
@@ -345,7 +361,7 @@ def _history_append_and_window(state: SortState, sel, ts, gx, gy, window):
 def make_sort_step(iou_threshold: float, max_staleness: float,
                    speed_window: float, min_hits: int = 3,
                    association: str = "greedy",
-                   associate_fn=None, new_track_fn=None):
+                   associate_fn=None, new_track_fn=None, update_fn=None):
     """Build the jit-traceable single-frame SORT step.
 
     Returned signature:
@@ -358,13 +374,21 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
     :func:`auction_associate`).
 
     Strategy hooks (the extension seam other trackers plug into —
-    bytetrack.py builds its two-stage step entirely from these):
-      ``associate_fn(iou (T,D), alive (T,), dvalid (D,), conf (D,))
+    bytetrack.py and ocsort.py build their steps entirely from these):
+      ``associate_fn(iou (T,D), alive (T,), dvalid (D,), conf (D,), ctx)
       → det→track (D,) i32, -1 unmatched`` replaces the association
-      stage (``association`` is then ignored);
+      stage (``association`` is then ignored); ``ctx`` is
+      ``(state, boxes, ts)`` with state post-predict, pre-update —
+      observation-centric strategies read the obs memory from it;
       ``new_track_fn(dvalid, matched_d, conf) → (D,) bool`` replaces
       the new-track eligibility mask (default: every unmatched valid
-      detection — the reference's immediate-ID behavior).
+      detection — the reference's immediate-ID behavior);
+      ``update_fn(state, boxes, det_idx (T,), matched_t (T,), ts)
+      → (mean (T,7), cov (T,7,7))`` replaces the measurement update
+      (default: one batched Joseph-form KF update; ocsort.py's ORU
+      re-runs virtual updates from the last-observation posterior).
+      Callers mask the result by ``matched_t`` — rows of unmatched
+      tracks are ignored.
     """
     thresh = float(iou_threshold)
     staleness = float(max_staleness)
@@ -377,13 +401,18 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
         base_assoc = greedy_associate if association == "greedy" \
             else auction_associate
 
-        def associate_fn(iou, alive, dvalid, conf):
-            del conf
+        def associate_fn(iou, alive, dvalid, conf, ctx):
+            del conf, ctx
             return base_assoc(iou, alive, dvalid, thresh)
     if new_track_fn is None:
         def new_track_fn(dvalid, matched_d, conf):
             del conf
             return dvalid & ~matched_d
+    if update_fn is None:
+        def update_fn(state, boxes, det_idx, matched_t, ts):
+            del matched_t, ts
+            z = bbox_to_z(boxes)[det_idx]
+            return _kf_update(state.mean, state.cov, z)
 
     from ..geometry.projector import project_boxes_device
 
@@ -407,7 +436,8 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
         # two-stage high/low split)
         track_boxes = x_to_bbox(state.mean)
         det2trk = associate_fn(iou_matrix(track_boxes, boxes),
-                               state.alive, dvalid, conf)
+                               state.alive, dvalid, conf,
+                               (state, boxes, ts))
         matched_d = det2trk >= 0
         # inverse map track→det (association is one-to-one); unmatched dets
         # scatter out-of-bounds and are dropped
@@ -416,10 +446,10 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
         ].set(jnp.arange(num_d, dtype=jnp.int32), mode="drop")
         matched_t = trk2det >= 0
 
-        # 3. KF update for matched tracks (:234-238)
+        # 3. measurement update for matched tracks (:234-238) — default
+        # one batched KF update; update_fn hook may substitute (ORU)
         det_idx = jnp.clip(trk2det, 0, num_d - 1)
-        z = bbox_to_z(boxes)[det_idx]
-        umean, ucov = _kf_update(state.mean, state.cov, z)
+        umean, ucov = update_fn(state, boxes, det_idx, matched_t, ts)
         sel_t = matched_t[:, None]
         state = state._replace(
             mean=jnp.where(sel_t, umean, state.mean),
@@ -430,6 +460,16 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
                                  jnp.where(state.alive, 0, state.hit_streak)),
             cls_id=jnp.where(matched_t, cls_id[det_idx], state.cls_id),
             conf=jnp.where(matched_t, conf[det_idx], state.conf),
+            # observation memory: shift last→prev, record the accepted
+            # det box and the post-update posterior snapshot
+            prev_obs=jnp.where(sel_t, state.last_obs, state.prev_obs),
+            prev_obs_ts=jnp.where(matched_t, state.last_obs_ts,
+                                  state.prev_obs_ts),
+            last_obs=jnp.where(sel_t, boxes[det_idx], state.last_obs),
+            last_obs_ts=jnp.where(matched_t, ts, state.last_obs_ts),
+            obs_mean=jnp.where(sel_t, umean, state.obs_mean),
+            obs_cov=jnp.where(matched_t[:, None, None], ucov,
+                              state.obs_cov),
         )
 
         # 4. metrics for matched tracks using the DET bbox (:239-247)
@@ -483,6 +523,14 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
             hist_head=state.hist_head.at[slot].set(0, mode="drop"),
             hist_len=state.hist_len.at[slot].set(0, mode="drop"),
             next_id=state.next_id + jnp.sum(is_new, dtype=jnp.int32),
+            # first observation: prev == last (no velocity yet — the
+            # obs-centric consumers gate on hits >= 2)
+            last_obs=state.last_obs.at[slot].set(boxes, mode="drop"),
+            last_obs_ts=state.last_obs_ts.at[slot].set(ts, mode="drop"),
+            prev_obs=state.prev_obs.at[slot].set(boxes, mode="drop"),
+            prev_obs_ts=state.prev_obs_ts.at[slot].set(ts, mode="drop"),
+            obs_mean=state.obs_mean.at[slot].set(init_mean, mode="drop"),
+            obs_cov=state.obs_cov.at[slot].set(_P0[None], mode="drop"),
         )
 
         # metrics for brand-new tracks (first history entry; speed None,

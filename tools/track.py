@@ -53,6 +53,9 @@ def main(argv=None) -> int:
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--conf", type=float, default=None)
+    ap.add_argument("--backend", default=None,
+                    choices=["sort", "bytetrack", "ocsort"],
+                    help="override tracking.backend")
     ap.add_argument("--record", default=None,
                     help="also write an annotated video here")
     ap.add_argument("--gt", default=None,
@@ -69,6 +72,8 @@ def main(argv=None) -> int:
         cfg["detect"]["model"] = args.weights
     if args.conf is not None:
         cfg["detect"]["conf_thres"] = args.conf
+    if args.backend:
+        cfg["tracking"]["backend"] = args.backend
     cam = cfg.get("camera", {}) or {}
 
     vs = VideoSource(source=args.source,
