@@ -478,13 +478,15 @@ def test_autotune_all_sweeps_declared():
     hook actually exists in the code it tunes."""
     import tools.autotune as at
 
-    assert set(at.SWEEPS) == {"clahe_chunk", "hist_dtype", "median_impl",
-                              "sampled_preprocess", "conv_dtype", "batch"}
+    assert set(at.SWEEPS) == {"clahe_chunk", "hist_dtype", "clahe_sweep",
+                              "median_impl", "sampled_preprocess",
+                              "conv_dtype", "batch"}
     import pathlib
     root = pathlib.Path(at.ROOT)
     hooks = {
         "RVT_CLAHE_CHUNK": "roadvision_tpu/ops/clahe.py",
         "RVT_CLAHE_HIST_DTYPE": "roadvision_tpu/ops/clahe.py",
+        "RVT_CLAHE_SWEEP": "roadvision_tpu/ops/clahe.py",
         "RVT_PALLAS": "roadvision_tpu/ops/median.py",
         "RVT_BENCH_SAMPLED": "bench.py",
         "RVT_BENCH_DTYPE": "bench.py",
