@@ -50,6 +50,11 @@ class Detection:
     track_id: Optional[int] = None
     distance_m: Optional[float] = None
     speed_kmh: Optional[float] = None
+    # segment task only (beyond-reference; detect/yolo_jax.py
+    # task="segment"): instance mask at prototype resolution
+    # (input/4), float32 in [0,1]; paste to frame pixels with
+    # ops.masks.paste_masks. None for the detect task.
+    mask: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -70,6 +75,9 @@ class DetectionBatch:
     track_id: np.ndarray = None  # (..., N) int32, 0 == unassigned
     distance_m: np.ndarray = None  # (..., N) float32, NaN == unavailable
     speed_kmh: np.ndarray = None   # (..., N) float32, NaN == unavailable
+    # segment task only: (..., N, mh, mw) float32 prototype-resolution
+    # instance masks (None for the detect task — no auto-allocation)
+    masks: np.ndarray = None
 
     def __post_init__(self):
         n = self.boxes.shape[:-1]
@@ -119,6 +127,7 @@ class DetectionBatch:
         speed = np.asarray(self.speed_kmh)
         if boxes.ndim != 2:
             raise ValueError("to_detections expects a single frame (N,4) batch")
+        masks = None if self.masks is None else np.asarray(self.masks)
         for i in range(boxes.shape[0]):
             if not valid[i]:
                 continue
@@ -131,5 +140,6 @@ class DetectionBatch:
                 track_id=(int(track_id[i]) if track_id[i] > 0 else None),
                 distance_m=(float(distance[i]) if np.isfinite(distance[i]) else None),
                 speed_kmh=(float(speed[i]) if np.isfinite(speed[i]) else None),
+                mask=(masks[i] if masks is not None else None),
             ))
         return out

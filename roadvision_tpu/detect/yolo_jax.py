@@ -61,9 +61,20 @@ class YOLOJax(Detector):
         model_ref = cfg.get("model", "yolov8n.pt")
         size_hint = _size_from_model_name(model_ref)
         arch_hint = "v5" if "yolov5" in str(model_ref).lower() else "v8"
+        # task: "detect" | "segment" | "auto" (from the model name's
+        # "-seg" suffix, then from the checkpoint's actual head)
+        task = str(cfg.get("task", "auto"))
+        if task == "auto":
+            task = "segment" if "-seg" in str(model_ref).lower() \
+                else "detect"
         self.params, self.arch, self.size, self.loaded = \
             yolo_weights.load_params(model_ref, size=size_hint,
-                                     arch=arch_hint)
+                                     arch=arch_hint, task=task)
+        if self.arch == "v8" and "cv4" in self.params.get("22", {}):
+            task = "segment"   # checkpoint head wins over the hint
+        self.task = task
+        if self.task == "segment" and self.arch == "v5":
+            raise ValueError("task 'segment' requires a YOLOv8-seg model")
         if not self.loaded:
             print(f"[roadvision] weights '{model_ref}' not found — running "
                   f"yolo{self.arch}{self.size} with random init")
@@ -94,11 +105,16 @@ class YOLOJax(Detector):
         return letterbox_u8(frames_u8, size=self.imgsz)
 
     def forward_fn(self, params, imgs):
-        """Letterboxed images → (boxes, scores), arch-dispatched."""
+        """Letterboxed images → (boxes, scores[, coeffs, protos]),
+        arch/task-dispatched."""
         if self.arch == "v5":
             from ..models.yolo import yolov5
             return yolov5.forward(params, imgs, size=self.size, nc=self.nc,
                                   dtype=self.dtype)
+        if self.task == "segment":
+            from ..models.yolo import yolov8_seg
+            return yolov8_seg.forward_seg(params, imgs, size=self.size,
+                                          nc=self.nc, dtype=self.dtype)
         return yolov8.forward(params, imgs, size=self.size, nc=self.nc,
                               dtype=self.dtype)
 
@@ -109,6 +125,10 @@ class YOLOJax(Detector):
             from ..models.yolo import yolov5
             return yolov5.forward_raw(params, imgs, size=self.size,
                                       nc=self.nc, dtype=self.dtype)
+        if self.task == "segment":
+            from ..models.yolo import yolov8_seg
+            return yolov8_seg.forward_seg_raw(params, imgs, size=self.size,
+                                              nc=self.nc, dtype=self.dtype)
         return yolov8.forward_raw(params, imgs, size=self.size, nc=self.nc,
                                   dtype=self.dtype)
 
@@ -118,6 +138,25 @@ class YOLOJax(Detector):
         params = self.params
         fwd = self.forward_fn
         lbox = self.letterbox
+
+        if self.task == "segment":
+            from ..ops.masks import compose_masks
+
+            @jax.jit
+            def run_seg(params, frames_u8):
+                imgs, ratio, pad = lbox(frames_u8)
+                boxes640, scores, coeffs, protos = fwd(params, imgs)
+                b, c, k, v, idx = nms_batch(
+                    boxes640, scores, conf_thres=conf, iou_thres=iou,
+                    max_det=max_det, pre_topk=300,
+                    classes_keep=keep if keep else None, return_idx=True)
+                kc = jnp.take_along_axis(coeffs, idx[..., None], axis=1)
+                # crop in letterbox space (pre-rescale boxes)
+                masks = compose_masks(kc, protos, b, v)
+                b = scale_boxes(b, ratio, pad, (h, w))
+                return b, c, k, v, masks, ratio, pad
+
+            return functools.partial(run_seg, params)
 
         @jax.jit
         def run(params, frames_u8):
@@ -216,6 +255,12 @@ class YOLOJax(Detector):
                 print(f"[roadvision] int8 auto-calibration baked static "
                       f"scales for {n} convs")
         fn = self._fn_for(frames_u8)
+        if self.task == "segment":
+            b, c, k, v, m, ratio, pad = fn(jnp.asarray(frames_u8))
+            self._last_lb_meta = (float(ratio), np.asarray(pad))
+            return DetectionBatch(np.asarray(b), np.asarray(c),
+                                  np.asarray(k), np.asarray(v),
+                                  masks=np.asarray(m))
         b, c, k, v = fn(jnp.asarray(frames_u8))
         return DetectionBatch(np.asarray(b), np.asarray(c),
                               np.asarray(k), np.asarray(v))
@@ -223,9 +268,17 @@ class YOLOJax(Detector):
     def infer(self, bgr: np.ndarray) -> List[Detection]:
         batch = self.infer_batch(bgr[None])
         single = DetectionBatch(batch.boxes[0], batch.conf[0],
-                                batch.cls_id[0], batch.valid[0])
+                                batch.cls_id[0], batch.valid[0],
+                                masks=(None if batch.masks is None
+                                       else batch.masks[0]))
         names = [self.names.get(i, str(i)) for i in range(self.nc)]
         return single.to_detections(names)
+
+    def last_letterbox_meta(self):
+        """(ratio, pad) of the most recent segment-task batch — feed to
+        ops.masks.paste_masks to lift prototype-resolution masks to
+        source-frame pixels."""
+        return getattr(self, "_last_lb_meta", None)
 
     def close(self) -> None:
         self._jit_cache.clear()

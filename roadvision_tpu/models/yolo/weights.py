@@ -113,6 +113,44 @@ def state_dict_to_params(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return p
 
 
+def state_dict_to_params_seg(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Ultralytics YOLOv8-seg state dict → pytree: the detection mapping
+    plus the Segment head's ``cv4`` coefficient branch and ``proto``
+    prototype head (models/yolo/yolov8_seg.py layout). The ConvTranspose
+    upsample weight arrives (in, out, kH, kW) and is stored HWIO."""
+    p = state_dict_to_params(sd)
+    sd = _normalize_keys(sd)
+    cv4 = []
+    for lvl in range(3):
+        cv4.append([
+            _fuse(sd, f"22.cv4.{lvl}.0"),
+            _fuse(sd, f"22.cv4.{lvl}.1"),
+            _plain(sd, f"22.cv4.{lvl}.2.weight", f"22.cv4.{lvl}.2.bias"),
+        ])
+    p["22"]["cv4"] = cv4
+    up_w = _to_np(sd["22.proto.upsample.weight"]).astype(np.float32)
+    up_b = (_to_np(sd["22.proto.upsample.bias"]).astype(np.float32)
+            if "22.proto.upsample.bias" in sd
+            else np.zeros(up_w.shape[1], np.float32))
+    p["22"]["proto"] = {
+        "cv1": _fuse(sd, "22.proto.cv1"),
+        "up_w": jnp.asarray(up_w.transpose(2, 3, 0, 1)),  # IOHW → HWIO
+        "up_b": jnp.asarray(up_b),
+        "cv2": _fuse(sd, "22.proto.cv2"),
+        "cv3": _fuse(sd, "22.proto.cv3"),
+    }
+    return p
+
+
+def detect_task(sd: Mapping[str, Any]) -> str:
+    """"segment" (Segment head: cv4/proto present at layer 22) vs
+    "detect"."""
+    sd = _normalize_keys(sd)
+    if any(k.startswith(("22.cv4.", "22.proto.")) for k in sd):
+        return "segment"
+    return "detect"
+
+
 def infer_size_from_state_dict(sd: Mapping[str, Any]) -> str:
     """Model size from the stem width (layer 0 output channels)."""
     sd = _normalize_keys(sd)
@@ -162,11 +200,15 @@ def state_dict_to_params_v5(sd: Mapping[str, Any]) -> Dict[str, Any]:
 
 
 def load_params(path_or_sd, size: str = "n", nc: int = 80,
-                allow_random: bool = True, arch: str = "v8"):
+                allow_random: bool = True, arch: str = "v8",
+                task: str = "detect"):
     """Load params from a checkpoint; fall back to random init.
 
     Returns (params, arch ("v8"|"v5"), size, loaded: bool). The checkpoint
-    overrides the arch/size hints when present.
+    overrides the arch/size hints when present; a Segment head in the
+    checkpoint (or ``task="segment"`` for the random-init fallback) adds
+    the ``22.cv4``/``22.proto`` subtrees — callers detect the task from
+    the returned tree (``"cv4" in params.get("22", {})``).
     """
     sd = None
     if isinstance(path_or_sd, Mapping) and path_or_sd:
@@ -200,8 +242,12 @@ def load_params(path_or_sd, size: str = "n", nc: int = 80,
         try:
             arch = detect_arch(sd)
             size = infer_size_from_state_dict(sd)
-            params = (state_dict_to_params_v5(sd) if arch == "v5"
-                      else state_dict_to_params(sd))
+            if arch == "v5":
+                params = state_dict_to_params_v5(sd)
+            elif detect_task(sd) == "segment":
+                params = state_dict_to_params_seg(sd)
+            else:
+                params = state_dict_to_params(sd)
             return params, arch, size, True
         except KeyError as exc:
             if not allow_random:
@@ -214,6 +260,10 @@ def load_params(path_or_sd, size: str = "n", nc: int = 80,
     if arch == "v5":
         from .yolov5 import init_params as v5_init
         return v5_init(jax.random.PRNGKey(0), size, nc), "v5", size, False
+    if task == "segment":
+        from .yolov8_seg import init_params_seg
+        return (init_params_seg(jax.random.PRNGKey(0), size, nc),
+                "v8", size, False)
     return init_params(jax.random.PRNGKey(0), size, nc), "v8", size, False
 
 

@@ -49,15 +49,21 @@ def _iou_matrix_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("conf_thres", "iou_thres", "max_det",
-                                    "pre_topk", "classes_keep"))
+                                    "pre_topk", "classes_keep",
+                                    "return_idx"))
 def nms_single(boxes: jnp.ndarray, scores: jnp.ndarray,
                conf_thres: float = 0.25, iou_thres: float = 0.7,
                max_det: int = 100, pre_topk: int = 300,
-               classes_keep: Optional[Tuple[int, ...]] = None):
+               classes_keep: Optional[Tuple[int, ...]] = None,
+               return_idx: bool = False):
     """One image. boxes (N, 4) xyxy, scores (N, nc) per-class probabilities.
 
     Returns fixed-shape (boxes (max_det, 4), conf (max_det,),
     cls (max_det,) i32, valid (max_det,) bool), score-descending.
+    With ``return_idx`` a fifth output carries each kept entry's SOURCE
+    anchor index (max_det,) i32 (arbitrary where ~valid) — the handle
+    per-anchor side outputs (e.g. seg mask coefficients) are gathered
+    with.
     """
     conf = jnp.max(scores, axis=-1)
     cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
@@ -106,6 +112,9 @@ def nms_single(boxes: jnp.ndarray, scores: jnp.ndarray,
             allowed = allowed.at[int(c)].set(True)
         kept_valid = kept_valid & allowed[kept_cls]
 
+    if return_idx:
+        kept_idx = sel_idx[order][:max_det].astype(jnp.int32)
+        return kept_boxes, kept_conf, kept_cls, kept_valid, kept_idx
     return kept_boxes, kept_conf, kept_cls, kept_valid
 
 

@@ -220,7 +220,7 @@ def unletterbox_boxes(boxes, ratio, pad, orig_hw):
 
 
 def greedy_nms(boxes, scores, conf_thres=0.25, iou_thres=0.7, max_det=100,
-               pre_topk=300, classes_keep=None):
+               pre_topk=300, classes_keep=None, return_idx=False):
     """Sequential greedy class-aware NMS in plain numpy — the torch twin's
     stand-in for the torchvision NMS that ultralytics predict runs
     (reference: src/detect/yolo_ultralytics.py:28-35). Same pinned
@@ -267,4 +267,76 @@ def greedy_nms(boxes, scores, conf_thres=0.25, iou_thres=0.7, max_det=100,
     if classes_keep is not None:
         allowed = np.isin(cls[sel], np.asarray(list(classes_keep)))
         sel = sel[allowed]
+    if return_idx:
+        return boxes[sel], conf[sel], cls[sel], sel
     return boxes[sel], conf[sel], cls[sel]
+
+
+# --- v8-seg twin ------------------------------------------------------------
+
+def v8_seg_forward(params, x_nhwc):
+    """Independent torch twin of yolov8_seg.forward_seg_raw: detection
+    outputs + cv4 mask coefficients + Proto prototypes (ConvTranspose2d
+    upsample, the ultralytics Segment/Proto formulation). Returns
+    (boxes (B,N,4), scores (B,N,nc), coeffs (B,N,nm),
+    protos (B,mh,mw,nm)) as numpy."""
+    x = torch.from_numpy(np.ascontiguousarray(
+        np.asarray(x_nhwc).transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        y = conv(x, params["0"], stride=2)
+        y = conv(y, params["1"], stride=2)
+        y = c2f(y, params["2"], True)
+        y = conv(y, params["3"], stride=2)
+        p3 = c2f(y, params["4"], True)
+        y = conv(p3, params["5"], stride=2)
+        p4 = c2f(y, params["6"], True)
+        y = conv(p4, params["7"], stride=2)
+        y = c2f(y, params["8"], True)
+        p5 = sppf(y, params["9"])
+        h4 = c2f(torch.cat([up2(p5), p4], 1), params["12"], False)
+        o3 = c2f(torch.cat([up2(h4), p3], 1), params["15"], False)
+        o4 = c2f(torch.cat([conv(o3, params["16"], stride=2), h4], 1),
+                 params["18"], False)
+        o5 = c2f(torch.cat([conv(o4, params["19"], stride=2), p5], 1),
+                 params["21"], False)
+
+        seg = params["22"]
+        coeffs_l = []
+        for lvl, f in enumerate((o3, o4, o5)):
+            m = conv(conv(f, seg["cv4"][lvl][0]), seg["cv4"][lvl][1])
+            m = conv(m, seg["cv4"][lvl][2], act=False)
+            bs, nm, h, w = m.shape
+            coeffs_l.append(m.permute(0, 2, 3, 1).reshape(bs, h * w, nm))
+        coeffs = torch.cat(coeffs_l, 1)
+
+        pr = seg["proto"]
+        t = conv(o3, pr["cv1"])
+        up_w = torch.from_numpy(  # HWIO → torch ConvTranspose (in,out,kh,kw)
+            np.asarray(pr["up_w"]).transpose(2, 3, 0, 1).copy())
+        up_b = torch.from_numpy(np.asarray(pr["up_b"]).copy())
+        t = F.conv_transpose2d(t, up_w, up_b, stride=2)
+        t = conv(t, pr["cv2"])
+        protos = conv(t, pr["cv3"])  # (B, nm, mh, mw)
+
+    # reuse the detect decode for boxes/scores
+    boxes, scores = v8_forward(params, x_nhwc)
+    return (boxes, scores, coeffs.numpy(),
+            protos.permute(0, 2, 3, 1).numpy())
+
+
+def process_mask(coeffs, protos, boxes_lb, stride=4.0):
+    """Twin of ops.masks.compose_masks for ONE image, written the
+    ultralytics way (torch): masks = (coeffs @ protos.view(nm,-1))
+    .sigmoid(), cropped to boxes downscaled by ``stride``.
+    coeffs (M, nm), protos (mh, mw, nm), boxes_lb (M, 4) letterbox px.
+    Returns (M, mh, mw) float32."""
+    c = torch.from_numpy(np.asarray(coeffs, np.float32))
+    p = torch.from_numpy(np.asarray(protos, np.float32)).permute(2, 0, 1)
+    nm, mh, mw = p.shape
+    m = (c @ p.reshape(nm, -1)).sigmoid().reshape(-1, mh, mw)
+    bb = torch.from_numpy(np.asarray(boxes_lb, np.float32)) / stride
+    r = torch.arange(mw, dtype=torch.float32)[None, None, :]
+    cc = torch.arange(mh, dtype=torch.float32)[None, :, None]
+    x1, y1, x2, y2 = (bb[:, i][:, None, None] for i in range(4))
+    keep = (r >= x1) & (r < x2) & (cc >= y1) & (cc < y2)
+    return (m * keep).numpy()

@@ -1,0 +1,234 @@
+"""YOLOv8-seg: torch-twin parity, mask composition oracle, importer.
+
+The segment task is a beyond-reference model family (the reference
+wrapper loads detection checkpoints only,
+src/detect/yolo_ultralytics.py:16). Parity strategy mirrors
+tests/test_torch_parity.py: the SAME param pytree through two
+independently written implementations — jax NHWC einsum-deconv
+(roadvision_tpu/models/yolo/yolov8_seg.py) vs torch NCHW
+ConvTranspose2d (tests/oracles/torch_yolo.py:v8_seg_forward) — plus the
+ultralytics-style ``process_mask`` twin for the composition/crop math.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from roadvision_tpu.models.yolo import weights, yolov8_seg
+from roadvision_tpu.ops.masks import compose_masks, mask_iou, paste_masks
+
+from tests.oracles import torch_yolo
+
+
+def _max_err(a, b):
+    return float(np.abs(np.asarray(a) - np.asarray(b)).max())
+
+
+def test_seg_spec_channels():
+    s = yolov8_seg.seg_spec("n")
+    assert s["nm"] == 32
+    assert s["npr"] == 64          # 256 × width 0.25
+    assert s["c4"] == max(s["ch_det"][0] // 4, 32)
+    assert yolov8_seg.seg_spec("l")["npr"] == 256
+
+
+def test_seg_forward_matches_torch():
+    params = yolov8_seg.init_params_seg(jax.random.PRNGKey(7), "n")
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 128, 128, 3).astype(np.float32)
+
+    jb, js, jc, jp = yolov8_seg.forward_seg(params, jnp.asarray(x),
+                                            size="n", nc=80,
+                                            dtype=jnp.float32)
+    tb, ts, tc, tp = torch_yolo.v8_seg_forward(params, x)
+
+    assert jc.shape == tc.shape == (2, 16 * 16 + 8 * 8 + 4 * 4, 32)
+    assert jp.shape == tp.shape == (2, 32, 32, 32)  # nm protos at in/4
+    assert _max_err(jb, tb) < 0.05
+    assert _max_err(js, ts) < 2e-3
+    assert _max_err(jc, tc) < 2e-3, _max_err(jc, tc)
+    assert _max_err(jp, tp) < 2e-3, _max_err(jp, tp)
+
+
+def test_deconv_upsample_matches_torch():
+    """The einsum+interleave ConvTranspose(k=2,s=2) formulation equals
+    torch's conv_transpose2d tap-for-tap."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 5, 7, 6).astype(np.float32)
+    w = rng.randn(2, 2, 6, 4).astype(np.float32)   # HWIO
+    b = rng.randn(4).astype(np.float32)
+
+    jy = yolov8_seg._upsample_deconv2(jnp.asarray(x), jnp.asarray(w),
+                                      jnp.asarray(b))
+    ty = F.conv_transpose2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        torch.from_numpy(w.transpose(2, 3, 0, 1).copy()),
+        torch.from_numpy(b), stride=2).permute(0, 2, 3, 1).numpy()
+    assert jy.shape == ty.shape == (2, 10, 14, 4)
+    assert _max_err(jy, ty) < 1e-4
+
+
+def test_compose_masks_matches_twin():
+    rng = np.random.RandomState(5)
+    coeffs = rng.randn(1, 6, 32).astype(np.float32)
+    protos = rng.randn(1, 40, 40, 32).astype(np.float32)
+    boxes = np.array([[[8, 12, 100, 120], [0, 0, 160, 160],
+                       [40, 40, 41, 41], [150, 150, 160, 160],
+                       [0, 0, 0, 0], [10, 10, 30, 30]]], np.float32)
+    valid = np.array([[True, True, True, True, True, False]])
+
+    jm = np.asarray(compose_masks(jnp.asarray(coeffs), jnp.asarray(protos),
+                                  jnp.asarray(boxes), jnp.asarray(valid)))
+    tm = torch_yolo.process_mask(coeffs[0], protos[0], boxes[0])
+
+    assert jm.shape == (1, 6, 40, 40)
+    assert _max_err(jm[0, :5], tm[:5]) < 1e-5
+    assert jm[0, 5].max() == 0.0            # invalid slot zeroed
+    # degenerate box (0,0,0,0) has empty crop
+    assert jm[0, 4].max() == 0.0
+
+
+def test_infer_masks_end_to_end_match_twin():
+    """uint8 frame → rect letterbox → seg forward → NMS → coefficient
+    gather → compose: the production detector vs the torch twin chain."""
+    from roadvision_tpu.detect.yolo_jax import YOLOJax
+
+    params = yolov8_seg.init_params_seg(jax.random.PRNGKey(21), "n")
+    rng = np.random.RandomState(6)
+    frame = rng.randint(0, 256, (90, 160, 3), dtype=np.uint8)
+
+    det = YOLOJax({"model": "yolov8n-seg.pt", "conf_thres": 2e-5,
+                   "iou_thres": 0.7, "max_det": 12, "imgsz": 160,
+                   "compute_dtype": "float32", "device": "cpu"})
+    assert det.task == "segment"
+    det.set_params(params)
+    dets = det.infer(frame)
+    assert len(dets) > 0
+
+    timgs, tratio, tpad = torch_yolo.letterbox(frame[None], 160, auto=True)
+    tb, ts, tc, tp = torch_yolo.v8_seg_forward(params, timgs)
+    nb, nconf, ncls, nidx = torch_yolo.greedy_nms(
+        tb[0], ts[0], conf_thres=2e-5, iou_thres=0.7, max_det=12,
+        pre_topk=300, return_idx=True)
+    tm = torch_yolo.process_mask(tc[0][nidx], tp[0], nb)
+    nb_r = torch_yolo.unletterbox_boxes(nb, tratio, tpad, (90, 160))
+
+    assert len(dets) == len(nb)
+    for i, d in enumerate(dets):
+        got = np.array([d.x1, d.y1, d.x2, d.y2])
+        assert np.abs(got - nb_r[i]).max() < 0.1
+        assert d.mask is not None and d.mask.shape == tm[i].shape
+        assert _max_err(d.mask, tm[i]) < 1e-3, i
+
+
+def test_paste_masks_geometry():
+    """Un-letterbox at prototype scale: a rectangle in the letterbox
+    content band maps onto the right source-frame pixels (IoU vs the
+    analytic box mask); invalid slots come back all-zero."""
+    mh, mw = 40, 40   # 160×160 letterbox canvas → proto 40×40
+    oh, ow = 80, 160  # source: ratio 1.0, pad (0, 40) — top/bottom bars
+    # content band: letterbox y ∈ [40, 120) ↔ source y ∈ [0, 80)
+    masks = np.zeros((2, mh, mw), np.float32)
+    masks[0, 12:18, 8:24] = 1.0   # letterbox y [48,72) → source y [8,32)
+    valid = np.array([True, False])
+
+    out = paste_masks(masks, valid, 1.0, (0.0, 40.0), (oh, ow))
+    assert out.shape == (2, oh, ow) and out.dtype == bool
+    assert out[1].sum() == 0
+    want = np.zeros((oh, ow), bool)
+    want[8:32, 32:96] = True
+    assert mask_iou(out[0], want) > 0.85
+
+    # soft mode returns float32 in [0, 1]
+    soft = paste_masks(masks, valid, 1.0, (0.0, 40.0), (oh, ow),
+                       thresh=None)
+    assert soft.dtype == np.float32
+    assert 0.0 <= soft.min() and soft.max() <= 1.0
+
+
+def test_state_dict_import_seg():
+    """Synthetic ultralytics-style -seg state dict (BN pairs, IOHW
+    ConvTranspose) → pytree: structure matches random init, the task is
+    detected, and the forward agrees with the torch twin run on the
+    imported tree."""
+    torch = pytest.importorskip("torch")
+    ref = yolov8_seg.init_params_seg(jax.random.PRNGKey(0), "n")
+    g = torch.Generator().manual_seed(11)
+
+    sd = {}
+
+    def add_convbn(prefix, tree):
+        k, _, cin, cout = tree["w"].shape
+        sd[f"{prefix}.conv.weight"] = torch.randn(cout, cin, k, k,
+                                                  generator=g) * 0.05
+        sd[f"{prefix}.bn.weight"] = torch.rand(cout, generator=g) + 0.5
+        sd[f"{prefix}.bn.bias"] = torch.randn(cout, generator=g) * 0.01
+        sd[f"{prefix}.bn.running_mean"] = torch.randn(cout,
+                                                      generator=g) * 0.01
+        sd[f"{prefix}.bn.running_var"] = torch.rand(cout, generator=g) + 0.5
+
+    def add_plain(prefix, tree):
+        k, _, cin, cout = tree["w"].shape
+        sd[f"{prefix}.weight"] = torch.randn(cout, cin, k, k,
+                                             generator=g) * 0.05
+        sd[f"{prefix}.bias"] = torch.randn(cout, generator=g) * 0.01
+
+    def add_c2f(prefix, tree):
+        add_convbn(f"{prefix}.cv1", tree["cv1"])
+        add_convbn(f"{prefix}.cv2", tree["cv2"])
+        for j, m in enumerate(tree["m"]):
+            add_convbn(f"{prefix}.m.{j}.cv1", m["cv1"])
+            add_convbn(f"{prefix}.m.{j}.cv2", m["cv2"])
+
+    for i in ("0", "1", "3", "5", "7", "16", "19"):
+        add_convbn(f"model.{i}", ref[i])
+    for i in ("2", "4", "6", "8", "12", "15", "18", "21"):
+        add_c2f(f"model.{i}", ref[i])
+    add_convbn("model.9.cv1", ref["9"]["cv1"])
+    add_convbn("model.9.cv2", ref["9"]["cv2"])
+    for branch in ("cv2", "cv3", "cv4"):
+        for lvl in range(3):
+            stages = ref["22"][branch][lvl]
+            add_convbn(f"model.22.{branch}.{lvl}.0", stages[0])
+            add_convbn(f"model.22.{branch}.{lvl}.1", stages[1])
+            add_plain(f"model.22.{branch}.{lvl}.2", stages[2])
+    pr = ref["22"]["proto"]
+    add_convbn("model.22.proto.cv1", pr["cv1"])
+    npr = pr["up_w"].shape[2]
+    sd["model.22.proto.upsample.weight"] = torch.randn(
+        npr, npr, 2, 2, generator=g) * 0.05
+    sd["model.22.proto.upsample.bias"] = torch.randn(npr,
+                                                     generator=g) * 0.01
+    add_convbn("model.22.proto.cv2", pr["cv2"])
+    add_convbn("model.22.proto.cv3", pr["cv3"])
+
+    assert weights.detect_task(sd) == "segment"
+    params, arch, size, loaded = weights.load_params(sd)
+    assert loaded and arch == "v8" and size == "n"
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(ref)
+
+    # the imported ConvTranspose weight drives the jax deconv exactly
+    # like torch drives the ORIGINAL state-dict tensor (IOHW→HWIO
+    # transpose validated against torch itself, not round-tripped)
+    import torch.nn.functional as F
+    xin = torch.randn(1, npr, 6, 6, generator=g)
+    ty = F.conv_transpose2d(xin, sd["model.22.proto.upsample.weight"],
+                            sd["model.22.proto.upsample.bias"], stride=2)
+    jy = yolov8_seg._upsample_deconv2(
+        jnp.asarray(xin.numpy().transpose(0, 2, 3, 1)),
+        params["22"]["proto"]["up_w"], params["22"]["proto"]["up_b"])
+    assert _max_err(jy, ty.permute(0, 2, 3, 1).numpy()) < 1e-4
+
+    rng = np.random.RandomState(2)
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    jb, js, jc, jp = yolov8_seg.forward_seg(params, jnp.asarray(x),
+                                            size="n", nc=80,
+                                            dtype=jnp.float32)
+    tb, ts, tc, tp = torch_yolo.v8_seg_forward(params, x)
+    assert _max_err(jc, tc) < 2e-3
+    assert _max_err(jp, tp) < 2e-3
