@@ -157,6 +157,39 @@ def draw_detections(image: np.ndarray, detections: Iterable[Detection],
                           font_scale)
 
 
+def draw_masks(image: np.ndarray, detections: Iterable[Detection],
+               lb_meta=None, alpha: float = 0.45) -> None:
+    """Alpha-blend instance masks (segment task) under the box overlay.
+
+    ``detections`` carry prototype-resolution masks
+    (detect/yolo_jax.py task="segment"; None masks are skipped);
+    ``lb_meta`` is the detector's ``last_letterbox_meta()`` (ratio, pad)
+    used to paste them to frame pixels — when None, masks are assumed
+    already frame-resolution booleans. Colors follow the same
+    cls_id%10 table as the boxes. In-place on the BGR uint8 frame.
+    """
+    h, w = image.shape[:2]
+    dets = [d for d in detections if d.mask is not None]
+    if not dets:
+        return
+    from ..ops.masks import paste_masks
+    for d in dets:
+        m = np.asarray(d.mask)
+        if m.shape == (h, w) and m.dtype == bool:
+            full = m
+        else:
+            if lb_meta is None:
+                continue
+            ratio, pad = lb_meta
+            full = paste_masks(m[None].astype(np.float32),
+                               np.array([True]), ratio, pad, (h, w))[0]
+        if not full.any():
+            continue
+        color = np.array(COLOR_TABLE[int(d.cls_id) % 10], np.float32)
+        px = image[full].astype(np.float32)
+        image[full] = (px * (1.0 - alpha) + color * alpha).astype(np.uint8)
+
+
 def _label_top(img, text, topleft, color, font_scale):
     if not text:
         return

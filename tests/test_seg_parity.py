@@ -150,6 +150,59 @@ def test_paste_masks_geometry():
     assert 0.0 <= soft.min() and soft.max() <= 1.0
 
 
+def test_npz_roundtrip_seg(tmp_path):
+    """export_npz/import_npz preserve the Segment subtrees (cv4 lists,
+    proto dict incl. the deconv weight)."""
+    ref = yolov8_seg.init_params_seg(jax.random.PRNGKey(1), "n")
+    path = tmp_path / "seg.npz"
+    weights.export_npz(ref, path)
+    back, arch, size, loaded = weights.load_params(str(path))
+    assert loaded and arch == "v8" and size == "n"
+    assert jax.tree_util.tree_structure(back) == \
+        jax.tree_util.tree_structure(ref)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_draw_masks_blends_inside_only():
+    from roadvision_tpu.detect.types import Detection
+    from roadvision_tpu.vis import draw_masks
+
+    img = np.full((40, 60, 3), 100, np.uint8)
+    mask = np.zeros((40, 60), bool)
+    mask[10:20, 15:30] = True
+    d = Detection(15, 10, 30, 20, 0.9, 2, "car", mask=mask)
+    draw_masks(img, [d], alpha=0.5)
+    assert (img[mask] != 100).any()            # blended inside
+    assert (img[~mask] == 100).all()           # untouched outside
+    # proto-res float mask + lb meta path
+    img2 = np.full((40, 60, 3), 100, np.uint8)
+    small = np.zeros((16, 16), np.float32)
+    small[4:8, 4:8] = 1.0
+    d2 = Detection(0, 0, 10, 10, 0.9, 2, "car", mask=small)
+    draw_masks(img2, [d2], lb_meta=(1.0, (0.0, 0.0)), alpha=0.5)
+    assert (img2 != 100).any()
+
+
+def test_detect_cli_segment_task(tmp_path):
+    """tools/detect.py --task segment writes mask-overlaid frames."""
+    from tools.detect import main as detect_main
+
+    out = tmp_path / "seg_out"
+    rc = detect_main(["--source", "synthetic", "--frames", "2",
+                      "--out", str(out), "--weights", "yolov8n-seg.pt",
+                      "--task", "segment", "--imgsz", "96",
+                      "--conf", "1e-4", "--max-det", "8",
+                      "--dtype", "float32", "--json"])
+    assert rc == 0
+    frames = sorted(out.glob("frame_*.jpg"))
+    assert len(frames) == 2
+    import json
+    recs = json.loads((out / "detections.json").read_text())
+    assert len(recs) == 2
+
+
 def test_state_dict_import_seg():
     """Synthetic ultralytics-style -seg state dict (BN pairs, IOHW
     ConvTranspose) → pytree: structure matches random init, the task is

@@ -46,6 +46,12 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32", "int8"],
                     help="conv compute dtype (int8 = quantized path)")
+    ap.add_argument("--task", default="auto",
+                    choices=["auto", "detect", "segment"],
+                    help="segment = YOLOv8-seg instance masks, alpha-"
+                         "blended under the boxes (auto: from the "
+                         "weights name / checkpoint head)")
+    ap.add_argument("--mask-alpha", type=float, default=0.45)
     ap.add_argument("--json", action="store_true",
                     help="also write per-frame detections json")
     args = ap.parse_args(argv)
@@ -55,7 +61,7 @@ def main(argv=None) -> int:
                           "conf_thres": args.conf, "iou_thres": args.iou,
                           "max_det": args.max_det, "imgsz": args.imgsz,
                           "classes_keep": keep, "rect": args.rect,
-                          "compute_dtype": args.dtype})
+                          "compute_dtype": args.dtype, "task": args.task})
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -70,6 +76,10 @@ def main(argv=None) -> int:
             break
         dets = det.infer(fr.image)
         img = np.ascontiguousarray(fr.image)
+        if getattr(det, "task", "detect") == "segment":
+            from roadvision_tpu.vis import draw_masks
+            draw_masks(img, dets, det.last_letterbox_meta(),
+                       alpha=args.mask_alpha)
         draw_detections(img, dets)
         Image.fromarray(img[..., ::-1]).save(out_dir / f"frame_{i:05d}.jpg")
         if args.json:
