@@ -337,12 +337,22 @@ def params_to_state_dict(params: Mapping[str, Any],
     _put_conv(sd, "model.9.cv2", params["9"]["cv2"])
     if arch == "v8":
         det = params[head]
-        for branch in ("cv2", "cv3"):
+        branches = ("cv2", "cv3") + (("cv4",) if "cv4" in det else ())
+        for branch in branches:
             for lvl in range(3):
                 stages = det[branch][lvl]
                 _put_conv(sd, f"model.22.{branch}.{lvl}.0", stages[0])
                 _put_conv(sd, f"model.22.{branch}.{lvl}.1", stages[1])
                 _put_plain(sd, f"model.22.{branch}.{lvl}.2", stages[2])
+        if "proto" in det:  # Segment head (models/yolo/yolov8_seg.py)
+            pr = det["proto"]
+            _put_conv(sd, "model.22.proto.cv1", pr["cv1"])
+            sd["model.22.proto.upsample.weight"] = np.asarray(
+                pr["up_w"], np.float32).transpose(2, 3, 0, 1)  # HWIO→IOHW
+            sd["model.22.proto.upsample.bias"] = np.asarray(
+                pr["up_b"], np.float32)
+            _put_conv(sd, "model.22.proto.cv2", pr["cv2"])
+            _put_conv(sd, "model.22.proto.cv3", pr["cv3"])
     else:
         for lvl, m in enumerate(params[head]["m"]):
             _put_plain(sd, f"model.24.m.{lvl}", m)

@@ -165,6 +165,25 @@ def test_npz_roundtrip_seg(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_onnx_roundtrip_seg(tmp_path):
+    """export_onnx → load_params restores the Segment head numerically
+    (fused-carrier ONNX layout, IOHW ConvTranspose both directions)."""
+    from roadvision_tpu.models.yolo import onnx_io
+
+    ref = yolov8_seg.init_params_seg(jax.random.PRNGKey(4), "n")
+    path = tmp_path / "seg.onnx"
+    onnx_io.export_onnx(ref, path)
+    back, arch, size, loaded = weights.load_params(str(path))
+    assert loaded and arch == "v8" and size == "n"
+    assert "cv4" in back["22"] and "proto" in back["22"]
+    assert jax.tree_util.tree_structure(back) == \
+        jax.tree_util.tree_structure(ref)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+
 def test_draw_masks_blends_inside_only():
     from roadvision_tpu.detect.types import Detection
     from roadvision_tpu.vis import draw_masks
