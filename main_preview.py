@@ -124,6 +124,13 @@ def run_multi(args, cfg) -> int:
                     res = stream_results[i]
                     frame = np.ascontiguousarray(res.proc)
                     if draw_cfg.get("det", True) and res.detections:
+                        if any(d.mask is not None for d in res.detections):
+                            from roadvision_tpu.vis import draw_masks
+                            draw_masks(
+                                frame, res.detections,
+                                engine.engine.lb_meta(*frame.shape[:2]),
+                                alpha=float(draw_cfg.get("mask_alpha",
+                                                         0.45)))
                         draw_detections(
                             frame, res.detections,
                             thickness=int(draw_cfg.get("thickness", 2)),
@@ -236,6 +243,12 @@ def main(argv=None) -> int:
             t_tail = _time.perf_counter()
             proc = np.ascontiguousarray(res.proc)
             if draw_cfg.get("det", True) and res.detections:
+                if any(d.mask is not None for d in res.detections):
+                    from roadvision_tpu.vis import draw_masks
+                    draw_masks(proc, res.detections,
+                               engine.lb_meta(*proc.shape[:2]),
+                               alpha=float(draw_cfg.get("mask_alpha",
+                                                        0.45)))
                 draw_detections(proc, res.detections,
                                 thickness=int(draw_cfg.get("thickness", 2)),
                                 font_scale=float(draw_cfg.get("font_scale", 0.6)))

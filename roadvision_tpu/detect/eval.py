@@ -27,6 +27,55 @@ def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
 
 
+def mask_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, H, W) × (M, H, W) boolean masks → (N, M) IoU. One matmul on
+    the flattened masks for the intersections; unions from the areas."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    af = np.asarray(a, bool).reshape(len(a), -1).astype(np.float32)
+    bf = np.asarray(b, bool).reshape(len(b), -1).astype(np.float32)
+    inter = af @ bf.T
+    union = af.sum(1)[:, None] + bf.sum(1)[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+
+
+def _ap_from_records(records: List[Tuple[float, bool]],
+                     total_gt: int) -> float:
+    """COCO-style 101-point interpolated AP from (conf, is_tp) records."""
+    if total_gt == 0 or not records:
+        return 0.0
+    records.sort(key=lambda r: -r[0])
+    tp = np.cumsum([r[1] for r in records])
+    fp = np.cumsum([not r[1] for r in records])
+    recall = tp / total_gt
+    precision = tp / np.maximum(tp + fp, 1e-9)
+    # 101-point interpolated AP
+    ap = 0.0
+    for r in np.linspace(0, 1, 101):
+        mask = recall >= r
+        ap += float(precision[mask].max()) if mask.any() else 0.0
+    return ap / 101.0
+
+
+def _greedy_match_records(iou: np.ndarray, pc: np.ndarray,
+                          iou_thres: float,
+                          records: List[Tuple[float, bool]]) -> None:
+    """Confidence-descending greedy match of one image's (N, M) IoU
+    matrix; appends (conf, is_tp) per prediction."""
+    n, m = iou.shape
+    taken = np.zeros(m, bool)
+    for i in np.argsort(-pc, kind="stable"):
+        if m == 0:
+            records.append((float(pc[i]), False))
+            continue
+        j = int(np.argmax(np.where(taken, -1.0, iou[i])))
+        if iou[i, j] >= iou_thres and not taken[j]:
+            taken[j] = True
+            records.append((float(pc[i]), True))
+        else:
+            records.append((float(pc[i]), False))
+
+
 def average_precision(pred_boxes: Sequence[np.ndarray],
                       pred_conf: Sequence[np.ndarray],
                       gt_boxes: Sequence[np.ndarray],
@@ -40,34 +89,25 @@ def average_precision(pred_boxes: Sequence[np.ndarray],
     for pb, pc, gb in zip(pred_boxes, pred_conf, gt_boxes):
         pb, pc, gb = np.asarray(pb), np.asarray(pc), np.asarray(gb)
         total_gt += len(gb)
-        order = np.argsort(-pc, kind="stable")
-        iou = _iou_matrix(pb, gb)
-        taken = np.zeros(len(gb), bool)
-        for i in order:
-            if len(gb) == 0:
-                records.append((float(pc[i]), False))
-                continue
-            j = int(np.argmax(np.where(taken, -1.0, iou[i])))
-            if iou[i, j] >= iou_thres and not taken[j]:
-                taken[j] = True
-                records.append((float(pc[i]), True))
-            else:
-                records.append((float(pc[i]), False))
-    if total_gt == 0:
-        return 0.0
-    if not records:
-        return 0.0
-    records.sort(key=lambda r: -r[0])
-    tp = np.cumsum([r[1] for r in records])
-    fp = np.cumsum([not r[1] for r in records])
-    recall = tp / total_gt
-    precision = tp / np.maximum(tp + fp, 1e-9)
-    # 101-point interpolated AP
-    ap = 0.0
-    for r in np.linspace(0, 1, 101):
-        mask = recall >= r
-        ap += float(precision[mask].max()) if mask.any() else 0.0
-    return ap / 101.0
+        _greedy_match_records(_iou_matrix(pb, gb), pc, iou_thres, records)
+    return _ap_from_records(records, total_gt)
+
+
+def average_precision_masks(pred_masks: Sequence[np.ndarray],
+                            pred_conf: Sequence[np.ndarray],
+                            gt_masks: Sequence[np.ndarray],
+                            iou_thres: float = 0.5) -> float:
+    """Single-class MASK AP (segment task): same matching/interpolation
+    as :func:`average_precision` with pixel-IoU instead of box-IoU.
+    pred_masks[i]: (Ni, H, W) bool; gt_masks[i]: (Mi, H, W) bool."""
+    records: List[Tuple[float, bool]] = []
+    total_gt = 0
+    for pm, pc, gm in zip(pred_masks, pred_conf, gt_masks):
+        pc = np.asarray(pc)
+        total_gt += len(gm)
+        _greedy_match_records(mask_iou_matrix(pm, gm), pc, iou_thres,
+                              records)
+    return _ap_from_records(records, total_gt)
 
 
 def mean_ap(per_class_preds: Dict[int, Tuple[list, list]],
@@ -123,6 +163,55 @@ def evaluate_detector(det, images: np.ndarray, gt_boxes: np.ndarray,
             preds[c][1].append(conf[sel])
             gts[c].append(fg_boxes[fg_cls == c])
     return mean_ap(preds, dict(gts), iou_thresholds)
+
+
+def evaluate_segmenter(det, images: np.ndarray,
+                       gt_masks: Sequence[Sequence[np.ndarray]],
+                       gt_cls: Sequence[np.ndarray],
+                       iou_thresholds: Sequence[float] = (0.5,)
+                       ) -> Dict[str, float]:
+    """Mask mAP for the segment task (beyond-reference; the detect-task
+    analogue is :func:`evaluate_detector`).
+
+    images (N, H, W, 3) RGB uint8; gt_masks[i] = list of (H, W) bool
+    instance masks; gt_cls[i] = (Mi,) class ids. The detector must run
+    ``task="segment"``; predicted prototype-resolution masks are pasted
+    to frame pixels with the detector's letterbox metadata before
+    pixel-IoU matching. Returns {"mask_mAP@t": ...} per threshold.
+    """
+    from collections import defaultdict
+
+    from ..ops.masks import paste_masks
+
+    records = []
+    classes = set()
+    h, w = images.shape[1:3]
+    for i in range(images.shape[0]):
+        bgr = images[i][..., ::-1]
+        batch = det.infer_batch(bgr[None])
+        ratio, pad = det.last_letterbox_meta()
+        full = paste_masks(batch.masks[0], batch.valid[0], ratio, pad,
+                           (h, w))
+        v = batch.valid[0]
+        records.append((full[v], batch.conf[0][v], batch.cls_id[0][v],
+                        np.asarray(gt_masks[i], bool).reshape(-1, h, w),
+                        np.asarray(gt_cls[i])))
+        classes.update(int(c) for c in np.unique(batch.cls_id[0][v]))
+        classes.update(int(c) for c in np.unique(gt_cls[i]))
+
+    out = {}
+    for thr in iou_thresholds:
+        aps = []
+        for c in sorted(classes):
+            pm, pc_, gm = [], [], []
+            for masks, conf, cls, gmasks, gcls in records:
+                sel = cls == c
+                pm.append(masks[sel])
+                pc_.append(conf[sel])
+                gm.append(gmasks[np.asarray(gcls) == c])
+            aps.append(average_precision_masks(pm, pc_, gm, thr))
+        out[f"mask_mAP@{thr:g}"] = float(np.mean(aps)) if aps else 0.0
+    return out
 
 
 def match_report(pred_boxes: np.ndarray, gt_boxes: np.ndarray,

@@ -109,6 +109,22 @@ def letterbox_u8(frames: jnp.ndarray, size: int = 640):
     return x / 255.0, jnp.float32(r), jnp.array([left, top], jnp.float32)
 
 
+def letterbox_meta(h: int, w: int, size: int = 640, rect: bool = True,
+                   stride: int = 32) -> Tuple[float, Tuple[float, float]]:
+    """Host-side (ratio, (left, top)) for a given source geometry —
+    exactly what letterbox_u8 / letterbox_rect_u8 return as device
+    scalars, computable without running the transform (the engine uses
+    it to paste segment masks without hauling the metadata off-device)."""
+    r = min(size / h, size / w)
+    new_h, new_w = round(h * r), round(w * r)
+    if rect:
+        th, tw = rect_target_hw(h, w, size, stride)
+    else:
+        th, tw = size, size
+    dw, dh = (tw - new_w) / 2, (th - new_h) / 2
+    return r, (float(int(round(dw - 0.1))), float(int(round(dh - 0.1))))
+
+
 def rect_target_hw(h: int, w: int, size: int = 640,
                    stride: int = 32) -> Tuple[int, int]:
     """Minimal-rectangle letterbox target: scaled dims padded up to the

@@ -56,7 +56,11 @@ def unpack_detections(arrays, names: List[str], b: int) -> List[List[Detection]]
     host-side ceiling at device rates). Shared by the single-stream and
     sharded multi-stream engines.
     """
-    boxes, conf, cls_id, valid, ids, dist, speed = arrays
+    masks = None
+    if len(arrays) == 8:   # segment task: prototype-resolution masks
+        boxes, conf, cls_id, valid, ids, dist, speed, masks = arrays
+    else:
+        boxes, conf, cls_id, valid, ids, dist, speed = arrays
     fi, sj = np.nonzero(valid)
     vb = boxes[fi, sj].tolist()
     vconf = conf[fi, sj].tolist()
@@ -77,7 +81,8 @@ def unpack_detections(arrays, names: List[str], b: int) -> List[List[Detection]]
             names[k] if 0 <= k < n_names else str(k),
             track_id=vids[n] if vids[n] > 0 else None,
             distance_m=vdist[n] if dist_ok[n] else None,
-            speed_kmh=vspeed[n] if speed_ok[n] else None))
+            speed_kmh=vspeed[n] if speed_ok[n] else None,
+            mask=(masks[fi[n], sj[n]] if masks is not None else None)))
     return per_frame
 
 
@@ -173,6 +178,7 @@ class PipelineEngine:
         proj = self.projector.device_params() if self.projector else None
         track = self.track_enabled
         max_det = det.max_det if det else self.max_det
+        seg = det is not None and getattr(det, "task", "detect") == "segment"
 
         # sampled-preprocess path: when nothing consumes the full
         # processed frame (want_proc=False) and the letterbox resize is a
@@ -214,11 +220,24 @@ class PipelineEngine:
                     small, (h, w), size=det.imgsz, rect=det.rect)
             else:
                 imgs, ratio, pad = det.letterbox(proc)
-            boxes640, scores = det.forward_fn(params, imgs)
-            boxes, conf, cls_id, valid = nms_batch(
-                boxes640, scores, conf_thres=det.conf, iou_thres=det.iou,
-                max_det=det.max_det, pre_topk=300,
-                classes_keep=det.keep if det.keep else None)
+            masks = None
+            if seg:
+                from ..ops.masks import compose_masks
+                boxes640, scores, coeffs, protos = det.forward_fn(params,
+                                                                  imgs)
+                boxes, conf, cls_id, valid, kidx = nms_batch(
+                    boxes640, scores, conf_thres=det.conf,
+                    iou_thres=det.iou, max_det=det.max_det, pre_topk=300,
+                    classes_keep=det.keep if det.keep else None,
+                    return_idx=True)
+                kc = jnp.take_along_axis(coeffs, kidx[..., None], axis=1)
+                masks = compose_masks(kc, protos, boxes, valid)
+            else:
+                boxes640, scores = det.forward_fn(params, imgs)
+                boxes, conf, cls_id, valid = nms_batch(
+                    boxes640, scores, conf_thres=det.conf,
+                    iou_thres=det.iou, max_det=det.max_det, pre_topk=300,
+                    classes_keep=det.keep if det.keep else None)
             boxes = scale_boxes(boxes, ratio, pad, (h, w))
 
             if track:
@@ -242,10 +261,23 @@ class PipelineEngine:
             # returning the processed frames costs a (B,H,W,3) device→host
             # transfer; skip it when the caller only needs detections
             out_frames = proc if want_proc else jnp.zeros((), jnp.uint8)
-            return out_frames, (boxes, conf, cls_id, valid, ids, dist,
-                                speed), sort_state
+            outs = (boxes, conf, cls_id, valid, ids, dist, speed)
+            if masks is not None:   # segment task: 8th element
+                outs = outs + (masks,)
+            return out_frames, outs, sort_state
 
         return step
+
+    def lb_meta(self, h: int, w: int):
+        """(ratio, (left, top)) the device step letterboxed (h, w) frames
+        with — host-computed, for pasting segment masks
+        (ops.masks.paste_masks / vis.draw_masks) without extra device
+        traffic. None when no detector is configured."""
+        if self.detector is None:
+            return None
+        from ..ops.letterbox import letterbox_meta
+        return letterbox_meta(h, w, size=self.detector.imgsz,
+                              rect=self.detector.rect)
 
     def _step_for(self, shape, want_proc: bool = True):
         key = (shape, want_proc)

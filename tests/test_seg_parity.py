@@ -222,6 +222,111 @@ def test_detect_cli_segment_task(tmp_path):
     assert len(recs) == 2
 
 
+def test_letterbox_meta_matches_device_scalars():
+    from roadvision_tpu.ops.letterbox import (letterbox_meta,
+                                              letterbox_rect_u8,
+                                              letterbox_u8)
+    for hw in ((90, 160), (270, 480), (97, 153), (320, 320)):
+        frames = jnp.zeros((1, hw[0], hw[1], 3), jnp.uint8)
+        for rect in (True, False):
+            if rect:
+                _, r, p = letterbox_rect_u8(frames, size=160)
+            else:
+                _, r, p = letterbox_u8(frames, size=160)
+            hr, hp = letterbox_meta(hw[0], hw[1], size=160, rect=rect)
+            assert float(r) == pytest.approx(hr), (hw, rect)
+            assert tuple(np.asarray(p)) == hp, (hw, rect)
+
+
+def test_engine_segment_task_masks():
+    """The fused engine path (detect.task via config) produces the same
+    masks as the standalone detector, and Detections carry them."""
+    from roadvision_tpu.runtime.engine import PipelineEngine
+
+    params = yolov8_seg.init_params_seg(jax.random.PRNGKey(9), "n")
+    cfg = {
+        "tpu": {"batch_size": 2},
+        "preprocess": {"enabled": False},
+        "detect": {"enabled": True, "model": "yolov8n-seg.pt",
+                   "device": "cpu", "max_det": 8, "conf_thres": 1e-4,
+                   "imgsz": 96, "classes_keep": [],
+                   "compute_dtype": "float32"},
+        "tracking": {"enabled": False},
+        "geometry": {"enabled": False},
+    }
+    eng = PipelineEngine(cfg)
+    eng.detector.set_params(params)
+    rng = np.random.default_rng(0)
+    frames = np.asarray(rng.integers(0, 255, (2, 72, 96, 3)), np.uint8)
+    res = eng.process_batch(frames, np.arange(2) / 30.0)
+    dets = [d for r in res for d in r.detections]
+    assert dets and all(d.mask is not None for d in dets)
+
+    direct = eng.detector.infer_batch(frames)
+    assert direct.masks is not None
+    # engine masks equal the standalone detector's (same step math)
+    fi = 0
+    eng_masks = [d.mask for d in res[fi].detections]
+    v = direct.valid[fi]
+    np.testing.assert_allclose(np.stack(eng_masks),
+                               direct.masks[fi][v], atol=1e-5)
+    # lb_meta matches what the detector recorded
+    r, p = eng.lb_meta(72, 96)
+    dr, dp = eng.detector.last_letterbox_meta()
+    assert r == pytest.approx(dr) and tuple(p) == tuple(dp)
+
+
+def test_mask_ap_metrics():
+    from roadvision_tpu.detect.eval import (average_precision_masks,
+                                            mask_iou_matrix)
+
+    a = np.zeros((2, 8, 8), bool)
+    a[0, :4, :4] = True          # 16 px
+    a[1, 4:, 4:] = True
+    b = np.zeros((2, 8, 8), bool)
+    b[0, :4, :4] = True          # identical to a0
+    b[1, :4, 2:6] = True         # half-row overlap with a0: 8 px
+    m = mask_iou_matrix(a, b)
+    assert m.shape == (2, 2)
+    assert m[0, 0] == pytest.approx(1.0)
+    assert m[0, 1] == pytest.approx(8 / 24)
+    assert m[1, 0] == 0.0
+
+    # perfect single-image predictions → AP 1.0
+    ap = average_precision_masks([a], [np.array([0.9, 0.8])], [a.copy()])
+    assert ap == pytest.approx(1.0)
+    # one spurious high-confidence prediction drags precision
+    extra = np.zeros((3, 8, 8), bool)
+    extra[:2] = a
+    extra[2, 2:4, 6:8] = True
+    ap2 = average_precision_masks([extra],
+                                  [np.array([0.9, 0.8, 0.95])],
+                                  [a.copy()])
+    assert ap2 < 1.0
+    # empty gt → 0
+    assert average_precision_masks([a], [np.array([0.9, 0.8])],
+                                   [np.zeros((0, 8, 8), bool)]) == 0.0
+
+
+def test_evaluate_segmenter_runs():
+    from roadvision_tpu.detect.eval import evaluate_segmenter
+    from roadvision_tpu.detect.yolo_jax import YOLOJax
+
+    det = YOLOJax({"model": "yolov8n-seg.pt", "device": "cpu",
+                   "imgsz": 96, "max_det": 8, "conf_thres": 1e-4,
+                   "compute_dtype": "float32"})
+    rng = np.random.default_rng(1)
+    images = np.asarray(rng.integers(0, 255, (2, 72, 96, 3)), np.uint8)
+    gm0 = np.zeros((1, 72, 96), bool)
+    gm0[0, 10:30, 10:40] = True
+    res = evaluate_segmenter(det, images, [gm0, np.zeros((0, 72, 96),
+                                                         bool)],
+                             [np.array([2]), np.zeros((0,), np.int64)],
+                             iou_thresholds=(0.5, 0.75))
+    assert set(res) == {"mask_mAP@0.5", "mask_mAP@0.75"}
+    assert all(0.0 <= v <= 1.0 for v in res.values())
+
+
 def test_state_dict_import_seg():
     """Synthetic ultralytics-style -seg state dict (BN pairs, IOHW
     ConvTranspose) → pytree: structure matches random init, the task is
