@@ -143,12 +143,35 @@ def state_dict_to_params_seg(sd: Mapping[str, Any]) -> Dict[str, Any]:
 
 
 def detect_task(sd: Mapping[str, Any]) -> str:
-    """"segment" (Segment head: cv4/proto present at layer 22) vs
-    "detect"."""
+    """"segment" (Segment head: cv4/proto at layer 22), "classify"
+    (Classify head: linear at layer 9) or "detect"."""
     sd = _normalize_keys(sd)
     if any(k.startswith(("22.cv4.", "22.proto.")) for k in sd):
         return "segment"
+    if "9.linear.weight" in sd:
+        return "classify"
     return "detect"
+
+
+def state_dict_to_params_cls(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Ultralytics YOLOv8-cls state dict → pytree
+    (models/yolo/yolov8_cls.py layout: backbone layers 0-8 + Classify
+    conv/linear at 9)."""
+    sd = _normalize_keys(sd)
+    p: Dict[str, Any] = {}
+    for i in ("0", "1", "3", "5", "7"):
+        p[i] = _fuse(sd, i)
+    for i in ("2", "4", "6", "8"):
+        p[i] = _c2f(sd, i)
+    lw = _to_np(sd["9.linear.weight"]).astype(np.float32)  # (nc, 1280)
+    lb = (_to_np(sd["9.linear.bias"]).astype(np.float32)
+          if "9.linear.bias" in sd else np.zeros(lw.shape[0], np.float32))
+    p["9"] = {
+        "conv": _fuse(sd, "9.conv"),
+        "lin_w": jnp.asarray(lw.T),   # (1280, nc) for x @ W
+        "lin_b": jnp.asarray(lb),
+    }
+    return p
 
 
 def infer_size_from_state_dict(sd: Mapping[str, Any]) -> str:

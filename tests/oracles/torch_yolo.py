@@ -272,6 +272,31 @@ def greedy_nms(boxes, scores, conf_thres=0.25, iou_thres=0.7, max_det=100,
     return boxes[sel], conf[sel], cls[sel]
 
 
+# --- v8-cls twin ------------------------------------------------------------
+
+def v8_cls_forward(params, x_nhwc):
+    """Independent torch twin of yolov8_cls.forward_cls_raw: backbone
+    layers 0-8 + Classify (1×1 conv → global avg pool → linear). Returns
+    (B, nc) logits as numpy."""
+    x = torch.from_numpy(np.ascontiguousarray(
+        np.asarray(x_nhwc).transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        y = conv(x, params["0"], stride=2)
+        y = conv(y, params["1"], stride=2)
+        y = c2f(y, params["2"], True)
+        y = conv(y, params["3"], stride=2)
+        y = c2f(y, params["4"], True)
+        y = conv(y, params["5"], stride=2)
+        y = c2f(y, params["6"], True)
+        y = conv(y, params["7"], stride=2)
+        y = c2f(y, params["8"], True)
+        y = conv(y, params["9"]["conv"])
+        pooled = y.mean((2, 3))
+        lw = torch.from_numpy(np.asarray(params["9"]["lin_w"]).copy())
+        lb = torch.from_numpy(np.asarray(params["9"]["lin_b"]).copy())
+        return (pooled @ lw + lb).numpy()
+
+
 # --- v8-seg twin ------------------------------------------------------------
 
 def v8_seg_forward(params, x_nhwc):
