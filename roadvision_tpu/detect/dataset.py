@@ -301,3 +301,35 @@ def synthetic_batches(batch: int, imgsz: int = 320, max_boxes: int = 12,
             idx += 1
         yield (np.stack(imgs), np.stack(boxes_b), np.stack(cls_b),
                np.stack(mask_b))
+
+
+def synthetic_seg_batches(batch: int, imgsz: int = 320,
+                          max_boxes: int = 12, num_vehicles: int = 5,
+                          seed: int = 0, car_class: int = 2
+                          ) -> Iterator[Tuple[np.ndarray, ...]]:
+    """Segment-task variant of :func:`synthetic_batches`: adds per-slot
+    instance masks at PROTOTYPE resolution (imgsz/4, the convention of
+    models/yolo/train_seg.py). The synthetic vehicles are ellipses
+    inscribed in their boxes — a non-trivial mask the box alone cannot
+    reproduce, so the mask loss has something to learn.
+
+    Yields (images (B,S,S,3) u8 RGB, boxes (B,M,4), cls (B,M) i32,
+    valid (B,M) bool, masks (B,M,S/4,S/4) f32).
+    """
+    m4 = imgsz // 4
+    yy, xx = np.mgrid[0:m4, 0:m4].astype(np.float32)
+    for imgs, boxes, cls, valid in synthetic_batches(
+            batch, imgsz, max_boxes, num_vehicles, seed, car_class):
+        masks = np.zeros(boxes.shape[:2] + (m4, m4), np.float32)
+        bb = boxes / 4.0
+        for b in range(boxes.shape[0]):
+            for m in range(boxes.shape[1]):
+                if not valid[b, m]:
+                    continue
+                x1, y1, x2, y2 = bb[b, m]
+                cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+                rx = max((x2 - x1) / 2, 0.5)
+                ry = max((y2 - y1) / 2, 0.5)
+                masks[b, m] = (((xx - cx) / rx) ** 2
+                               + ((yy - cy) / ry) ** 2 <= 1.0)
+        yield imgs, boxes, cls, valid, masks

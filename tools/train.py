@@ -90,15 +90,23 @@ def main(argv=None) -> int:
 
     size_hint = args.size or "n"
     arch_hint = "v5" if "yolov5" in str(args.weights).lower() else "v8"
+    seg_task = "-seg" in str(args.weights).lower()
     params, arch, size, loaded = yolo_weights.load_params(
-        args.weights, size=size_hint, nc=args.nc, arch=arch_hint)
-    log.info("model yolo%s%s (%s weights)", arch, size,
+        args.weights, size=size_hint, nc=args.nc, arch=arch_hint,
+        task="segment" if seg_task else "detect")
+    if arch == "v8" and "cv4" in params.get("22", {}):
+        seg_task = True   # checkpoint head wins over the name hint
+    log.info("model yolo%s%s%s (%s weights)", arch, size,
+             "-seg" if seg_task else "",
              "pretrained" if loaded else "random")
 
     momentum = init_momentum(params)
     if arch == "v5":
         from roadvision_tpu.models.yolo.train_v5 import make_train_step_v5
         step = make_train_step_v5(size, args.nc, lr=args.lr)
+    elif seg_task:
+        from roadvision_tpu.models.yolo.train_seg import make_train_step_seg
+        step = make_train_step_seg(size, args.nc, lr=args.lr)
     else:
         step = make_train_step(size, args.nc, lr=args.lr)
 
@@ -121,8 +129,15 @@ def main(argv=None) -> int:
         log.info("resumed from %s at step %d", args.resume, start_step)
 
     eval_set = None
+    if seg_task and args.data != "synthetic":
+        ap.error("segment training currently supports --data synthetic "
+                 "only (instance-mask dataset loaders not wired yet)")
     if args.data == "synthetic":
-        batches = synthetic_batches(args.batch, imgsz=args.imgsz)
+        if seg_task:
+            from roadvision_tpu.detect.dataset import synthetic_seg_batches
+            batches = synthetic_seg_batches(args.batch, imgsz=args.imgsz)
+        else:
+            batches = synthetic_batches(args.batch, imgsz=args.imgsz)
         def next_batch():
             return next(batches)
         if args.eval_every:
@@ -191,13 +206,12 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     for it in range(1, args.steps + 1):
-        images, gt_boxes, gt_cls, gt_mask = next_batch()
+        images, *gts = next_batch()   # (+ gt instance masks for seg)
         x = jnp.asarray(images, jnp.float32) / 255.0
         if bshard is not None:
             x = jax.device_put(x, bshard)
         params, momentum, loss, aux = step(
-            params, momentum, x, jnp.asarray(gt_boxes),
-            jnp.asarray(gt_cls), jnp.asarray(gt_mask),
+            params, momentum, x, *(jnp.asarray(g) for g in gts),
             jnp.float32(lr_scale_at(start_step + it)))
         if ema is not None:
             ema = ema_update(ema, params, jnp.int32(start_step + it))
