@@ -327,6 +327,50 @@ def test_evaluate_segmenter_runs():
     assert all(0.0 <= v <= 1.0 for v in res.values())
 
 
+def test_sharded_streams_carry_masks():
+    """The segment task survives the stream-sharded multi-chip path:
+    the vmapped/sharded step emits the 8th masks output per stream,
+    bit-identical to per-stream single-device runs."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from roadvision_tpu.config import DEFAULTS, merge
+    from roadvision_tpu.parallel import make_mesh, make_sharded_stream_step
+    from roadvision_tpu.runtime import PipelineEngine
+    from roadvision_tpu.track.sort_tpu import init_state
+
+    s, b, h, w = 8, 2, 72, 96
+    cfg = merge(DEFAULTS, {
+        "preprocess": {"enabled": False},
+        "detect": {"enabled": True, "model": "missing-seg.pt",
+                   "device": "cpu", "max_det": 6, "imgsz": 96,
+                   "classes_keep": [], "conf_thres": 1e-4,
+                   "compute_dtype": "float32"},
+        "tracking": {"enabled": True, "new_track_thresh": 0.0},
+        "geometry": {"enabled": False},
+        "tpu": {"batch_size": b, "track_slots": 8},
+    })
+    eng = PipelineEngine(cfg)
+    assert eng.detector.task == "segment"
+    mesh = make_mesh(8, model_parallel=1)
+    step, init_states = make_sharded_stream_step(eng, (b, h, w), mesh)
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, (s, b, h, w, 3), dtype=np.uint8)
+    ts = np.arange(s * b, dtype=np.float32).reshape(s, b) / 30.0
+
+    outs, _ = step(eng.detector.params, init_states(s),
+                   jnp.asarray(frames), jnp.asarray(ts))
+    outs = jax.tree_util.tree_map(np.asarray, outs)
+    assert len(outs) == 8
+    assert outs[7].shape[:2] == (s, b)
+
+    raw = jax.jit(eng.build_raw_step((b, h, w), want_proc=False))
+    for si in (0, 5):
+        st = init_state(eng.track_slots)
+        _, ref, _ = raw(eng.detector.params, st,
+                        jnp.asarray(frames[si]), jnp.asarray(ts[si]))
+        np.testing.assert_array_equal(outs[7][si], np.asarray(ref[7]))
+
+
 def test_state_dict_import_seg():
     """Synthetic ultralytics-style -seg state dict (BN pairs, IOHW
     ConvTranspose) → pytree: structure matches random init, the task is
