@@ -16,7 +16,10 @@ Secondary numbers on stderr:
     headline can be interpreted against real-silicon peak.
 
 Env knobs: RVT_BENCH_BATCH (8), RVT_BENCH_ITERS (8), RVT_BENCH_RES (1080),
-RVT_BENCH_HOST_ITERS (4), RVT_BENCH_CALIBRATE (1).
+RVT_BENCH_HOST_ITERS (4), RVT_BENCH_CALIBRATE (1). RVT_BENCH_MODE selects
+the BASELINE config: full (default) / preprocess / detect / nopre / sort /
+geometry / record / streams / demo, plus "seg" (the full pipeline with the
+YOLOv8-seg head — mask composition rides the fused step).
 """
 from __future__ import annotations
 
@@ -599,6 +602,11 @@ def main() -> int:
                     "geometry": {"enabled": False}}
     elif mode == "nopre":     # config 5 minus the optional preprocess chain
         cfg_over = {"preprocess": {"enabled": False}}
+    elif mode == "seg":       # full pipeline with the YOLOv8-seg head:
+        # instance-mask composition rides the fused step (engine emits
+        # the 8th masks output); random init unless a -seg blob exists
+        cfg_over = {"detect": {"model": "yolov8n-seg.pt",
+                               "task": "segment"}}
 
     t_start = time.perf_counter()
     engine = PipelineEngine(merge(_cfg(height, width, batch), cfg_over))

@@ -76,8 +76,9 @@ class YOLOJax(Detector):
         if self.task == "segment" and self.arch == "v5":
             raise ValueError("task 'segment' requires a YOLOv8-seg model")
         if not self.loaded:
+            suffix = "-seg" if task == "segment" else ""
             print(f"[roadvision] weights '{model_ref}' not found — running "
-                  f"yolo{self.arch}{self.size} with random init")
+                  f"yolo{self.arch}{self.size}{suffix} with random init")
         if self.arch == "v5":
             no = self.params["24"]["m"][0]["b"].shape[0]
             self.nc = no // 3 - 5

@@ -327,6 +327,34 @@ def test_evaluate_segmenter_runs():
     assert all(0.0 <= v <= 1.0 for v in res.values())
 
 
+def test_int8_segment_path_runs():
+    """Quantized conv path composes with the Segment head: cv4/proto
+    convs quantize (the deconv stays float), masks still produced and
+    close to the float path (int8 is lossy — loose tolerance on mask
+    probabilities)."""
+    from roadvision_tpu.detect.yolo_jax import YOLOJax
+
+    params = yolov8_seg.init_params_seg(jax.random.PRNGKey(5), "n")
+    frame = np.random.default_rng(2).integers(
+        0, 255, (72, 96, 3)).astype(np.uint8)
+    base = {"model": "yolov8n-seg.pt", "imgsz": 96, "max_det": 6,
+            "conf_thres": 1e-4, "device": "cpu"}
+
+    d32 = YOLOJax(dict(base, compute_dtype="float32"))
+    d32.set_params(jax.tree_util.tree_map(jnp.array, params))
+    b32 = d32.infer_batch(frame[None])
+
+    d8 = YOLOJax(dict(base, compute_dtype="int8"))
+    assert d8.task == "segment"
+    from roadvision_tpu.models.yolo.quant import quantize_params
+    d8.set_params(quantize_params(
+        jax.tree_util.tree_map(jnp.array, params)))
+    b8 = d8.infer_batch(frame[None])
+    assert b8.masks is not None and b8.masks.shape == b32.masks.shape
+    assert np.isfinite(b8.masks).all()
+    assert 0.0 <= b8.masks.min() and b8.masks.max() <= 1.0
+
+
 def test_sharded_streams_carry_masks():
     """The segment task survives the stream-sharded multi-chip path:
     the vmapped/sharded step emits the 8th masks output per stream,
