@@ -135,6 +135,10 @@ def run_multi(args, cfg) -> int:
                             frame, res.detections,
                             thickness=int(draw_cfg.get("thickness", 2)),
                             font_scale=float(draw_cfg.get("font_scale", 0.6)))
+                        if any(d.keypoints is not None
+                               for d in res.detections):
+                            from roadvision_tpu.vis import draw_keypoints
+                            draw_keypoints(frame, res.detections)
                     tiles.append(frame)
                 fps = fpsm.tick(batch[0][i].ts)
                 canvas = tile_streams(
@@ -252,6 +256,9 @@ def main(argv=None) -> int:
                 draw_detections(proc, res.detections,
                                 thickness=int(draw_cfg.get("thickness", 2)),
                                 font_scale=float(draw_cfg.get("font_scale", 0.6)))
+                if any(d.keypoints is not None for d in res.detections):
+                    from roadvision_tpu.vis import draw_keypoints
+                    draw_keypoints(proc, res.detections)
             fps = fpsm.tick(res.ts)
 
             if want_compare:

@@ -55,6 +55,9 @@ class Detection:
     # (input/4), float32 in [0,1]; paste to frame pixels with
     # ops.masks.paste_masks. None for the detect task.
     mask: Optional[np.ndarray] = None
+    # pose task only: (17, 3) COCO keypoints — x, y in SOURCE-frame
+    # pixels, sigmoid visibility. None for other tasks.
+    keypoints: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -78,6 +81,8 @@ class DetectionBatch:
     # segment task only: (..., N, mh, mw) float32 prototype-resolution
     # instance masks (None for the detect task — no auto-allocation)
     masks: np.ndarray = None
+    # pose task only: (..., N, 17, 3) source-frame keypoints
+    keypoints: np.ndarray = None
 
     def __post_init__(self):
         n = self.boxes.shape[:-1]
@@ -128,6 +133,8 @@ class DetectionBatch:
         if boxes.ndim != 2:
             raise ValueError("to_detections expects a single frame (N,4) batch")
         masks = None if self.masks is None else np.asarray(self.masks)
+        kpts = None if self.keypoints is None \
+            else np.asarray(self.keypoints)
         for i in range(boxes.shape[0]):
             if not valid[i]:
                 continue
@@ -141,5 +148,6 @@ class DetectionBatch:
                 distance_m=(float(distance[i]) if np.isfinite(distance[i]) else None),
                 speed_kmh=(float(speed[i]) if np.isfinite(speed[i]) else None),
                 mask=(masks[i] if masks is not None else None),
+                keypoints=(kpts[i] if kpts is not None else None),
             ))
         return out

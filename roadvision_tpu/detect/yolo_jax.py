@@ -61,22 +61,25 @@ class YOLOJax(Detector):
         model_ref = cfg.get("model", "yolov8n.pt")
         size_hint = _size_from_model_name(model_ref)
         arch_hint = "v5" if "yolov5" in str(model_ref).lower() else "v8"
-        # task: "detect" | "segment" | "auto" (from the model name's
-        # "-seg" suffix, then from the checkpoint's actual head)
+        # task: "detect" | "segment" | "pose" | "auto" (from the model
+        # name's "-seg"/"-pose" suffix, then from the checkpoint's head)
         task = str(cfg.get("task", "auto"))
         if task == "auto":
-            task = "segment" if "-seg" in str(model_ref).lower() \
-                else "detect"
+            name = str(model_ref).lower()
+            task = "segment" if "-seg" in name \
+                else "pose" if "-pose" in name else "detect"
         self.params, self.arch, self.size, self.loaded = \
             yolo_weights.load_params(model_ref, size=size_hint,
                                      arch=arch_hint, task=task)
         if self.arch == "v8" and "cv4" in self.params.get("22", {}):
-            task = "segment"   # checkpoint head wins over the hint
+            # checkpoint head wins over the hint
+            task = "segment" if "proto" in self.params["22"] else "pose"
         self.task = task
-        if self.task == "segment" and self.arch == "v5":
-            raise ValueError("task 'segment' requires a YOLOv8-seg model")
+        if self.task in ("segment", "pose") and self.arch == "v5":
+            raise ValueError(f"task '{self.task}' requires a YOLOv8 "
+                             f"{self.task} model")
         if not self.loaded:
-            suffix = "-seg" if task == "segment" else ""
+            suffix = {"segment": "-seg", "pose": "-pose"}.get(task, "")
             print(f"[roadvision] weights '{model_ref}' not found — running "
                   f"yolo{self.arch}{self.size}{suffix} with random init")
         if self.arch == "v5":
@@ -96,6 +99,8 @@ class YOLOJax(Detector):
         self._calib_running = None
         self.names = {i: n for i, n in enumerate(COCO_NAMES)} \
             if self.nc == len(COCO_NAMES) else {i: str(i) for i in range(self.nc)}
+        if self.task == "pose" and self.nc == 1:
+            self.names = {0: "person"}   # -pose checkpoints are person-only
         self._jit_cache: Dict[Tuple[int, int, int], Any] = {}
 
     # ------------------------------------------------------------------
@@ -116,6 +121,10 @@ class YOLOJax(Detector):
             from ..models.yolo import yolov8_seg
             return yolov8_seg.forward_seg(params, imgs, size=self.size,
                                           nc=self.nc, dtype=self.dtype)
+        if self.task == "pose":
+            from ..models.yolo import yolov8_pose
+            return yolov8_pose.forward_pose(params, imgs, size=self.size,
+                                            nc=self.nc, dtype=self.dtype)
         return yolov8.forward(params, imgs, size=self.size, nc=self.nc,
                               dtype=self.dtype)
 
@@ -130,6 +139,12 @@ class YOLOJax(Detector):
             from ..models.yolo import yolov8_seg
             return yolov8_seg.forward_seg_raw(params, imgs, size=self.size,
                                               nc=self.nc, dtype=self.dtype)
+        if self.task == "pose":
+            from ..models.yolo import yolov8_pose
+            return yolov8_pose.forward_pose_raw(params, imgs,
+                                                size=self.size,
+                                                nc=self.nc,
+                                                dtype=self.dtype)
         return yolov8.forward_raw(params, imgs, size=self.size, nc=self.nc,
                                   dtype=self.dtype)
 
@@ -158,6 +173,25 @@ class YOLOJax(Detector):
                 return b, c, k, v, masks, ratio, pad
 
             return functools.partial(run_seg, params)
+
+        if self.task == "pose":
+            from ..models.yolo.yolov8_pose import scale_kpts
+
+            @jax.jit
+            def run_pose(params, frames_u8):
+                imgs, ratio, pad = lbox(frames_u8)
+                boxes640, scores, kpts = fwd(params, imgs)
+                b, c, k, v, idx = nms_batch(
+                    boxes640, scores, conf_thres=conf, iou_thres=iou,
+                    max_det=max_det, pre_topk=300,
+                    classes_keep=keep if keep else None, return_idx=True)
+                kk = jnp.take_along_axis(
+                    kpts, idx[..., None, None], axis=1)
+                kk = scale_kpts(kk, ratio, pad, (h, w))
+                b = scale_boxes(b, ratio, pad, (h, w))
+                return b, c, k, v, kk
+
+            return functools.partial(run_pose, params)
 
         @jax.jit
         def run(params, frames_u8):
@@ -262,6 +296,11 @@ class YOLOJax(Detector):
             return DetectionBatch(np.asarray(b), np.asarray(c),
                                   np.asarray(k), np.asarray(v),
                                   masks=np.asarray(m))
+        if self.task == "pose":
+            b, c, k, v, kk = fn(jnp.asarray(frames_u8))
+            return DetectionBatch(np.asarray(b), np.asarray(c),
+                                  np.asarray(k), np.asarray(v),
+                                  keypoints=np.asarray(kk))
         b, c, k, v = fn(jnp.asarray(frames_u8))
         return DetectionBatch(np.asarray(b), np.asarray(c),
                               np.asarray(k), np.asarray(v))
@@ -271,7 +310,9 @@ class YOLOJax(Detector):
         single = DetectionBatch(batch.boxes[0], batch.conf[0],
                                 batch.cls_id[0], batch.valid[0],
                                 masks=(None if batch.masks is None
-                                       else batch.masks[0]))
+                                       else batch.masks[0]),
+                                keypoints=(None if batch.keypoints is None
+                                           else batch.keypoints[0]))
         names = [self.names.get(i, str(i)) for i in range(self.nc)]
         return single.to_detections(names)
 

@@ -143,14 +143,33 @@ def state_dict_to_params_seg(sd: Mapping[str, Any]) -> Dict[str, Any]:
 
 
 def detect_task(sd: Mapping[str, Any]) -> str:
-    """"segment" (Segment head: cv4/proto at layer 22), "classify"
-    (Classify head: linear at layer 9) or "detect"."""
+    """"segment" (cv4 + proto at layer 22), "pose" (cv4 without proto),
+    "classify" (linear head at layer 9) or "detect"."""
     sd = _normalize_keys(sd)
-    if any(k.startswith(("22.cv4.", "22.proto.")) for k in sd):
+    if any(k.startswith("22.proto.") for k in sd):
         return "segment"
+    if any(k.startswith("22.cv4.") for k in sd):
+        return "pose"
     if "9.linear.weight" in sd:
         return "classify"
     return "detect"
+
+
+def state_dict_to_params_pose(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Ultralytics YOLOv8-pose state dict → pytree: the detection
+    mapping plus the Pose head's cv4 keypoint branch
+    (models/yolo/yolov8_pose.py layout)."""
+    p = state_dict_to_params(sd)
+    sd = _normalize_keys(sd)
+    cv4 = []
+    for lvl in range(3):
+        cv4.append([
+            _fuse(sd, f"22.cv4.{lvl}.0"),
+            _fuse(sd, f"22.cv4.{lvl}.1"),
+            _plain(sd, f"22.cv4.{lvl}.2.weight", f"22.cv4.{lvl}.2.bias"),
+        ])
+    p["22"]["cv4"] = cv4
+    return p
 
 
 def state_dict_to_params_cls(sd: Mapping[str, Any]) -> Dict[str, Any]:
@@ -267,10 +286,11 @@ def load_params(path_or_sd, size: str = "n", nc: int = 80,
             size = infer_size_from_state_dict(sd)
             if arch == "v5":
                 params = state_dict_to_params_v5(sd)
-            elif detect_task(sd) == "segment":
-                params = state_dict_to_params_seg(sd)
             else:
-                params = state_dict_to_params(sd)
+                loaders = {"segment": state_dict_to_params_seg,
+                           "pose": state_dict_to_params_pose,
+                           "detect": state_dict_to_params}
+                params = loaders[detect_task(sd)](sd)
             return params, arch, size, True
         except KeyError as exc:
             if not allow_random:
@@ -286,6 +306,11 @@ def load_params(path_or_sd, size: str = "n", nc: int = 80,
     if task == "segment":
         from .yolov8_seg import init_params_seg
         return (init_params_seg(jax.random.PRNGKey(0), size, nc),
+                "v8", size, False)
+    if task == "pose":
+        from .yolov8_pose import init_params_pose
+        return (init_params_pose(jax.random.PRNGKey(0), size,
+                                 nc if nc != 80 else 1),
                 "v8", size, False)
     return init_params(jax.random.PRNGKey(0), size, nc), "v8", size, False
 

@@ -47,18 +47,25 @@ class FrameResult(NamedTuple):
     ts: float
 
 
-def unpack_detections(arrays, names: List[str], b: int) -> List[List[Detection]]:
+def unpack_detections(arrays, names: List[str], b: int,
+                      extra_kind: str = "masks") -> List[List[Detection]]:
     """Masked fixed-shape device arrays → per-frame Detection lists.
 
     One vectorized pass over the whole batch: compress the masked slots
     with numpy, convert to python scalars in bulk, then build only the
     valid Detection objects (the b×max_det python double loop was the
     host-side ceiling at device rates). Shared by the single-stream and
-    sharded multi-stream engines.
+    sharded multi-stream engines. An 8th array carries the segment
+    task's masks or the pose task's keypoints — ``extra_kind``
+    ("masks" | "keypoints") says which Detection field it fills.
     """
-    masks = None
-    if len(arrays) == 8:   # segment task: prototype-resolution masks
-        boxes, conf, cls_id, valid, ids, dist, speed, masks = arrays
+    masks = kpts = None
+    if len(arrays) == 8:   # segment masks / pose keypoints
+        boxes, conf, cls_id, valid, ids, dist, speed, extra = arrays
+        if extra_kind == "keypoints":
+            kpts = extra
+        else:
+            masks = extra
     else:
         boxes, conf, cls_id, valid, ids, dist, speed = arrays
     fi, sj = np.nonzero(valid)
@@ -82,7 +89,8 @@ def unpack_detections(arrays, names: List[str], b: int) -> List[List[Detection]]
             track_id=vids[n] if vids[n] > 0 else None,
             distance_m=vdist[n] if dist_ok[n] else None,
             speed_kmh=vspeed[n] if speed_ok[n] else None,
-            mask=(masks[fi[n], sj[n]] if masks is not None else None)))
+            mask=(masks[fi[n], sj[n]] if masks is not None else None),
+            keypoints=(kpts[fi[n], sj[n]] if kpts is not None else None)))
     return per_frame
 
 
@@ -178,7 +186,9 @@ class PipelineEngine:
         proj = self.projector.device_params() if self.projector else None
         track = self.track_enabled
         max_det = det.max_det if det else self.max_det
-        seg = det is not None and getattr(det, "task", "detect") == "segment"
+        task = getattr(det, "task", "detect") if det else "detect"
+        seg = task == "segment"
+        pose = task == "pose"
 
         # sampled-preprocess path: when nothing consumes the full
         # processed frame (want_proc=False) and the letterbox resize is a
@@ -220,7 +230,7 @@ class PipelineEngine:
                     small, (h, w), size=det.imgsz, rect=det.rect)
             else:
                 imgs, ratio, pad = det.letterbox(proc)
-            masks = None
+            extra = None   # seg masks / pose keypoints (8th output)
             if seg:
                 from ..ops.masks import compose_masks
                 boxes640, scores, coeffs, protos = det.forward_fn(params,
@@ -231,7 +241,18 @@ class PipelineEngine:
                     classes_keep=det.keep if det.keep else None,
                     return_idx=True)
                 kc = jnp.take_along_axis(coeffs, kidx[..., None], axis=1)
-                masks = compose_masks(kc, protos, boxes, valid)
+                extra = compose_masks(kc, protos, boxes, valid)
+            elif pose:
+                from ..models.yolo.yolov8_pose import scale_kpts
+                boxes640, scores, kpts_all = det.forward_fn(params, imgs)
+                boxes, conf, cls_id, valid, kidx = nms_batch(
+                    boxes640, scores, conf_thres=det.conf,
+                    iou_thres=det.iou, max_det=det.max_det, pre_topk=300,
+                    classes_keep=det.keep if det.keep else None,
+                    return_idx=True)
+                kk = jnp.take_along_axis(
+                    kpts_all, kidx[..., None, None], axis=1)
+                extra = scale_kpts(kk, ratio, pad, (h, w))
             else:
                 boxes640, scores = det.forward_fn(params, imgs)
                 boxes, conf, cls_id, valid = nms_batch(
@@ -262,8 +283,8 @@ class PipelineEngine:
             # transfer; skip it when the caller only needs detections
             out_frames = proc if want_proc else jnp.zeros((), jnp.uint8)
             outs = (boxes, conf, cls_id, valid, ids, dist, speed)
-            if masks is not None:   # segment task: 8th element
-                outs = outs + (masks,)
+            if extra is not None:   # segment masks / pose kpts
+                outs = outs + (extra,)
             return out_frames, outs, sort_state
 
         return step
@@ -339,8 +360,12 @@ class PipelineEngine:
         else:
             names = list(COCO_NAMES)
         results = []
+        kind = "keypoints" if (self.detector is not None
+                               and self.detector.task == "pose") \
+            else "masks"
         with self.timer.stage("host_unpack"):
-            per_frame = unpack_detections(arrays, names, b)
+            per_frame = unpack_detections(arrays, names, b,
+                                          extra_kind=kind)
             for i in range(b):
                 results.append(FrameResult(
                     frames[i], proc[i] if proc is not None else frames[i],

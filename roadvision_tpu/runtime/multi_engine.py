@@ -162,11 +162,14 @@ class MultiStreamEngine:
         with self.timer.stage("device_step"):
             arrays = [np.asarray(a) for a in outs]
         names = self._names()
+        det = self.engine.detector
+        kind = "keypoints" if (det is not None and det.task == "pose") \
+            else "masks"
         results: List[List[FrameResult]] = []
         with self.timer.stage("host_unpack"):
             for si in range(s):
                 per_frame = unpack_detections(
-                    [a[si] for a in arrays], names, b)
+                    [a[si] for a in arrays], names, b, extra_kind=kind)
                 results.append([
                     FrameResult(frames[si, i], frames[si, i], per_frame[i],
                                 float(timestamps[si, i]))

@@ -190,6 +190,39 @@ def draw_masks(image: np.ndarray, detections: Iterable[Detection],
         image[full] = (px * (1.0 - alpha) + color * alpha).astype(np.uint8)
 
 
+def draw_keypoints(image: np.ndarray, detections: Iterable[Detection],
+                   vis_thresh: float = 0.5, radius: int = 2) -> None:
+    """COCO-17 keypoint + skeleton overlay (pose task). Keypoints are
+    already in source-frame pixels (detect/yolo_jax.py task="pose");
+    joints below ``vis_thresh`` visibility are skipped. cv2-free: joints
+    are filled squares, bones are dense point sampling along the
+    segment. In-place on the BGR uint8 frame."""
+    from ..models.yolo.yolov8_pose import SKELETON
+
+    h, w = image.shape[:2]
+    for d in detections:
+        if d.keypoints is None:
+            continue
+        kp = np.asarray(d.keypoints)
+        color = COLOR_TABLE[int(d.cls_id) % 10]
+        ok = kp[:, 2] >= vis_thresh
+        for (a, b) in SKELETON:
+            if not (ok[a] and ok[b]):
+                continue
+            n = max(2, int(np.hypot(kp[b, 0] - kp[a, 0],
+                                    kp[b, 1] - kp[a, 1])))
+            xs = np.linspace(kp[a, 0], kp[b, 0], n).round().astype(int)
+            ys = np.linspace(kp[a, 1], kp[b, 1], n).round().astype(int)
+            keep = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+            image[ys[keep], xs[keep]] = color
+        for j in range(kp.shape[0]):
+            if not ok[j]:
+                continue
+            x, y = int(round(kp[j, 0])), int(round(kp[j, 1]))
+            fill_rect(image, x - radius, y - radius, x + radius,
+                      y + radius, (255, 255, 255))
+
+
 def _label_top(img, text, topleft, color, font_scale):
     if not text:
         return

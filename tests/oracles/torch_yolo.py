@@ -297,6 +297,61 @@ def v8_cls_forward(params, x_nhwc):
         return (pooled @ lw + lb).numpy()
 
 
+# --- v8-pose twin -----------------------------------------------------------
+
+def v8_pose_forward(params, x_nhwc):
+    """Independent torch twin of yolov8_pose.forward_pose_raw: detection
+    outputs + cv4 keypoint branch with the ultralytics kpts_decode
+    (xy = (raw·2 + grid)·stride, sigmoid visibility). Returns
+    (boxes (B,N,4), scores (B,N,nc), kpts (B,N,17,3)) as numpy."""
+    x = torch.from_numpy(np.ascontiguousarray(
+        np.asarray(x_nhwc).transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        y = conv(x, params["0"], stride=2)
+        y = conv(y, params["1"], stride=2)
+        y = c2f(y, params["2"], True)
+        y = conv(y, params["3"], stride=2)
+        p3 = c2f(y, params["4"], True)
+        y = conv(p3, params["5"], stride=2)
+        p4 = c2f(y, params["6"], True)
+        y = conv(p4, params["7"], stride=2)
+        y = c2f(y, params["8"], True)
+        p5 = sppf(y, params["9"])
+        h4 = c2f(torch.cat([up2(p5), p4], 1), params["12"], False)
+        o3 = c2f(torch.cat([up2(h4), p3], 1), params["15"], False)
+        o4 = c2f(torch.cat([conv(o3, params["16"], stride=2), h4], 1),
+                 params["18"], False)
+        o5 = c2f(torch.cat([conv(o4, params["19"], stride=2), p5], 1),
+                 params["21"], False)
+
+        pose = params["22"]
+        kraw_l, grid_l, stride_l = [], [], []
+        for lvl, f in enumerate((o3, o4, o5)):
+            k = conv(conv(f, pose["cv4"][lvl][0]), pose["cv4"][lvl][1])
+            k = conv(k, pose["cv4"][lvl][2], act=False)
+            bs, nk, h, w = k.shape
+            kraw_l.append(k.permute(0, 2, 3, 1).reshape(bs, h * w, nk))
+            gy, gx = torch.meshgrid(torch.arange(h, dtype=torch.float32),
+                                    torch.arange(w, dtype=torch.float32),
+                                    indexing="ij")
+            grid_l.append(torch.stack([gx.reshape(-1), gy.reshape(-1)],
+                                      -1))
+            stride_l.append(torch.full((h * w,),
+                                       float(V8_STRIDES[lvl])))
+        kraw = torch.cat(kraw_l, 1)
+        grid = torch.cat(grid_l, 0)      # cell origin (anchor − 0.5)
+        strides = torch.cat(stride_l, 0)
+        bs, n, nk = kraw.shape
+        yk = kraw.reshape(bs, n, nk // 3, 3)
+        xy = (yk[..., :2] * 2.0 + grid[None, :, None, :]) \
+            * strides[None, :, None, None]
+        vis = yk[..., 2:3].sigmoid()
+        kpts = torch.cat([xy, vis], -1)
+
+    boxes, scores = v8_forward(params, x_nhwc)
+    return boxes, scores, kpts.numpy()
+
+
 # --- v8-seg twin ------------------------------------------------------------
 
 def v8_seg_forward(params, x_nhwc):

@@ -47,9 +47,10 @@ def main(argv=None) -> int:
                     choices=["bfloat16", "float32", "int8"],
                     help="conv compute dtype (int8 = quantized path)")
     ap.add_argument("--task", default="auto",
-                    choices=["auto", "detect", "segment"],
-                    help="segment = YOLOv8-seg instance masks, alpha-"
-                         "blended under the boxes (auto: from the "
+                    choices=["auto", "detect", "segment", "pose"],
+                    help="segment = YOLOv8-seg instance masks (alpha-"
+                         "blended under the boxes); pose = YOLOv8-pose "
+                         "COCO-17 keypoints + skeleton (auto: from the "
                          "weights name / checkpoint head)")
     ap.add_argument("--mask-alpha", type=float, default=0.45)
     ap.add_argument("--json", action="store_true",
@@ -76,11 +77,15 @@ def main(argv=None) -> int:
             break
         dets = det.infer(fr.image)
         img = np.ascontiguousarray(fr.image)
-        if getattr(det, "task", "detect") == "segment":
+        task = getattr(det, "task", "detect")
+        if task == "segment":
             from roadvision_tpu.vis import draw_masks
             draw_masks(img, dets, det.last_letterbox_meta(),
                        alpha=args.mask_alpha)
         draw_detections(img, dets)
+        if task == "pose":
+            from roadvision_tpu.vis import draw_keypoints
+            draw_keypoints(img, dets)
         Image.fromarray(img[..., ::-1]).save(out_dir / f"frame_{i:05d}.jpg")
         if args.json:
             records.append([{
