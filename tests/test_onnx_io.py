@@ -99,6 +99,34 @@ def test_params_onnx_roundtrip_v5(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_params_onnx_roundtrip_pose(tmp_path):
+    """Pose head (cv4, no proto) survives the .onnx round trip: task is
+    re-detected from the carrier and the keypoint branch matches."""
+    from roadvision_tpu.models.yolo.yolov8_pose import (forward_pose,
+                                                        init_params_pose)
+    params = init_params_pose(jax.random.PRNGKey(7), "n", nc=1)
+    path = tmp_path / "yolov8n-pose.onnx"
+    onnx_io.export_onnx(params, path, arch="v8")
+    sd = onnx_io.load_onnx(path)
+    assert weights.detect_task(sd) == "pose"
+    params2, arch, size, loaded = weights.load_params(str(path))
+    assert loaded and arch == "v8" and size == "n"
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 64, 64, 3), jnp.float32)
+    o1 = forward_pose(params, x, size="n", nc=1)
+    o2 = forward_pose(params2, x, size="n", nc=1)
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # the detector backend re-detects the pose task from the carrier
+    det = build_detector({"backend": "onnx", "model": str(path),
+                          "conf_thres": 0.0, "max_det": 5,
+                          "classes_keep": [], "imgsz": 64})
+    assert det.loaded and det.task == "pose" and det.nc == 1
+    frame = np.random.RandomState(3).randint(0, 255, (48, 64, 3), np.uint8)
+    dets = det.infer(frame)
+    assert all(d.keypoints is not None and d.keypoints.shape == (17, 3)
+               for d in dets)
+
+
 def test_onnx_backend_detects(tmp_path):
     """detect.backend: onnx runs end-to-end through the jitted graph."""
     params = init_params(jax.random.PRNGKey(5), "n")
