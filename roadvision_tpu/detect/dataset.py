@@ -333,3 +333,82 @@ def synthetic_seg_batches(batch: int, imgsz: int = 320,
                 masks[b, m] = (((xx - cx) / rx) ** 2
                                + ((yy - cy) / ry) ** 2 <= 1.0)
         yield imgs, boxes, cls, valid, masks
+
+
+# Canonical 17-keypoint stick-figure layout, normalized to the person
+# box (x, y in [0,1]): COCO order nose, eyes, ears, shoulders, elbows,
+# wrists, hips, knees, ankles.
+_POSE_LAYOUT = np.array([
+    (0.50, 0.08),                       # nose
+    (0.44, 0.05), (0.56, 0.05),         # eyes
+    (0.38, 0.08), (0.62, 0.08),         # ears
+    (0.35, 0.25), (0.65, 0.25),         # shoulders
+    (0.28, 0.42), (0.72, 0.42),         # elbows
+    (0.25, 0.58), (0.75, 0.58),         # wrists
+    (0.40, 0.55), (0.60, 0.55),         # hips
+    (0.38, 0.75), (0.62, 0.75),         # knees
+    (0.37, 0.95), (0.63, 0.95),         # ankles
+], np.float32)
+
+
+def synthetic_pose_batches(batch: int, imgsz: int = 320,
+                           max_boxes: int = 8, num_people: int = 3,
+                           seed: int = 0
+                           ) -> Iterator[Tuple[np.ndarray, ...]]:
+    """Pose-task synthetic scenes: stick-figure "people" on the road
+    background, with exact 17-keypoint ground truth (the convention of
+    models/yolo/train_pose.py — x, y in input pixels, v>0 labelled).
+
+    Figures are the canonical layout jittered per joint and drawn into
+    the image (bright joints + limb strokes) so the keypoint loss has
+    pixel evidence to learn from; ~2 joints per figure are dropped
+    (v=0) to exercise the labelled-joint masking. Class is always 0
+    ("person" — pose checkpoints are single-class).
+
+    Yields (images (B,S,S,3) u8 RGB, boxes (B,M,4), cls (B,M) i32,
+    valid (B,M) bool, kpts (B,M,17,3) f32).
+    """
+    src = SyntheticRoadSource(imgsz, imgsz, num_vehicles=0, seed=seed)
+    rng = np.random.RandomState(seed + 17)
+    idx = 0
+    while True:
+        out = []
+        for _ in range(batch):
+            img = np.ascontiguousarray(src.render(idx)[..., ::-1])
+            boxes = np.zeros((max_boxes, 4), np.float32)
+            cls = np.zeros((max_boxes,), np.int32)
+            valid = np.zeros((max_boxes,), bool)
+            kpts = np.zeros((max_boxes, 17, 3), np.float32)
+            for m in range(min(num_people, max_boxes)):
+                w = rng.uniform(0.10, 0.20) * imgsz
+                h = rng.uniform(0.28, 0.45) * imgsz
+                x1 = rng.uniform(2, imgsz - w - 2)
+                y1 = rng.uniform(2, imgsz - h - 2)
+                boxes[m] = (x1, y1, x1 + w, y1 + h)
+                valid[m] = True
+                kp = _POSE_LAYOUT + rng.uniform(-0.02, 0.02, (17, 2))
+                kp = np.stack([x1 + kp[:, 0] * w, y1 + kp[:, 1] * h], -1)
+                vis = np.ones(17, np.float32)
+                vis[rng.choice(17, size=2, replace=False)] = 0.0
+                kpts[m, :, :2] = kp
+                kpts[m, :, 2] = vis
+                # draw: limb strokes then bright joints (only labelled)
+                color = rng.randint(180, 256, 3)
+                from ..models.yolo.yolov8_pose import SKELETON
+                for a, b in SKELETON:
+                    if not (vis[a] and vis[b]):
+                        continue
+                    n = max(2, int(np.hypot(*(kp[b] - kp[a]))))
+                    xs = np.linspace(kp[a, 0], kp[b, 0], n).astype(int)
+                    ys = np.linspace(kp[a, 1], kp[b, 1], n).astype(int)
+                    ok = (xs >= 0) & (xs < imgsz) & (ys >= 0) & (ys < imgsz)
+                    img[ys[ok], xs[ok]] = color
+                for j in range(17):
+                    if not vis[j]:
+                        continue
+                    x, y = int(kp[j, 0]), int(kp[j, 1])
+                    img[max(y - 1, 0):y + 2, max(x - 1, 0):x + 2] = \
+                        (255, 255, 255)
+            out.append((img, boxes, cls, valid, kpts))
+            idx += 1
+        yield tuple(np.stack([o[i] for o in out]) for i in range(5))

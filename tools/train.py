@@ -89,16 +89,24 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     size_hint = args.size or "n"
-    arch_hint = "v5" if "yolov5" in str(args.weights).lower() else "v8"
-    seg_task = "-seg" in str(args.weights).lower()
+    name = str(args.weights).lower()
+    arch_hint = "v5" if "yolov5" in name else "v8"
+    task = "segment" if "-seg" in name \
+        else "pose" if "-pose" in name else "detect"
     params, arch, size, loaded = yolo_weights.load_params(
         args.weights, size=size_hint, nc=args.nc, arch=arch_hint,
-        task="segment" if seg_task else "detect")
+        task=task)
     if arch == "v8" and "cv4" in params.get("22", {}):
-        seg_task = True   # checkpoint head wins over the name hint
-    log.info("model yolo%s%s%s (%s weights)", arch, size,
-             "-seg" if seg_task else "",
-             "pretrained" if loaded else "random")
+        # checkpoint head wins over the name hint
+        task = "segment" if "proto" in params["22"] else "pose"
+    if arch == "v8":
+        # the actual head width wins over --nc (pose random init is 1)
+        args.nc = int(params["22"]["cv3"][0][2]["b"].shape[0])
+    seg_task = task == "segment"
+    pose_task = task == "pose"
+    log.info("model yolo%s%s%s (%s weights, nc=%d)", arch, size,
+             {"segment": "-seg", "pose": "-pose"}.get(task, ""),
+             "pretrained" if loaded else "random", args.nc)
 
     momentum = init_momentum(params)
     if arch == "v5":
@@ -107,6 +115,9 @@ def main(argv=None) -> int:
     elif seg_task:
         from roadvision_tpu.models.yolo.train_seg import make_train_step_seg
         step = make_train_step_seg(size, args.nc, lr=args.lr)
+    elif pose_task:
+        from roadvision_tpu.models.yolo.train_pose import make_train_step_pose
+        step = make_train_step_pose(size, args.nc, lr=args.lr)
     else:
         step = make_train_step(size, args.nc, lr=args.lr)
 
@@ -129,21 +140,30 @@ def main(argv=None) -> int:
         log.info("resumed from %s at step %d", args.resume, start_step)
 
     eval_set = None
-    if seg_task and args.data != "synthetic":
-        ap.error("segment training currently supports --data synthetic "
-                 "only (instance-mask dataset loaders not wired yet)")
+    if (seg_task or pose_task) and args.data != "synthetic":
+        ap.error(f"{task} training currently supports --data synthetic "
+                 "only (instance-mask/keypoint dataset loaders not "
+                 "wired yet)")
     if args.data == "synthetic":
         if seg_task:
             from roadvision_tpu.detect.dataset import synthetic_seg_batches
             batches = synthetic_seg_batches(args.batch, imgsz=args.imgsz)
+        elif pose_task:
+            from roadvision_tpu.detect.dataset import synthetic_pose_batches
+            batches = synthetic_pose_batches(args.batch, imgsz=args.imgsz)
         else:
             batches = synthetic_batches(args.batch, imgsz=args.imgsz)
         def next_batch():
             return next(batches)
         if args.eval_every:
-            held = synthetic_batches(args.eval_size, imgsz=args.imgsz,
-                                     seed=999)
-            eval_set = next(held)
+            if pose_task:   # detection-mAP eval on the pose scenes
+                held = synthetic_pose_batches(args.eval_size,
+                                              imgsz=args.imgsz, seed=999)
+                eval_set = next(held)[:4]
+            else:
+                held = synthetic_batches(args.eval_size, imgsz=args.imgsz,
+                                         seed=999)
+                eval_set = next(held)
     else:
         from roadvision_tpu.detect.dataset import augment_batch, mosaic_batch
         imgs, boxes, cls, mask = load_dataset(args.data, imgsz=args.imgsz)
@@ -195,7 +215,8 @@ def main(argv=None) -> int:
             from roadvision_tpu.detect.yolo_jax import YOLOJax
             # random-init detector of the SAME arch/size, then rebind to
             # the live weights (compiled steps take params as an arg)
-            eval_det = YOLOJax({"model": f"yolo{arch}{size}.eval",
+            suffix = {"segment": "-seg", "pose": "-pose"}.get(task, "")
+            eval_det = YOLOJax({"model": f"yolo{arch}{size}{suffix}.eval",
                                 "imgsz": args.imgsz, "conf_thres": 0.25,
                                 "max_det": 50, "classes_keep": [],
                                 "rect": False})
