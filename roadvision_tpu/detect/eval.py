@@ -214,6 +214,72 @@ def evaluate_segmenter(det, images: np.ndarray,
     return out
 
 
+def oks_matrix(pred_kpts: np.ndarray, gt_kpts: np.ndarray,
+               gt_areas: np.ndarray) -> np.ndarray:
+    """(N, 17, 3) predicted × (M, 17, 3) gt keypoints → (N, M) OKS
+    (cocoeval convention): per labelled gt joint
+    exp(−d² / (2·area·k²)) with k = 2σ, averaged over labelled joints.
+    gt_areas (M,) are gt box areas in the same pixel units."""
+    from ..models.yolo.train_pose import OKS_SIGMAS
+
+    if len(pred_kpts) == 0 or len(gt_kpts) == 0:
+        return np.zeros((len(pred_kpts), len(gt_kpts)), np.float32)
+    p = np.asarray(pred_kpts, np.float32)[:, None]       # (N,1,17,3)
+    g = np.asarray(gt_kpts, np.float32)[None]            # (1,M,17,3)
+    d2 = (p[..., 0] - g[..., 0]) ** 2 + (p[..., 1] - g[..., 1]) ** 2
+    k2 = (2.0 * OKS_SIGMAS[None, None]) ** 2             # (1,1,17)
+    area = np.maximum(np.asarray(gt_areas, np.float32), 1.0)
+    e = d2 / (2.0 * area[None, :, None] * k2)
+    lab = (g[..., 2] > 0).astype(np.float32)             # (1,M,17)
+    n_lab = np.maximum(lab.sum(-1), 1e-9)
+    return (np.exp(-e) * lab).sum(-1) / n_lab
+
+
+def average_precision_oks(pred_kpts: Sequence[np.ndarray],
+                          pred_conf: Sequence[np.ndarray],
+                          gt_kpts: Sequence[np.ndarray],
+                          gt_areas: Sequence[np.ndarray],
+                          oks_thres: float = 0.5) -> float:
+    """Single-class KEYPOINT AP (pose task): the matching/interpolation
+    of :func:`average_precision` with OKS as the similarity."""
+    records: List[Tuple[float, bool]] = []
+    total_gt = 0
+    for pk, pc, gk, ga in zip(pred_kpts, pred_conf, gt_kpts, gt_areas):
+        pc = np.asarray(pc)
+        total_gt += len(gk)
+        _greedy_match_records(oks_matrix(pk, gk, ga), pc, oks_thres,
+                              records)
+    return _ap_from_records(records, total_gt)
+
+
+def evaluate_pose(det, images: np.ndarray, gt_boxes: np.ndarray,
+                  gt_kpts: np.ndarray, gt_mask: np.ndarray,
+                  oks_thresholds: Sequence[float] = (0.5,)
+                  ) -> Dict[str, float]:
+    """Keypoint mAP for the pose task (beyond-reference; the detect-task
+    analogue is :func:`evaluate_detector`). Single-class by convention
+    (-pose checkpoints are person-only).
+
+    images (N, H, W, 3) RGB uint8; gt_boxes (N, M, 4) xyxy px (for OKS
+    areas); gt_kpts (N, M, 17, 3) with v>0 labelled; gt_mask (N, M)
+    slot validity. The detector must run ``task="pose"``. Returns
+    {"oks_mAP@t": ...} per threshold.
+    """
+    pk, pc, gk, ga = [], [], [], []
+    for i in range(images.shape[0]):
+        bgr = images[i][..., ::-1]
+        batch = det.infer_batch(bgr[None])
+        v = batch.valid[0]
+        pk.append(batch.keypoints[0][v])
+        pc.append(batch.conf[0][v])
+        fg = gt_mask[i]
+        gk.append(gt_kpts[i][fg])
+        b = gt_boxes[i][fg]
+        ga.append((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))
+    return {f"oks_mAP@{thr:g}": average_precision_oks(pk, pc, gk, ga, thr)
+            for thr in oks_thresholds}
+
+
 def match_report(pred_boxes: np.ndarray, gt_boxes: np.ndarray,
                  iou_thres: float = 0.5) -> Dict[str, float]:
     """Greedy matched precision/recall for one image."""

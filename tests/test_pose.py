@@ -201,3 +201,74 @@ def test_draw_keypoints_renders():
     # invisible joint has no white marker at its location
     x, y = int(kp[3, 0]), int(kp[3, 1])
     assert not (img[y, x] == (255, 255, 255)).all()
+
+
+def test_oks_matrix_properties():
+    from roadvision_tpu.detect.eval import oks_matrix
+
+    rng = np.random.RandomState(0)
+    gt = np.zeros((2, 17, 3), np.float32)
+    gt[..., :2] = rng.uniform(20, 80, (2, 17, 2))
+    gt[..., 2] = 1.0
+    gt[1, :5, 2] = 0.0            # second instance: 5 unlabelled joints
+    areas = np.array([900.0, 1600.0], np.float32)
+    # exact prediction → OKS 1 on the diagonal
+    m = oks_matrix(gt.copy(), gt, areas)
+    assert m.shape == (2, 2)
+    np.testing.assert_allclose(np.diag(m), 1.0, atol=1e-6)
+    # moving an UNLABELLED gt joint's prediction changes nothing
+    pred = gt.copy()
+    pred[1, 0, :2] += 1000.0
+    m2 = oks_matrix(pred, gt, areas)
+    np.testing.assert_allclose(m2[1, 1], 1.0, atol=1e-6)
+    # a labelled-joint error lowers OKS, more so for smaller areas
+    pred = gt.copy()
+    pred[:, 6, :2] += 15.0
+    m3 = oks_matrix(pred, gt, areas)
+    assert m3[0, 0] < 1.0 and m3[1, 1] < 1.0
+    # same error and labelling, smaller gt area → lower OKS
+    full = gt[:1]                 # instance 0: all 17 joints labelled
+    perr = full.copy()
+    perr[0, 6, :2] += 15.0
+    small = oks_matrix(perr, full, np.array([900.0], np.float32))
+    big = oks_matrix(perr, full, np.array([1600.0], np.float32))
+    assert small[0, 0] < big[0, 0]
+
+
+def test_average_precision_oks():
+    from roadvision_tpu.detect.eval import average_precision_oks
+
+    gt = np.zeros((3, 17, 3), np.float32)
+    gt[..., 0] = np.linspace(10, 90, 3)[:, None]
+    gt[..., 1] = 50.0
+    gt[..., 2] = 1.0
+    areas = np.full(3, 400.0, np.float32)
+    conf = np.array([0.9, 0.8, 0.7], np.float32)
+    assert average_precision_oks([gt.copy()], [conf], [gt],
+                                 [areas]) == pytest.approx(1.0)
+    # one prediction far off → AP drops
+    bad = gt.copy()
+    bad[2, :, :2] += 500.0
+    ap = average_precision_oks([bad], [conf], [gt], [areas])
+    assert 0.0 < ap < 1.0
+
+
+def test_evaluate_pose_runs():
+    from roadvision_tpu.detect.eval import evaluate_pose
+    from roadvision_tpu.detect.yolo_jax import YOLOJax
+
+    det = YOLOJax({"model": "missing-pose.pt", "conf_thres": 1e-4,
+                   "max_det": 8, "imgsz": 96, "classes_keep": [],
+                   "compute_dtype": "float32", "device": "cpu"})
+    rng = np.random.RandomState(1)
+    images = rng.randint(0, 256, (2, 72, 96, 3), np.uint8)
+    gt_boxes = np.zeros((2, 3, 4), np.float32)
+    gt_boxes[..., 2:] = 30.0
+    gt_kpts = np.zeros((2, 3, 17, 3), np.float32)
+    gt_kpts[..., :2] = 15.0
+    gt_kpts[..., 2] = 1.0
+    gt_mask = np.ones((2, 3), bool)
+    res = evaluate_pose(det, images, gt_boxes, gt_kpts, gt_mask,
+                        oks_thresholds=(0.5, 0.75))
+    assert set(res) == {"oks_mAP@0.5", "oks_mAP@0.75"}
+    assert all(0.0 <= v <= 1.0 for v in res.values())

@@ -156,10 +156,10 @@ def main(argv=None) -> int:
         def next_batch():
             return next(batches)
         if args.eval_every:
-            if pose_task:   # detection-mAP eval on the pose scenes
+            if pose_task:   # OKS keypoint mAP on the pose scenes
                 held = synthetic_pose_batches(args.eval_size,
                                               imgsz=args.imgsz, seed=999)
-                eval_set = next(held)[:4]
+                eval_set = next(held)
             else:
                 held = synthetic_batches(args.eval_size, imgsz=args.imgsz,
                                          seed=999)
@@ -221,7 +221,13 @@ def main(argv=None) -> int:
                                 "max_det": 50, "classes_keep": [],
                                 "rect": False})
         eval_det.set_params(weights_tree)
-        score = evaluate_detector(eval_det, *eval_set)
+        if pose_task:
+            from roadvision_tpu.detect.eval import evaluate_pose
+            imgs_e, boxes_e, _cls_e, mask_e, kpts_e = eval_set
+            score = evaluate_pose(eval_det, imgs_e, boxes_e, kpts_e,
+                                  mask_e)
+        else:
+            score = evaluate_detector(eval_det, *eval_set)
         log.info("eval @%d: %s", step_no,
                  " ".join(f"{k}={v:.3f}" for k, v in score.items()))
 
