@@ -139,6 +139,10 @@ def run_multi(args, cfg) -> int:
                                for d in res.detections):
                             from roadvision_tpu.vis import draw_keypoints
                             draw_keypoints(frame, res.detections)
+                        if any(d.rbox is not None
+                               for d in res.detections):
+                            from roadvision_tpu.vis import draw_rboxes
+                            draw_rboxes(frame, res.detections)
                     tiles.append(frame)
                 fps = fpsm.tick(batch[0][i].ts)
                 canvas = tile_streams(
@@ -259,6 +263,9 @@ def main(argv=None) -> int:
                 if any(d.keypoints is not None for d in res.detections):
                     from roadvision_tpu.vis import draw_keypoints
                     draw_keypoints(proc, res.detections)
+                if any(d.rbox is not None for d in res.detections):
+                    from roadvision_tpu.vis import draw_rboxes
+                    draw_rboxes(proc, res.detections)
             fps = fpsm.tick(res.ts)
 
             if want_compare:

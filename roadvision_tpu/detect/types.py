@@ -58,6 +58,9 @@ class Detection:
     # pose task only: (17, 3) COCO keypoints — x, y in SOURCE-frame
     # pixels, sigmoid visibility. None for other tasks.
     keypoints: Optional[np.ndarray] = None
+    # obb task only: (5,) rotated box — cx, cy, w, h in SOURCE-frame
+    # pixels, θ radians; x1y1x2y2 then hold the enclosing AABB.
+    rbox: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -83,6 +86,9 @@ class DetectionBatch:
     masks: np.ndarray = None
     # pose task only: (..., N, 17, 3) source-frame keypoints
     keypoints: np.ndarray = None
+    # obb task only: (..., N, 5) source-frame rotated boxes (cx, cy,
+    # w, h, θ); ``boxes`` then hold the enclosing AABBs
+    rboxes: np.ndarray = None
 
     def __post_init__(self):
         n = self.boxes.shape[:-1]
@@ -135,6 +141,7 @@ class DetectionBatch:
         masks = None if self.masks is None else np.asarray(self.masks)
         kpts = None if self.keypoints is None \
             else np.asarray(self.keypoints)
+        rbs = None if self.rboxes is None else np.asarray(self.rboxes)
         for i in range(boxes.shape[0]):
             if not valid[i]:
                 continue
@@ -149,5 +156,6 @@ class DetectionBatch:
                 speed_kmh=(float(speed[i]) if np.isfinite(speed[i]) else None),
                 mask=(masks[i] if masks is not None else None),
                 keypoints=(kpts[i] if kpts is not None else None),
+                rbox=(rbs[i] if rbs is not None else None),
             ))
         return out

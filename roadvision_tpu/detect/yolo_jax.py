@@ -61,25 +61,34 @@ class YOLOJax(Detector):
         model_ref = cfg.get("model", "yolov8n.pt")
         size_hint = _size_from_model_name(model_ref)
         arch_hint = "v5" if "yolov5" in str(model_ref).lower() else "v8"
-        # task: "detect" | "segment" | "pose" | "auto" (from the model
-        # name's "-seg"/"-pose" suffix, then from the checkpoint's head)
+        # task: "detect" | "segment" | "pose" | "obb" | "auto" (from the
+        # model name's "-seg"/"-pose"/"-obb" suffix, then from the
+        # checkpoint's head)
         task = str(cfg.get("task", "auto"))
         if task == "auto":
             name = str(model_ref).lower()
             task = "segment" if "-seg" in name \
-                else "pose" if "-pose" in name else "detect"
+                else "pose" if "-pose" in name \
+                else "obb" if "-obb" in name else "detect"
         self.params, self.arch, self.size, self.loaded = \
             yolo_weights.load_params(model_ref, size=size_hint,
                                      arch=arch_hint, task=task)
         if self.arch == "v8" and "cv4" in self.params.get("22", {}):
-            # checkpoint head wins over the hint
-            task = "segment" if "proto" in self.params["22"] else "pose"
+            # checkpoint head wins over the hint (cv4 final width: 1 =
+            # angle branch, else keypoints — weights.detect_task logic)
+            if "proto" in self.params["22"]:
+                task = "segment"
+            elif self.params["22"]["cv4"][0][2]["b"].shape[0] == 1:
+                task = "obb"
+            else:
+                task = "pose"
         self.task = task
-        if self.task in ("segment", "pose") and self.arch == "v5":
+        if self.task in ("segment", "pose", "obb") and self.arch == "v5":
             raise ValueError(f"task '{self.task}' requires a YOLOv8 "
                              f"{self.task} model")
         if not self.loaded:
-            suffix = {"segment": "-seg", "pose": "-pose"}.get(task, "")
+            suffix = {"segment": "-seg", "pose": "-pose",
+                      "obb": "-obb"}.get(task, "")
             print(f"[roadvision] weights '{model_ref}' not found — running "
                   f"yolo{self.arch}{self.size}{suffix} with random init")
         if self.arch == "v5":
@@ -101,6 +110,9 @@ class YOLOJax(Detector):
             if self.nc == len(COCO_NAMES) else {i: str(i) for i in range(self.nc)}
         if self.task == "pose" and self.nc == 1:
             self.names = {0: "person"}   # -pose checkpoints are person-only
+        if self.task == "obb" and self.nc == 15:
+            from ..models.yolo.yolov8_obb import DOTA_NAMES
+            self.names = dict(enumerate(DOTA_NAMES))
         self._jit_cache: Dict[Tuple[int, int, int], Any] = {}
 
     # ------------------------------------------------------------------
@@ -125,6 +137,10 @@ class YOLOJax(Detector):
             from ..models.yolo import yolov8_pose
             return yolov8_pose.forward_pose(params, imgs, size=self.size,
                                             nc=self.nc, dtype=self.dtype)
+        if self.task == "obb":
+            from ..models.yolo import yolov8_obb
+            return yolov8_obb.forward_obb(params, imgs, size=self.size,
+                                          nc=self.nc, dtype=self.dtype)
         return yolov8.forward(params, imgs, size=self.size, nc=self.nc,
                               dtype=self.dtype)
 
@@ -145,6 +161,11 @@ class YOLOJax(Detector):
                                                 size=self.size,
                                                 nc=self.nc,
                                                 dtype=self.dtype)
+        if self.task == "obb":
+            from ..models.yolo import yolov8_obb
+            return yolov8_obb.forward_obb_raw(params, imgs,
+                                              size=self.size, nc=self.nc,
+                                              dtype=self.dtype)
         return yolov8.forward_raw(params, imgs, size=self.size, nc=self.nc,
                                   dtype=self.dtype)
 
@@ -192,6 +213,30 @@ class YOLOJax(Detector):
                 return b, c, k, v, kk
 
             return functools.partial(run_pose, params)
+
+        if self.task == "obb":
+            from ..ops.obb import (nms_rotated_batch, rbox_to_aabb,
+                                   scale_rboxes)
+
+            @jax.jit
+            def run_obb(params, frames_u8):
+                imgs, ratio, pad = lbox(frames_u8)
+                rboxes640, scores = fwd(params, imgs)
+                rb, c, k, v = nms_rotated_batch(
+                    rboxes640, scores, conf_thres=conf, iou_thres=iou,
+                    max_det=max_det, pre_topk=300,
+                    classes_keep=keep if keep else None)
+                rb = scale_rboxes(rb, ratio, pad, (h, w))
+                # the compatible axis-aligned surface: enclosing AABB,
+                # clamped to the frame like scale_boxes
+                ab = rbox_to_aabb(rb)
+                ab = jnp.stack([jnp.clip(ab[..., 0], 0, w),
+                                jnp.clip(ab[..., 1], 0, h),
+                                jnp.clip(ab[..., 2], 0, w),
+                                jnp.clip(ab[..., 3], 0, h)], axis=-1)
+                return ab, c, k, v, rb
+
+            return functools.partial(run_obb, params)
 
         @jax.jit
         def run(params, frames_u8):
@@ -301,6 +346,11 @@ class YOLOJax(Detector):
             return DetectionBatch(np.asarray(b), np.asarray(c),
                                   np.asarray(k), np.asarray(v),
                                   keypoints=np.asarray(kk))
+        if self.task == "obb":
+            b, c, k, v, rb = fn(jnp.asarray(frames_u8))
+            return DetectionBatch(np.asarray(b), np.asarray(c),
+                                  np.asarray(k), np.asarray(v),
+                                  rboxes=np.asarray(rb))
         b, c, k, v = fn(jnp.asarray(frames_u8))
         return DetectionBatch(np.asarray(b), np.asarray(c),
                               np.asarray(k), np.asarray(v))
@@ -312,7 +362,9 @@ class YOLOJax(Detector):
                                 masks=(None if batch.masks is None
                                        else batch.masks[0]),
                                 keypoints=(None if batch.keypoints is None
-                                           else batch.keypoints[0]))
+                                           else batch.keypoints[0]),
+                                rboxes=(None if batch.rboxes is None
+                                        else batch.rboxes[0]))
         names = [self.names.get(i, str(i)) for i in range(self.nc)]
         return single.to_detections(names)
 

@@ -143,16 +143,27 @@ def state_dict_to_params_seg(sd: Mapping[str, Any]) -> Dict[str, Any]:
 
 
 def detect_task(sd: Mapping[str, Any]) -> str:
-    """"segment" (cv4 + proto at layer 22), "pose" (cv4 without proto),
-    "classify" (linear head at layer 9) or "detect"."""
+    """"segment" (cv4 + proto at layer 22), "pose"/"obb" (cv4 without
+    proto — the final cv4 conv is 51-wide for keypoints, 1-wide for
+    the angle), "classify" (linear head at layer 9) or "detect"."""
     sd = _normalize_keys(sd)
     if any(k.startswith("22.proto.") for k in sd):
         return "segment"
-    if any(k.startswith("22.cv4.") for k in sd):
-        return "pose"
+    if "22.cv4.0.2.weight" in sd:
+        ne = _to_np(sd["22.cv4.0.2.weight"]).shape[0]
+        return "obb" if ne == 1 else "pose"
     if "9.linear.weight" in sd:
         return "classify"
     return "detect"
+
+
+def _cv4_branch(sd: Mapping[str, Any]) -> list:
+    """The shared 3-conv cv4 side branch (pose keypoints / obb angle)."""
+    return [[
+        _fuse(sd, f"22.cv4.{lvl}.0"),
+        _fuse(sd, f"22.cv4.{lvl}.1"),
+        _plain(sd, f"22.cv4.{lvl}.2.weight", f"22.cv4.{lvl}.2.bias"),
+    ] for lvl in range(3)]
 
 
 def state_dict_to_params_pose(sd: Mapping[str, Any]) -> Dict[str, Any]:
@@ -160,15 +171,17 @@ def state_dict_to_params_pose(sd: Mapping[str, Any]) -> Dict[str, Any]:
     mapping plus the Pose head's cv4 keypoint branch
     (models/yolo/yolov8_pose.py layout)."""
     p = state_dict_to_params(sd)
-    sd = _normalize_keys(sd)
-    cv4 = []
-    for lvl in range(3):
-        cv4.append([
-            _fuse(sd, f"22.cv4.{lvl}.0"),
-            _fuse(sd, f"22.cv4.{lvl}.1"),
-            _plain(sd, f"22.cv4.{lvl}.2.weight", f"22.cv4.{lvl}.2.bias"),
-        ])
-    p["22"]["cv4"] = cv4
+    p["22"]["cv4"] = _cv4_branch(_normalize_keys(sd))
+    return p
+
+
+def state_dict_to_params_obb(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Ultralytics YOLOv8-obb state dict → pytree: the detection
+    mapping plus the OBB head's cv4 angle branch
+    (models/yolo/yolov8_obb.py layout — same shape family as pose,
+    ne=1)."""
+    p = state_dict_to_params(sd)
+    p["22"]["cv4"] = _cv4_branch(_normalize_keys(sd))
     return p
 
 
@@ -289,6 +302,7 @@ def load_params(path_or_sd, size: str = "n", nc: int = 80,
             else:
                 loaders = {"segment": state_dict_to_params_seg,
                            "pose": state_dict_to_params_pose,
+                           "obb": state_dict_to_params_obb,
                            "detect": state_dict_to_params}
                 params = loaders[detect_task(sd)](sd)
             return params, arch, size, True
@@ -311,6 +325,11 @@ def load_params(path_or_sd, size: str = "n", nc: int = 80,
         from .yolov8_pose import init_params_pose
         return (init_params_pose(jax.random.PRNGKey(0), size,
                                  nc if nc != 80 else 1),
+                "v8", size, False)
+    if task == "obb":
+        from .yolov8_obb import init_params_obb
+        return (init_params_obb(jax.random.PRNGKey(0), size,
+                                nc if nc != 80 else 15),
                 "v8", size, False)
     return init_params(jax.random.PRNGKey(0), size, nc), "v8", size, False
 

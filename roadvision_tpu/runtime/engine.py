@@ -56,14 +56,17 @@ def unpack_detections(arrays, names: List[str], b: int,
     valid Detection objects (the b×max_det python double loop was the
     host-side ceiling at device rates). Shared by the single-stream and
     sharded multi-stream engines. An 8th array carries the segment
-    task's masks or the pose task's keypoints — ``extra_kind``
-    ("masks" | "keypoints") says which Detection field it fills.
+    task's masks, the pose task's keypoints, or the obb task's rotated
+    boxes — ``extra_kind`` ("masks" | "keypoints" | "rboxes") says
+    which Detection field it fills.
     """
-    masks = kpts = None
-    if len(arrays) == 8:   # segment masks / pose keypoints
+    masks = kpts = rbs = None
+    if len(arrays) == 8:   # segment masks / pose kpts / obb rboxes
         boxes, conf, cls_id, valid, ids, dist, speed, extra = arrays
         if extra_kind == "keypoints":
             kpts = extra
+        elif extra_kind == "rboxes":
+            rbs = extra
         else:
             masks = extra
     else:
@@ -90,7 +93,8 @@ def unpack_detections(arrays, names: List[str], b: int,
             distance_m=vdist[n] if dist_ok[n] else None,
             speed_kmh=vspeed[n] if speed_ok[n] else None,
             mask=(masks[fi[n], sj[n]] if masks is not None else None),
-            keypoints=(kpts[fi[n], sj[n]] if kpts is not None else None)))
+            keypoints=(kpts[fi[n], sj[n]] if kpts is not None else None),
+            rbox=(rbs[fi[n], sj[n]] if rbs is not None else None)))
     return per_frame
 
 
@@ -189,6 +193,7 @@ class PipelineEngine:
         task = getattr(det, "task", "detect") if det else "detect"
         seg = task == "segment"
         pose = task == "pose"
+        obb = task == "obb"
 
         # sampled-preprocess path: when nothing consumes the full
         # processed frame (want_proc=False) and the letterbox resize is a
@@ -253,6 +258,20 @@ class PipelineEngine:
                 kk = jnp.take_along_axis(
                     kpts_all, kidx[..., None, None], axis=1)
                 extra = scale_kpts(kk, ratio, pad, (h, w))
+            elif obb:
+                from ..ops.obb import (nms_rotated_batch, rbox_to_aabb,
+                                       scale_rboxes)
+                rboxes640, scores = det.forward_fn(params, imgs)
+                rb, conf, cls_id, valid = nms_rotated_batch(
+                    rboxes640, scores, conf_thres=det.conf,
+                    iou_thres=det.iou, max_det=det.max_det, pre_topk=300,
+                    classes_keep=det.keep if det.keep else None)
+                extra = scale_rboxes(rb, ratio, pad, (h, w))
+                ab = rbox_to_aabb(extra)
+                boxes = jnp.stack([jnp.clip(ab[..., 0], 0, w),
+                                   jnp.clip(ab[..., 1], 0, h),
+                                   jnp.clip(ab[..., 2], 0, w),
+                                   jnp.clip(ab[..., 3], 0, h)], axis=-1)
             else:
                 boxes640, scores = det.forward_fn(params, imgs)
                 boxes, conf, cls_id, valid = nms_batch(
@@ -360,9 +379,9 @@ class PipelineEngine:
         else:
             names = list(COCO_NAMES)
         results = []
-        kind = "keypoints" if (self.detector is not None
-                               and self.detector.task == "pose") \
-            else "masks"
+        kind = {"pose": "keypoints", "obb": "rboxes"}.get(
+            getattr(self.detector, "task", "detect")
+            if self.detector is not None else "detect", "masks")
         with self.timer.stage("host_unpack"):
             per_frame = unpack_detections(arrays, names, b,
                                           extra_kind=kind)

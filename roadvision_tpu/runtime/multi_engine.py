@@ -163,8 +163,8 @@ class MultiStreamEngine:
             arrays = [np.asarray(a) for a in outs]
         names = self._names()
         det = self.engine.detector
-        kind = "keypoints" if (det is not None and det.task == "pose") \
-            else "masks"
+        kind = {"pose": "keypoints", "obb": "rboxes"}.get(
+            det.task if det is not None else "detect", "masks")
         results: List[List[FrameResult]] = []
         with self.timer.stage("host_unpack"):
             for si in range(s):

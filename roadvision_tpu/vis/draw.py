@@ -223,6 +223,31 @@ def draw_keypoints(image: np.ndarray, detections: Iterable[Detection],
                       y + radius, (255, 255, 255))
 
 
+def draw_rboxes(image: np.ndarray, detections: Iterable[Detection]) -> None:
+    """Rotated-box outline overlay (obb task). Each Detection.rbox is
+    (cx, cy, w, h, θ) in source-frame pixels; the four edges are drawn
+    by dense point sampling (cv2-free), class-colored. In-place on the
+    BGR uint8 frame."""
+    h, w = image.shape[:2]
+    for d in detections:
+        if d.rbox is None:
+            continue
+        cx, cy, bw, bh, th = (float(v) for v in np.asarray(d.rbox))
+        cos, sin = np.cos(th), np.sin(th)
+        dx = np.array([bw, bw, -bw, -bw]) / 2.0
+        dy = np.array([bh, -bh, -bh, bh]) / 2.0
+        xs = cx + dx * cos - dy * sin
+        ys = cy + dx * sin + dy * cos
+        color = COLOR_TABLE[int(d.cls_id) % 10]
+        for i in range(4):
+            j = (i + 1) % 4
+            n = max(2, int(np.hypot(xs[j] - xs[i], ys[j] - ys[i])))
+            px = np.linspace(xs[i], xs[j], n).round().astype(int)
+            py = np.linspace(ys[i], ys[j], n).round().astype(int)
+            ok = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+            image[py[ok], px[ok]] = color
+
+
 def _label_top(img, text, topleft, color, font_scale):
     if not text:
         return

@@ -352,6 +352,121 @@ def v8_pose_forward(params, x_nhwc):
     return boxes, scores, kpts.numpy()
 
 
+# --- v8-obb twin ------------------------------------------------------------
+
+def v8_obb_forward(params, x_nhwc):
+    """Independent torch twin of yolov8_obb.forward_obb_raw: cv4 angle
+    branch (θ = (sigmoid − 0.25)·π) + dist2rbox box decode (the ltrb
+    midpoint rotated by θ about the anchor). Returns
+    (rboxes (B,N,5) cx,cy,w,h px + θ rad, scores (B,N,nc)) as numpy."""
+    x = torch.from_numpy(np.ascontiguousarray(
+        np.asarray(x_nhwc).transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        y = conv(x, params["0"], stride=2)
+        y = conv(y, params["1"], stride=2)
+        y = c2f(y, params["2"], True)
+        y = conv(y, params["3"], stride=2)
+        p3 = c2f(y, params["4"], True)
+        y = conv(p3, params["5"], stride=2)
+        p4 = c2f(y, params["6"], True)
+        y = conv(p4, params["7"], stride=2)
+        y = c2f(y, params["8"], True)
+        p5 = sppf(y, params["9"])
+        h4 = c2f(torch.cat([up2(p5), p4], 1), params["12"], False)
+        o3 = c2f(torch.cat([up2(h4), p3], 1), params["15"], False)
+        o4 = c2f(torch.cat([conv(o3, params["16"], stride=2), h4], 1),
+                 params["18"], False)
+        o5 = c2f(torch.cat([conv(o4, params["19"], stride=2), p5], 1),
+                 params["21"], False)
+
+        det = params["22"]
+        rb_l, scores_l = [], []
+        for lvl, f in enumerate((o3, o4, o5)):
+            b = conv(conv(f, det["cv2"][lvl][0]), det["cv2"][lvl][1])
+            b = conv(b, det["cv2"][lvl][2], act=False)
+            c = conv(conv(f, det["cv3"][lvl][0]), det["cv3"][lvl][1])
+            c = conv(c, det["cv3"][lvl][2], act=False)
+            a = conv(conv(f, det["cv4"][lvl][0]), det["cv4"][lvl][1])
+            a = conv(a, det["cv4"][lvl][2], act=False)
+            bs, _, h, w = b.shape
+            stride = float(V8_STRIDES[lvl])
+            bl = b.permute(0, 2, 3, 1).reshape(bs, h * w, 4, REG_MAX)
+            ltrb = (bl.softmax(-1)
+                    * torch.arange(REG_MAX, dtype=torch.float32)).sum(-1)
+            theta = (a.permute(0, 2, 3, 1).reshape(bs, h * w).sigmoid()
+                     - 0.25) * np.pi
+            gy, gx = torch.meshgrid(torch.arange(h, dtype=torch.float32),
+                                    torch.arange(w, dtype=torch.float32),
+                                    indexing="ij")
+            pts = torch.stack([gx.reshape(-1), gy.reshape(-1)], -1) + 0.5
+            lt, rb = ltrb[..., :2], ltrb[..., 2:]
+            xf = (rb[..., 0] - lt[..., 0]) / 2.0
+            yf = (rb[..., 1] - lt[..., 1]) / 2.0
+            cos, sin = theta.cos(), theta.sin()
+            cx = (xf * cos - yf * sin + pts[None, :, 0]) * stride
+            cy = (xf * sin + yf * cos + pts[None, :, 1]) * stride
+            wh = (lt + rb) * stride
+            rb_l.append(torch.stack([cx, cy, wh[..., 0], wh[..., 1],
+                                     theta], -1))
+            nc = c.shape[1]
+            scores_l.append(
+                c.permute(0, 2, 3, 1).reshape(bs, h * w, nc).sigmoid())
+        return (torch.cat(rb_l, 1).numpy(),
+                torch.cat(scores_l, 1).numpy())
+
+
+def probiou_np(rb1, rb2):
+    """Scalar/broadcast numpy ProbIoU (the verification twin of
+    ops.obb.probiou_pairs — same closed-form Bhattacharyya/Hellinger
+    construction, written against the formula independently)."""
+    rb1, rb2 = np.asarray(rb1, np.float64), np.asarray(rb2, np.float64)
+
+    def cov(rb):
+        a, b = rb[..., 2] ** 2 / 12.0, rb[..., 3] ** 2 / 12.0
+        c, s = np.cos(rb[..., 4]), np.sin(rb[..., 4])
+        return (a * c * c + b * s * s, a * s * s + b * c * c,
+                (a - b) * c * s)
+
+    eps = 1e-7
+    x1, y1 = rb1[..., 0], rb1[..., 1]
+    x2, y2 = rb2[..., 0], rb2[..., 1]
+    a1, b1, c1 = cov(rb1)
+    a2, b2, c2 = cov(rb2)
+    den = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2
+    t1 = ((a1 + a2) * (y1 - y2) ** 2
+          + (b1 + b2) * (x1 - x2) ** 2) / (den + eps) * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / (den + eps) * 0.5
+    d1 = np.maximum(a1 * b1 - c1 ** 2, 0.0)
+    d2 = np.maximum(a2 * b2 - c2 ** 2, 0.0)
+    t3 = np.log(den / (4.0 * np.sqrt(d1 * d2) + eps) + eps) * 0.5
+    bd = np.clip(t1 + t2 + t3, eps, 100.0)
+    return 1.0 - np.sqrt(1.0 - np.exp(-bd) + eps)
+
+
+def greedy_nms_rotated(rboxes, scores, conf_thres=0.25, iou_thres=0.7,
+                       max_det=100, pre_topk=300):
+    """Sequential greedy rotated NMS oracle (exact semantics of
+    ops.obb.nms_rotated_single: strict > thresholds, class-aware via
+    center offsets, score-descending)."""
+    conf = scores.max(-1)
+    cls = scores.argmax(-1)
+    cand = np.nonzero(conf > conf_thres)[0]
+    cand = cand[np.argsort(-conf[cand], kind="stable")][:pre_topk]
+    kept = []
+    for i in cand:
+        ok = True
+        for j in kept:
+            if cls[j] != cls[i]:
+                continue
+            if probiou_np(rboxes[j], rboxes[i]) > iou_thres:
+                ok = False
+                break
+        if ok:
+            kept.append(int(i))
+    kept = kept[:max_det]
+    return (rboxes[kept], conf[kept], cls[kept], np.asarray(kept, int))
+
+
 # --- v8-seg twin ------------------------------------------------------------
 
 def v8_seg_forward(params, x_nhwc):

@@ -47,11 +47,12 @@ def main(argv=None) -> int:
                     choices=["bfloat16", "float32", "int8"],
                     help="conv compute dtype (int8 = quantized path)")
     ap.add_argument("--task", default="auto",
-                    choices=["auto", "detect", "segment", "pose"],
+                    choices=["auto", "detect", "segment", "pose", "obb"],
                     help="segment = YOLOv8-seg instance masks (alpha-"
                          "blended under the boxes); pose = YOLOv8-pose "
-                         "COCO-17 keypoints + skeleton (auto: from the "
-                         "weights name / checkpoint head)")
+                         "COCO-17 keypoints + skeleton; obb = "
+                         "YOLOv8-obb rotated-box outlines (auto: from "
+                         "the weights name / checkpoint head)")
     ap.add_argument("--mask-alpha", type=float, default=0.45)
     ap.add_argument("--json", action="store_true",
                     help="also write per-frame detections json")
@@ -86,6 +87,9 @@ def main(argv=None) -> int:
         if task == "pose":
             from roadvision_tpu.vis import draw_keypoints
             draw_keypoints(img, dets)
+        if task == "obb":
+            from roadvision_tpu.vis import draw_rboxes
+            draw_rboxes(img, dets)
         Image.fromarray(img[..., ::-1]).save(out_dir / f"frame_{i:05d}.jpg")
         if args.json:
             records.append([{
