@@ -18,8 +18,9 @@ Secondary numbers on stderr:
 Env knobs: RVT_BENCH_BATCH (8), RVT_BENCH_ITERS (8), RVT_BENCH_RES (1080),
 RVT_BENCH_HOST_ITERS (4), RVT_BENCH_CALIBRATE (1). RVT_BENCH_MODE selects
 the BASELINE config: full (default) / preprocess / detect / nopre / sort /
-geometry / record / streams / demo, plus "seg" (the full pipeline with the
-YOLOv8-seg head — mask composition rides the fused step).
+geometry / record / streams / demo, plus the task heads "seg" (mask
+composition rides the fused step), "pose" (keypoints), "obb" (rotated
+boxes, ProbIoU NMS) — each the full pipeline with that YOLOv8 head.
 """
 from __future__ import annotations
 
@@ -607,6 +608,14 @@ def main() -> int:
         # the 8th masks output); random init unless a -seg blob exists
         cfg_over = {"detect": {"model": "yolov8n-seg.pt",
                                "task": "segment"}}
+    elif mode == "pose":      # full pipeline, YOLOv8-pose head (8th
+        # output carries source-frame keypoints)
+        cfg_over = {"detect": {"model": "yolov8n-pose.pt",
+                               "task": "pose", "classes_keep": []}}
+    elif mode == "obb":       # full pipeline, YOLOv8-obb head (ProbIoU
+        # NMS; 8th output carries the rotated boxes)
+        cfg_over = {"detect": {"model": "yolov8n-obb.pt",
+                               "task": "obb", "classes_keep": []}}
 
     t_start = time.perf_counter()
     engine = PipelineEngine(merge(_cfg(height, width, batch), cfg_over))

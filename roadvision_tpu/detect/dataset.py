@@ -335,6 +335,62 @@ def synthetic_seg_batches(batch: int, imgsz: int = 320,
         yield imgs, boxes, cls, valid, masks
 
 
+def synthetic_obb_batches(batch: int, imgsz: int = 320,
+                          max_boxes: int = 12, num_objects: int = 5,
+                          seed: int = 0, obj_class: int = 9
+                          ) -> Iterator[Tuple[np.ndarray, ...]]:
+    """OBB-task synthetic scenes: rotated rectangles ("vehicles seen
+    from above" — DOTA-style) on the road background, with exact
+    (cx, cy, w, h, θ) ground truth (the convention of
+    models/yolo/train_obb.py — input pixels, θ ∈ [−π/4, 3π/4), the
+    range of yolov8_obb.decode_angle).
+
+    Rectangles are elongated (w ≫ h) so the angle is observable from
+    pixels — a square would make θ unlearnable — and filled with a
+    bright per-object color plus a darker "cab" stripe at the +w end,
+    breaking the remaining 180° symmetry's effect on the box term (the
+    loss itself is Gaussian-symmetric, matching ProbIoU).
+    Class defaults to 9 ("large vehicle" in DOTA_NAMES).
+
+    Yields (images (B,S,S,3) u8 RGB, rboxes (B,M,5), cls (B,M) i32,
+    valid (B,M) bool).
+    """
+    src = SyntheticRoadSource(imgsz, imgsz, num_vehicles=0, seed=seed)
+    rng = np.random.RandomState(seed + 31)
+    yy, xx = np.mgrid[0:imgsz, 0:imgsz].astype(np.float32)
+    idx = 0
+    while True:
+        out = []
+        for _ in range(batch):
+            img = np.ascontiguousarray(src.render(idx)[..., ::-1])
+            rboxes = np.zeros((max_boxes, 5), np.float32)
+            cls = np.zeros((max_boxes,), np.int32)
+            valid = np.zeros((max_boxes,), bool)
+            for m in range(min(num_objects, max_boxes)):
+                w = rng.uniform(0.18, 0.30) * imgsz
+                h = w * rng.uniform(0.35, 0.55)
+                th = rng.uniform(-np.pi / 4, 3 * np.pi / 4)
+                # keep the rotated extent inside the frame
+                rx = (w * abs(np.cos(th)) + h * abs(np.sin(th))) / 2
+                ry = (w * abs(np.sin(th)) + h * abs(np.cos(th))) / 2
+                cx = rng.uniform(rx + 2, imgsz - rx - 2)
+                cy = rng.uniform(ry + 2, imgsz - ry - 2)
+                rboxes[m] = (cx, cy, w, h, th)
+                cls[m] = obj_class
+                valid[m] = True
+                # rasterize: pixel centers inside the rotated rect
+                dx, dy = xx - cx, yy - cy
+                lx = dx * np.cos(th) + dy * np.sin(th)
+                ly = -dx * np.sin(th) + dy * np.cos(th)
+                body = (np.abs(lx) <= w / 2) & (np.abs(ly) <= h / 2)
+                img[body] = rng.randint(150, 256, 3)
+                cab = body & (lx > w * 0.25)
+                img[cab] = rng.randint(30, 90, 3)
+            out.append((img, rboxes, cls, valid))
+            idx += 1
+        yield tuple(np.stack([o[i] for o in out]) for i in range(4))
+
+
 # Canonical 17-keypoint stick-figure layout, normalized to the person
 # box (x, y in [0,1]): COCO order nose, eyes, ears, shoulders, elbows,
 # wrists, hips, knees, ankles.

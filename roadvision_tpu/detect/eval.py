@@ -280,6 +280,96 @@ def evaluate_pose(det, images: np.ndarray, gt_boxes: np.ndarray,
             for thr in oks_thresholds}
 
 
+def rbox_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, 5) × (M, 5) rotated boxes (cx, cy, w, h, θ) → (N, M) ProbIoU.
+
+    Host-side numpy twin of ops.obb.probiou_pairs (same closed-form
+    Gaussian Bhattacharyya math; eval runs off-device, like
+    :func:`_iou_matrix` for axis-aligned boxes)."""
+    a = np.asarray(a, np.float32).reshape(-1, 5)
+    b = np.asarray(b, np.float32).reshape(-1, 5)
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    eps = 1e-7
+
+    def cov(rb):
+        va = rb[:, 2] ** 2 / 12.0
+        vb = rb[:, 3] ** 2 / 12.0
+        c, s = np.cos(rb[:, 4]), np.sin(rb[:, 4])
+        return (va * c ** 2 + vb * s ** 2, va * s ** 2 + vb * c ** 2,
+                (va - vb) * c * s)
+
+    a1, b1, c1 = (v[:, None] for v in cov(a))
+    a2, b2, c2 = (v[None, :] for v in cov(b))
+    x1, y1 = a[:, 0][:, None], a[:, 1][:, None]
+    x2, y2 = b[:, 0][None, :], b[:, 1][None, :]
+    den = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2
+    t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) \
+        / (den + eps) * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / (den + eps) * 0.5
+    d1 = np.maximum(a1 * b1 - c1 ** 2, 0.0)
+    d2 = np.maximum(a2 * b2 - c2 ** 2, 0.0)
+    t3 = np.log(den / (4.0 * np.sqrt(d1 * d2) + eps) + eps) * 0.5
+    bd = np.clip(t1 + t2 + t3, eps, 100.0)
+    return 1.0 - np.sqrt(1.0 - np.exp(-bd) + eps)
+
+
+def average_precision_rboxes(pred_rboxes: Sequence[np.ndarray],
+                             pred_conf: Sequence[np.ndarray],
+                             gt_rboxes: Sequence[np.ndarray],
+                             iou_thres: float = 0.5) -> float:
+    """Single-class ROTATED-box AP (obb task): the matching and
+    interpolation of :func:`average_precision` with ProbIoU as the
+    similarity (the DOTA-style rotated mAP analogue)."""
+    records: List[Tuple[float, bool]] = []
+    total_gt = 0
+    for pb, pc, gb in zip(pred_rboxes, pred_conf, gt_rboxes):
+        pc = np.asarray(pc)
+        total_gt += len(gb)
+        _greedy_match_records(rbox_iou_matrix(pb, gb), pc, iou_thres,
+                              records)
+    return _ap_from_records(records, total_gt)
+
+
+def evaluate_obb(det, images: np.ndarray, gt_rboxes: np.ndarray,
+                 gt_cls: np.ndarray, gt_mask: np.ndarray,
+                 iou_thresholds: Sequence[float] = (0.5,)
+                 ) -> Dict[str, float]:
+    """Rotated-box mAP for the obb task (beyond-reference; the
+    detect-task analogue is :func:`evaluate_detector`).
+
+    images (N, H, W, 3) RGB uint8; gt_rboxes (N, M, 5) cx, cy, w, h px
+    + θ rad; gt_cls (N, M) i32; gt_mask (N, M) slot validity. The
+    detector must run ``task="obb"`` (DetectionBatch.rboxes carries the
+    predictions). Returns {"rbox_mAP@t": ...} per threshold.
+    """
+    records = []
+    classes = set()
+    for i in range(images.shape[0]):
+        bgr = images[i][..., ::-1]
+        batch = det.infer_batch(bgr[None])
+        v = batch.valid[0]
+        records.append((batch.rboxes[0][v], batch.conf[0][v],
+                        batch.cls_id[0][v], gt_rboxes[i][gt_mask[i]],
+                        gt_cls[i][gt_mask[i]]))
+        classes.update(int(c) for c in np.unique(batch.cls_id[0][v]))
+        classes.update(int(c) for c in np.unique(gt_cls[i][gt_mask[i]]))
+
+    out = {}
+    for thr in iou_thresholds:
+        aps = []
+        for c in sorted(classes):
+            pb, pc_, gb = [], [], []
+            for rb, conf, cls, grb, gcls in records:
+                sel = cls == c
+                pb.append(rb[sel])
+                pc_.append(conf[sel])
+                gb.append(grb[gcls == c])
+            aps.append(average_precision_rboxes(pb, pc_, gb, thr))
+        out[f"rbox_mAP@{thr:g}"] = float(np.mean(aps)) if aps else 0.0
+    return out
+
+
 def match_report(pred_boxes: np.ndarray, gt_boxes: np.ndarray,
                  iou_thres: float = 0.5) -> Dict[str, float]:
     """Greedy matched precision/recall for one image."""

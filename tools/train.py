@@ -92,20 +92,30 @@ def main(argv=None) -> int:
     name = str(args.weights).lower()
     arch_hint = "v5" if "yolov5" in name else "v8"
     task = "segment" if "-seg" in name \
-        else "pose" if "-pose" in name else "detect"
+        else "pose" if "-pose" in name \
+        else "obb" if "-obb" in name else "detect"
     params, arch, size, loaded = yolo_weights.load_params(
         args.weights, size=size_hint, nc=args.nc, arch=arch_hint,
         task=task)
     if arch == "v8" and "cv4" in params.get("22", {}):
-        # checkpoint head wins over the name hint
-        task = "segment" if "proto" in params["22"] else "pose"
+        # checkpoint head wins over the name hint (cv4 final width: 1 =
+        # angle branch, else keypoints — weights.detect_task logic)
+        if "proto" in params["22"]:
+            task = "segment"
+        elif params["22"]["cv4"][0][2]["b"].shape[0] == 1:
+            task = "obb"
+        else:
+            task = "pose"
     if arch == "v8":
-        # the actual head width wins over --nc (pose random init is 1)
+        # the actual head width wins over --nc (pose random init is 1,
+        # obb is 15)
         args.nc = int(params["22"]["cv3"][0][2]["b"].shape[0])
     seg_task = task == "segment"
     pose_task = task == "pose"
+    obb_task = task == "obb"
     log.info("model yolo%s%s%s (%s weights, nc=%d)", arch, size,
-             {"segment": "-seg", "pose": "-pose"}.get(task, ""),
+             {"segment": "-seg", "pose": "-pose", "obb": "-obb"}
+             .get(task, ""),
              "pretrained" if loaded else "random", args.nc)
 
     momentum = init_momentum(params)
@@ -118,6 +128,9 @@ def main(argv=None) -> int:
     elif pose_task:
         from roadvision_tpu.models.yolo.train_pose import make_train_step_pose
         step = make_train_step_pose(size, args.nc, lr=args.lr)
+    elif obb_task:
+        from roadvision_tpu.models.yolo.train_obb import make_train_step_obb
+        step = make_train_step_obb(size, args.nc, lr=args.lr)
     else:
         step = make_train_step(size, args.nc, lr=args.lr)
 
@@ -140,10 +153,10 @@ def main(argv=None) -> int:
         log.info("resumed from %s at step %d", args.resume, start_step)
 
     eval_set = None
-    if (seg_task or pose_task) and args.data != "synthetic":
+    if (seg_task or pose_task or obb_task) and args.data != "synthetic":
         ap.error(f"{task} training currently supports --data synthetic "
-                 "only (instance-mask/keypoint dataset loaders not "
-                 "wired yet)")
+                 "only (instance-mask/keypoint/rotated-box dataset "
+                 "loaders not wired yet)")
     if args.data == "synthetic":
         if seg_task:
             from roadvision_tpu.detect.dataset import synthetic_seg_batches
@@ -151,6 +164,9 @@ def main(argv=None) -> int:
         elif pose_task:
             from roadvision_tpu.detect.dataset import synthetic_pose_batches
             batches = synthetic_pose_batches(args.batch, imgsz=args.imgsz)
+        elif obb_task:
+            from roadvision_tpu.detect.dataset import synthetic_obb_batches
+            batches = synthetic_obb_batches(args.batch, imgsz=args.imgsz)
         else:
             batches = synthetic_batches(args.batch, imgsz=args.imgsz)
         def next_batch():
@@ -160,6 +176,11 @@ def main(argv=None) -> int:
                 held = synthetic_pose_batches(args.eval_size,
                                               imgsz=args.imgsz, seed=999)
                 eval_set = next(held)
+            elif obb_task:  # rotated-box mAP on the obb scenes
+                from roadvision_tpu.detect.dataset import \
+                    synthetic_obb_batches as _obb_held
+                eval_set = next(_obb_held(args.eval_size,
+                                          imgsz=args.imgsz, seed=999))
             else:
                 held = synthetic_batches(args.eval_size, imgsz=args.imgsz,
                                          seed=999)
@@ -215,7 +236,8 @@ def main(argv=None) -> int:
             from roadvision_tpu.detect.yolo_jax import YOLOJax
             # random-init detector of the SAME arch/size, then rebind to
             # the live weights (compiled steps take params as an arg)
-            suffix = {"segment": "-seg", "pose": "-pose"}.get(task, "")
+            suffix = {"segment": "-seg", "pose": "-pose",
+                      "obb": "-obb"}.get(task, "")
             eval_det = YOLOJax({"model": f"yolo{arch}{size}{suffix}.eval",
                                 "imgsz": args.imgsz, "conf_thres": 0.25,
                                 "max_det": 50, "classes_keep": [],
@@ -226,6 +248,9 @@ def main(argv=None) -> int:
             imgs_e, boxes_e, _cls_e, mask_e, kpts_e = eval_set
             score = evaluate_pose(eval_det, imgs_e, boxes_e, kpts_e,
                                   mask_e)
+        elif obb_task:
+            from roadvision_tpu.detect.eval import evaluate_obb
+            score = evaluate_obb(eval_det, *eval_set)
         else:
             score = evaluate_detector(eval_det, *eval_set)
         log.info("eval @%d: %s", step_no,
