@@ -28,7 +28,7 @@ enable_compilation_cache()
 from roadvision_tpu.io_video import FPSMeter, VideoSource, make_writer  # noqa: E402
 from roadvision_tpu.runtime import PipelineEngine  # noqa: E402
 from roadvision_tpu.utils import get_logger  # noqa: E402
-from roadvision_tpu.vis import draw_detections, make_canvas, tile_streams  # noqa: E402
+from roadvision_tpu.vis import draw_overlays, make_canvas, tile_streams  # noqa: E402
 
 log = get_logger("roadvision.preview")
 
@@ -124,25 +124,14 @@ def run_multi(args, cfg) -> int:
                     res = stream_results[i]
                     frame = np.ascontiguousarray(res.proc)
                     if draw_cfg.get("det", True) and res.detections:
-                        if any(d.mask is not None for d in res.detections):
-                            from roadvision_tpu.vis import draw_masks
-                            draw_masks(
-                                frame, res.detections,
-                                engine.engine.lb_meta(*frame.shape[:2]),
-                                alpha=float(draw_cfg.get("mask_alpha",
-                                                         0.45)))
-                        draw_detections(
+                        draw_overlays(
                             frame, res.detections,
+                            lb_meta=engine.engine.lb_meta(*frame.shape[:2]),
                             thickness=int(draw_cfg.get("thickness", 2)),
-                            font_scale=float(draw_cfg.get("font_scale", 0.6)))
-                        if any(d.keypoints is not None
-                               for d in res.detections):
-                            from roadvision_tpu.vis import draw_keypoints
-                            draw_keypoints(frame, res.detections)
-                        if any(d.rbox is not None
-                               for d in res.detections):
-                            from roadvision_tpu.vis import draw_rboxes
-                            draw_rboxes(frame, res.detections)
+                            font_scale=float(draw_cfg.get("font_scale",
+                                                          0.6)),
+                            mask_alpha=float(draw_cfg.get("mask_alpha",
+                                                          0.45)))
                     tiles.append(frame)
                 fps = fpsm.tick(batch[0][i].ts)
                 canvas = tile_streams(
@@ -251,21 +240,12 @@ def main(argv=None) -> int:
             t_tail = _time.perf_counter()
             proc = np.ascontiguousarray(res.proc)
             if draw_cfg.get("det", True) and res.detections:
-                if any(d.mask is not None for d in res.detections):
-                    from roadvision_tpu.vis import draw_masks
-                    draw_masks(proc, res.detections,
-                               engine.lb_meta(*proc.shape[:2]),
-                               alpha=float(draw_cfg.get("mask_alpha",
-                                                        0.45)))
-                draw_detections(proc, res.detections,
-                                thickness=int(draw_cfg.get("thickness", 2)),
-                                font_scale=float(draw_cfg.get("font_scale", 0.6)))
-                if any(d.keypoints is not None for d in res.detections):
-                    from roadvision_tpu.vis import draw_keypoints
-                    draw_keypoints(proc, res.detections)
-                if any(d.rbox is not None for d in res.detections):
-                    from roadvision_tpu.vis import draw_rboxes
-                    draw_rboxes(proc, res.detections)
+                draw_overlays(
+                    proc, res.detections,
+                    lb_meta=engine.lb_meta(*proc.shape[:2]),
+                    thickness=int(draw_cfg.get("thickness", 2)),
+                    font_scale=float(draw_cfg.get("font_scale", 0.6)),
+                    mask_alpha=float(draw_cfg.get("mask_alpha", 0.45)))
             fps = fpsm.tick(res.ts)
 
             if want_compare:

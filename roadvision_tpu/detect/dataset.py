@@ -13,6 +13,14 @@ path (``.json`` → COCO, directory → YOLO).
 ``synthetic_batches`` yields procedurally generated road scenes with exact
 ground truth (vehicle class = COCO "car"), so the training loop is testable
 and demoable with zero assets.
+
+Task-family layouts: ``load_yolo_obb_dir`` reads the ultralytics
+DOTA/OBB txt convention (``cls x1 y1 ... y4`` normalized quad corners →
+(cx, cy, w, h, θ) via :func:`corners_to_rbox`); ``load_coco_kpts_json``
+reads COCO person-keypoints annotations; ``load_coco_seg_json``
+rasterizes COCO polygon segmentations to prototype-resolution instance
+masks (PIL, cv2-free). Each returns the gt convention of its trainer
+(models/yolo/train_obb.py / train_pose.py / train_seg.py).
 """
 from __future__ import annotations
 
@@ -151,6 +159,214 @@ def load_coco_json(ann_path: str, images_root: Optional[str] = None,
         raise FileNotFoundError(f"no images listed in {ann_path}")
     return (np.stack(images), np.stack(boxes_all), np.stack(cls_all),
             np.stack(mask_all))
+
+
+def corners_to_rbox(pts: np.ndarray) -> Tuple[float, float, float, float,
+                                              float]:
+    """(4, 2) quad corners (rectangle order, as in YOLO-OBB labels) →
+    (cx, cy, w, h, θ) with w ≥ h and θ ∈ [−π/4, 3π/4) (the range of
+    models/yolo/yolov8_obb.decode_angle).
+
+    Opposite edges are averaged so mildly non-rectangular annotation
+    quads still yield the least-surprising box (cv2.minAreaRect-free).
+    """
+    p = np.asarray(pts, np.float32).reshape(4, 2)
+    cx, cy = p.mean(axis=0)
+    e1 = (p[1] - p[0] + p[2] - p[3]) / 2.0   # first edge pair
+    e2 = (p[3] - p[0] + p[2] - p[1]) / 2.0   # second edge pair
+    w = float(np.hypot(*e1))
+    h = float(np.hypot(*e2))
+    th = float(np.arctan2(e1[1], e1[0]))
+    if w < h:
+        w, h = h, w
+        th += np.pi / 2.0
+    # ProbIoU is π-periodic in θ; wrap into the decode range
+    th = (th + np.pi / 4.0) % np.pi - np.pi / 4.0
+    return float(cx), float(cy), w, h, th
+
+
+def load_yolo_obb_dir(root: str, imgsz: int = 640, max_boxes: int = 50,
+                      limit: Optional[int] = None):
+    """Load a YOLO-OBB-format dir (the ultralytics DOTA convention:
+    label lines ``cls x1 y1 x2 y2 x3 y3 x4 y4`` with normalized quad
+    corners) → (images (N,S,S,3) u8 RGB, rboxes (N,M,5) letterbox-space
+    cx,cy,w,h px + θ rad, cls (N,M), mask (N,M)) — the gt convention of
+    models/yolo/train_obb.py."""
+    from PIL import Image
+    root = Path(root)
+    img_dir = root / "images" if (root / "images").is_dir() else root
+    lbl_dir = root / "labels"
+    files = sorted(p for p in img_dir.rglob("*")
+                   if p.suffix.lower() in IMG_EXTS)
+    if limit:
+        files = files[:limit]
+    images, rb_all, cls_all, mask_all = [], [], [], []
+    for p in files:
+        img = np.asarray(Image.open(p).convert("RGB"))
+        h, w = img.shape[:2]
+        lb, r, (dw, dh) = _letterbox_np(img, imgsz)
+        images.append(lb)
+        rboxes = np.zeros((max_boxes, 5), np.float32)
+        cls = np.zeros((max_boxes,), np.int32)
+        mask = np.zeros((max_boxes,), bool)
+        lbl = (lbl_dir / (p.stem + ".txt")) if lbl_dir.is_dir() \
+            else p.with_suffix(".txt")
+        if lbl.exists():
+            lines = [ln for ln in lbl.read_text().splitlines()
+                     if ln.strip()]
+            if len(lines) > max_boxes:
+                print(f"[roadvision] {p.name}: {len(lines)} labels "
+                      f"truncated to max_boxes={max_boxes}")
+            for i, line in enumerate(lines[:max_boxes]):
+                parts = line.split()
+                pts = np.array(parts[1:9], np.float32).reshape(4, 2)
+                pts = pts * (w, h) * r + (dw, dh)   # letterbox space
+                rboxes[i] = corners_to_rbox(pts)
+                cls[i] = int(float(parts[0]))
+                mask[i] = True
+        rb_all.append(rboxes)
+        cls_all.append(cls)
+        mask_all.append(mask)
+    if not images:
+        raise FileNotFoundError(f"no images under {root}")
+    return (np.stack(images), np.stack(rb_all), np.stack(cls_all),
+            np.stack(mask_all))
+
+
+def load_coco_kpts_json(ann_path: str, images_root: Optional[str] = None,
+                        imgsz: int = 640, max_boxes: int = 50,
+                        limit: Optional[int] = None):
+    """Load a COCO person-keypoints annotation file → the pose-task
+    arrays (images (N,S,S,3) u8 RGB, boxes (N,M,4) letterbox xyxy,
+    cls (N,M) all 0, mask (N,M), kpts (N,M,17,3) letterbox px with the
+    COCO v flag — v>0 labelled, the convention of
+    models/yolo/train_pose.py). Annotations without keypoints
+    contribute a box with all joints unlabelled."""
+    import json as _json
+
+    from PIL import Image
+
+    ann_path = Path(ann_path)
+    root = Path(images_root) if images_root else ann_path.parent
+    spec = _json.loads(ann_path.read_text())
+    per_image: dict = {}
+    for a in spec.get("annotations", []):
+        if a.get("iscrowd"):
+            continue
+        per_image.setdefault(a["image_id"], []).append(a)
+
+    images, boxes_all, cls_all, mask_all, kpts_all = [], [], [], [], []
+    infos = spec.get("images", [])
+    if limit:
+        infos = infos[:limit]
+    for info in infos:
+        p = root / info["file_name"]
+        img = np.asarray(Image.open(p).convert("RGB"))
+        lb, r, (dw, dh) = _letterbox_np(img, imgsz)
+        images.append(lb)
+        boxes = np.zeros((max_boxes, 4), np.float32)
+        cls = np.zeros((max_boxes,), np.int32)
+        mask = np.zeros((max_boxes,), bool)
+        kpts = np.zeros((max_boxes, 17, 3), np.float32)
+        anns = per_image.get(info["id"], [])
+        if len(anns) > max_boxes:
+            print(f"[roadvision] {p.name}: {len(anns)} annotations "
+                  f"truncated to max_boxes={max_boxes}")
+        for i, a in enumerate(anns[:max_boxes]):
+            x, y, bw, bh = a["bbox"]
+            boxes[i] = (x * r + dw, y * r + dh,
+                        (x + bw) * r + dw, (y + bh) * r + dh)
+            mask[i] = True
+            kk = np.asarray(a.get("keypoints", []), np.float32)
+            if kk.size == 51:
+                kk = kk.reshape(17, 3)
+                kpts[i, :, 0] = kk[:, 0] * r + dw
+                kpts[i, :, 1] = kk[:, 1] * r + dh
+                kpts[i, :, 2] = kk[:, 2]
+        boxes_all.append(boxes)
+        cls_all.append(cls)
+        mask_all.append(mask)
+        kpts_all.append(kpts)
+    if not images:
+        raise FileNotFoundError(f"no images listed in {ann_path}")
+    return (np.stack(images), np.stack(boxes_all), np.stack(cls_all),
+            np.stack(mask_all), np.stack(kpts_all))
+
+
+def load_coco_seg_json(ann_path: str, images_root: Optional[str] = None,
+                       imgsz: int = 640, max_boxes: int = 50,
+                       limit: Optional[int] = None):
+    """Load a COCO instances annotation file WITH polygon segmentations
+    → the segment-task arrays (images, boxes, cls, mask — as
+    load_coco_json — plus gt_masks (N,M,S/4,S/4) f32 instance masks at
+    PROTOTYPE resolution, the convention of models/yolo/train_seg.py).
+
+    Polygons are transformed to letterbox space and rasterized with
+    PIL at S/4 (cv2-free); RLE segmentations are skipped with a notice
+    (the annotation still contributes its box)."""
+    import json as _json
+
+    from PIL import Image, ImageDraw
+
+    ann_path = Path(ann_path)
+    root = Path(images_root) if images_root else ann_path.parent
+    spec = _json.loads(ann_path.read_text())
+    cat_ids = sorted(c["id"] for c in spec.get("categories", []))
+    to_contig = {cid: i for i, cid in enumerate(cat_ids)}
+    per_image: dict = {}
+    for a in spec.get("annotations", []):
+        if a.get("iscrowd"):
+            continue
+        per_image.setdefault(a["image_id"], []).append(a)
+
+    m4 = imgsz // 4
+    rle_skipped = 0
+    images, boxes_all, cls_all, mask_all, seg_all = [], [], [], [], []
+    infos = spec.get("images", [])
+    if limit:
+        infos = infos[:limit]
+    for info in infos:
+        p = root / info["file_name"]
+        img = np.asarray(Image.open(p).convert("RGB"))
+        lb, r, (dw, dh) = _letterbox_np(img, imgsz)
+        images.append(lb)
+        boxes = np.zeros((max_boxes, 4), np.float32)
+        cls = np.zeros((max_boxes,), np.int32)
+        mask = np.zeros((max_boxes,), bool)
+        segm = np.zeros((max_boxes, m4, m4), np.float32)
+        anns = per_image.get(info["id"], [])
+        if len(anns) > max_boxes:
+            print(f"[roadvision] {p.name}: {len(anns)} annotations "
+                  f"truncated to max_boxes={max_boxes}")
+        for i, a in enumerate(anns[:max_boxes]):
+            x, y, bw, bh = a["bbox"]
+            boxes[i] = (x * r + dw, y * r + dh,
+                        (x + bw) * r + dw, (y + bh) * r + dh)
+            cls[i] = to_contig.get(a["category_id"], 0)
+            mask[i] = True
+            seg = a.get("segmentation")
+            if isinstance(seg, dict):
+                rle_skipped += 1
+                continue
+            canvas = Image.new("F", (m4, m4), 0.0)
+            draw = ImageDraw.Draw(canvas)
+            for poly in seg or []:
+                pts = np.asarray(poly, np.float32).reshape(-1, 2)
+                pts = (pts * r + (dw, dh)) / 4.0
+                if len(pts) >= 3:
+                    draw.polygon([tuple(q) for q in pts], fill=1.0)
+            segm[i] = np.asarray(canvas)
+        boxes_all.append(boxes)
+        cls_all.append(cls)
+        mask_all.append(mask)
+        seg_all.append(segm)
+    if rle_skipped:
+        print(f"[roadvision] {rle_skipped} RLE segmentations skipped "
+              "(polygon-only rasterizer); their boxes are kept")
+    if not images:
+        raise FileNotFoundError(f"no images listed in {ann_path}")
+    return (np.stack(images), np.stack(boxes_all), np.stack(cls_all),
+            np.stack(mask_all), np.stack(seg_all))
 
 
 def coco_names(ann_path: str) -> dict:

@@ -248,6 +248,28 @@ def draw_rboxes(image: np.ndarray, detections: Iterable[Detection]) -> None:
             image[py[ok], px[ok]] = color
 
 
+def draw_overlays(image: np.ndarray, detections,
+                  lb_meta=None, thickness: int = 2,
+                  font_scale: float = 0.6,
+                  mask_alpha: float = 0.45) -> None:
+    """Boxes plus whichever task payloads the detections carry
+    (segment masks under, pose keypoints / obb outlines over) — the
+    one-call overlay used by the driver and the MJPEG server.
+    ``lb_meta`` (ratio, pad) is required only to paste segment masks;
+    in-place on the BGR uint8 frame."""
+    dets = list(detections)
+    if not dets:
+        return
+    if lb_meta is not None and any(d.mask is not None for d in dets):
+        draw_masks(image, dets, lb_meta, alpha=mask_alpha)
+    draw_detections(image, dets, thickness=thickness,
+                    font_scale=font_scale)
+    if any(d.keypoints is not None for d in dets):
+        draw_keypoints(image, dets)
+    if any(d.rbox is not None for d in dets):
+        draw_rboxes(image, dets)
+
+
 def _label_top(img, text, topleft, color, font_scale):
     if not text:
         return

@@ -303,3 +303,31 @@ def test_draw_rboxes_renders():
     assert (img != 0).any()
     # the box is rotated: the strict AABB corner stays unpainted
     assert (img[16, 21] == 0).all()
+
+
+def test_draw_overlays_dispatches_by_payload():
+    """The one-call overlay draws the rotated outline for obb
+    detections and the skeleton for pose detections (the driver/serve
+    path after the refactor)."""
+    from roadvision_tpu.detect.types import Detection
+    from roadvision_tpu.vis import draw_overlays
+
+    img = np.zeros((60, 80, 3), np.uint8)
+    rb = np.array([40, 30, 30, 14, np.pi / 6], np.float32)
+    draw_overlays(img, [Detection(20, 15, 60, 45, 0.9, 0, "plane",
+                                  rbox=rb)])
+    assert (img != 0).any()
+    assert (img[16, 21] == 0).all()     # rotated, not just the AABB
+
+    img2 = np.zeros((60, 80, 3), np.uint8)
+    kk = np.zeros((17, 3), np.float32)
+    kk[:, 0] = np.linspace(20, 60, 17)
+    kk[:, 1] = np.linspace(10, 50, 17)
+    kk[:, 2] = 0.9
+    draw_overlays(img2, [Detection(15, 5, 65, 55, 0.9, 0, "person",
+                                   keypoints=kk)])
+    assert (img2 == 255).any()          # white joint markers
+
+    img3 = np.zeros((60, 80, 3), np.uint8)
+    draw_overlays(img3, [])             # no detections: no-op
+    assert not (img3 != 0).any()

@@ -42,7 +42,7 @@ enable_compilation_cache()
 from roadvision_tpu.io_video import FPSMeter, VideoSource  # noqa: E402
 from roadvision_tpu.runtime import PipelineEngine  # noqa: E402
 from roadvision_tpu.utils import get_logger  # noqa: E402
-from roadvision_tpu.vis import draw_detections, make_canvas, tile_streams  # noqa: E402
+from roadvision_tpu.vis import draw_overlays, make_canvas, tile_streams  # noqa: E402
 
 log = get_logger("roadvision.serve")
 
@@ -182,10 +182,12 @@ def _pipeline_loop(cfg, hub: FrameHub, max_frames, quality: int) -> None:
         for res in engine.stream(vs, max_frames=max_frames):
             proc = np.ascontiguousarray(res.proc)
             if draw_cfg.get("det", True) and res.detections:
-                draw_detections(
+                draw_overlays(
                     proc, res.detections,
+                    lb_meta=engine.lb_meta(*proc.shape[:2]),
                     thickness=int(draw_cfg.get("thickness", 2)),
-                    font_scale=float(draw_cfg.get("font_scale", 0.6)))
+                    font_scale=float(draw_cfg.get("font_scale", 0.6)),
+                    mask_alpha=float(draw_cfg.get("mask_alpha", 0.45)))
             fps = fpsm.tick(res.ts)
             if want_compare:
                 canvas = make_canvas(
@@ -240,10 +242,14 @@ def _multi_pipeline_loop(cfg, hub: FrameHub, max_frames,
                     res = stream_results[i]
                     frame = np.ascontiguousarray(res.proc)
                     if draw_cfg.get("det", True) and res.detections:
-                        draw_detections(
+                        draw_overlays(
                             frame, res.detections,
+                            lb_meta=engine.engine.lb_meta(*frame.shape[:2]),
                             thickness=int(draw_cfg.get("thickness", 2)),
-                            font_scale=float(draw_cfg.get("font_scale", 0.6)))
+                            font_scale=float(draw_cfg.get("font_scale",
+                                                          0.6)),
+                            mask_alpha=float(draw_cfg.get("mask_alpha",
+                                                          0.45)))
                     tiles.append(frame)
                     all_dets.extend(
                         dict(stream=s, bbox=[d.x1, d.y1, d.x2, d.y2],

@@ -153,10 +153,6 @@ def main(argv=None) -> int:
         log.info("resumed from %s at step %d", args.resume, start_step)
 
     eval_set = None
-    if (seg_task or pose_task or obb_task) and args.data != "synthetic":
-        ap.error(f"{task} training currently supports --data synthetic "
-                 "only (instance-mask/keypoint/rotated-box dataset "
-                 "loaders not wired yet)")
     if args.data == "synthetic":
         if seg_task:
             from roadvision_tpu.detect.dataset import synthetic_seg_batches
@@ -186,28 +182,58 @@ def main(argv=None) -> int:
                                          seed=999)
                 eval_set = next(held)
     else:
-        from roadvision_tpu.detect.dataset import augment_batch, mosaic_batch
-        imgs, boxes, cls, mask = load_dataset(args.data, imgsz=args.imgsz)
+        # real data: COCO JSON for seg (polygon masks) / pose
+        # (keypoints), YOLO-OBB dir for obb, YOLO dir or COCO JSON for
+        # detect. Geometry augmentation (flip/mosaic) transforms boxes
+        # only, so it stays detect-task-only.
+        if seg_task or pose_task:
+            if not str(args.data).endswith(".json"):
+                ap.error(f"{task} training takes a COCO annotation "
+                         "JSON (--data annotations.json)")
+            if seg_task:
+                from roadvision_tpu.detect.dataset import load_coco_seg_json
+                data = load_coco_seg_json(args.data, imgsz=args.imgsz)
+            else:
+                from roadvision_tpu.detect.dataset import load_coco_kpts_json
+                data = load_coco_kpts_json(args.data, imgsz=args.imgsz)
+        elif obb_task:
+            from roadvision_tpu.detect.dataset import load_yolo_obb_dir
+            data = load_yolo_obb_dir(args.data, imgsz=args.imgsz)
+        else:
+            data = load_dataset(args.data, imgsz=args.imgsz)
+        imgs, *gt_arrays = data
         if args.eval_every and imgs.shape[0] > 2:
             k = min(args.eval_size, imgs.shape[0] // 3)
-            eval_set = (imgs[-k:], boxes[-k:], cls[-k:], mask[-k:])
-            imgs, boxes = imgs[:-k], boxes[:-k]
-            cls, mask = cls[:-k], mask[:-k]
+            if seg_task:   # in-train eval scores box mAP (as synthetic)
+                eval_set = (imgs[-k:],) + tuple(g[-k:]
+                                                for g in gt_arrays[:3])
+            else:
+                eval_set = (imgs[-k:],) + tuple(g[-k:] for g in gt_arrays)
+            imgs = imgs[:-k]
+            gt_arrays = [g[:-k] for g in gt_arrays]
             log.info("held out %d images for eval", k)
         n = imgs.shape[0]
+        plain = not (seg_task or pose_task or obb_task)
         log.info("dataset: %d images%s%s", n,
-                 " (flip+HSV augment)" if args.augment else "",
-                 f" (mosaic p={args.mosaic})" if args.mosaic > 0 else "")
+                 " (flip+HSV augment)" if args.augment and plain else "",
+                 f" (mosaic p={args.mosaic})"
+                 if args.mosaic > 0 and plain else "")
         rng = np.random.RandomState(0)
 
         def next_batch():
             idx = rng.randint(0, n, args.batch)
-            bi, bb, bc, bm = imgs[idx], boxes[idx], cls[idx], mask[idx]
-            if args.mosaic > 0 and rng.rand() < args.mosaic:
-                bi, bb, bc, bm = mosaic_batch(bi, bb, bc, bm, rng)
-            if args.augment:
-                bi, bb = augment_batch(bi, bb, bm, rng)
-            return bi, bb, bc, bm
+            bi = imgs[idx]
+            gts = [g[idx] for g in gt_arrays]
+            if plain:
+                from roadvision_tpu.detect.dataset import (augment_batch,
+                                                           mosaic_batch)
+                bb, bc, bm = gts
+                if args.mosaic > 0 and rng.rand() < args.mosaic:
+                    bi, bb, bc, bm = mosaic_batch(bi, bb, bc, bm, rng)
+                if args.augment:
+                    bi, bb = augment_batch(bi, bb, bm, rng)
+                return bi, bb, bc, bm
+            return (bi, *gts)
 
     warmup = args.warmup if args.warmup is not None \
         else min(100, max(1, args.steps // 10))
