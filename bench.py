@@ -16,7 +16,8 @@ Secondary numbers on stderr:
     headline can be interpreted against real-silicon peak.
 
 Env knobs: RVT_BENCH_BATCH (8), RVT_BENCH_ITERS (8), RVT_BENCH_RES (1080),
-RVT_BENCH_HOST_ITERS (4), RVT_BENCH_CALIBRATE (1). RVT_BENCH_MODE selects
+RVT_BENCH_HOST_ITERS (4), RVT_BENCH_CALIBRATE (1), RVT_BENCH_MODEL
+(yolov8n.pt — any family: yolo11n.pt, yolov5n.pt). RVT_BENCH_MODE selects
 the BASELINE config: full (default) / preprocess / detect / nopre / sort /
 geometry / record / streams / demo, plus the task heads "seg" (mask
 composition rides the fused step), "pose" (keypoints), "obb" (rotated
@@ -61,7 +62,11 @@ def _cfg(height: int, width: int, batch: int):
              "params": {"space": "YCrCb", "clip_limit": 2.0, "tile_grid": 8}},
             {"name": "MedianDerain", "params": {"ksize": 3}},
         ]},
-        "detect": {"enabled": True, "model": "yolov8n.pt",
+        "detect": {"enabled": True,
+                   # RVT_BENCH_MODEL swaps the detector family (e.g.
+                   # yolo11n.pt, yolov5n.pt) under the same pipeline
+                   "model": os.environ.get("RVT_BENCH_MODEL",
+                                           "yolov8n.pt"),
                    "conf_thres": 0.25, "iou_thres": 0.7, "max_det": 100,
                    "classes_keep": [0, 2, 3, 5, 7],
                    # autotune hooks (tools/autotune.py): conv path dtype

@@ -32,7 +32,7 @@ from .types import COCO_NAMES, Detection, DetectionBatch
 
 def _size_from_model_name(name: str) -> str:
     base = str(name).lower()
-    for v in ("yolov8", "yolov5"):
+    for v in ("yolov8", "yolov5", "yolo11"):
         for s in ("n", "s", "m", "l", "x"):
             if f"{v}{s}" in base:
                 return s
@@ -60,7 +60,9 @@ class YOLOJax(Detector):
 
         model_ref = cfg.get("model", "yolov8n.pt")
         size_hint = _size_from_model_name(model_ref)
-        arch_hint = "v5" if "yolov5" in str(model_ref).lower() else "v8"
+        lname = str(model_ref).lower()
+        arch_hint = "v5" if "yolov5" in lname \
+            else "11" if "yolo11" in lname else "v8"
         # task: "detect" | "segment" | "pose" | "obb" | "auto" (from the
         # model name's "-seg"/"-pose"/"-obb" suffix, then from the
         # checkpoint's head)
@@ -83,7 +85,8 @@ class YOLOJax(Detector):
             else:
                 task = "pose"
         self.task = task
-        if self.task in ("segment", "pose", "obb") and self.arch == "v5":
+        if self.task in ("segment", "pose", "obb") \
+                and self.arch in ("v5", "11"):
             raise ValueError(f"task '{self.task}' requires a YOLOv8 "
                              f"{self.task} model")
         if not self.loaded:
@@ -94,6 +97,8 @@ class YOLOJax(Detector):
         if self.arch == "v5":
             no = self.params["24"]["m"][0]["b"].shape[0]
             self.nc = no // 3 - 5
+        elif self.arch == "11":
+            self.nc = self.params["23"]["cv3"][0][2]["b"].shape[0]
         else:
             self.nc = self.params["22"]["cv3"][0][2]["b"].shape[0]
         if self.int8:
@@ -129,6 +134,10 @@ class YOLOJax(Detector):
             from ..models.yolo import yolov5
             return yolov5.forward(params, imgs, size=self.size, nc=self.nc,
                                   dtype=self.dtype)
+        if self.arch == "11":
+            from ..models.yolo import yolo11
+            return yolo11.forward_11(params, imgs, size=self.size,
+                                     nc=self.nc, dtype=self.dtype)
         if self.task == "segment":
             from ..models.yolo import yolov8_seg
             return yolov8_seg.forward_seg(params, imgs, size=self.size,
@@ -151,6 +160,10 @@ class YOLOJax(Detector):
             from ..models.yolo import yolov5
             return yolov5.forward_raw(params, imgs, size=self.size,
                                       nc=self.nc, dtype=self.dtype)
+        if self.arch == "11":
+            from ..models.yolo import yolo11
+            return yolo11.forward_raw_11(params, imgs, size=self.size,
+                                         nc=self.nc, dtype=self.dtype)
         if self.task == "segment":
             from ..models.yolo import yolov8_seg
             return yolov8_seg.forward_seg_raw(params, imgs, size=self.size,

@@ -318,6 +318,8 @@ def params_to_state_dict(params: Mapping[str, Any],
     conv.bias, no BN keys — the post-``model.fuse()`` ultralytics layout)."""
     from . import weights as W
     sd: Dict[str, np.ndarray] = {}
+    if arch == "11":
+        return _params_to_state_dict_11(params)
     if arch == "v8":
         conv_layers, block_layers, head = W._CONV_LAYERS, W._C2F_LAYERS, "22"
     else:
@@ -356,6 +358,50 @@ def params_to_state_dict(params: Mapping[str, Any],
     else:
         for lvl, m in enumerate(params[head]["m"]):
             _put_plain(sd, f"model.24.m.{lvl}", m)
+    return sd
+
+
+def _params_to_state_dict_11(params: Mapping[str, Any]
+                             ) -> Dict[str, np.ndarray]:
+    """YOLO11 pytree → fused ultralytics key layout (detect layer 23,
+    C3k2 blocks with optional nested C3k, C2PSA at 10)."""
+    from . import weights as W
+    sd: Dict[str, np.ndarray] = {}
+    for i in W._C11_CONV_LAYERS:
+        _put_conv(sd, f"model.{i}", params[i])
+    for i in W._C11_C3K2_LAYERS:
+        blk = params[i]
+        _put_conv(sd, f"model.{i}.cv1", blk["cv1"])
+        _put_conv(sd, f"model.{i}.cv2", blk["cv2"])
+        for j, m in enumerate(blk["m"]):
+            _put_conv(sd, f"model.{i}.m.{j}.cv1", m["cv1"])
+            _put_conv(sd, f"model.{i}.m.{j}.cv2", m["cv2"])
+            if "cv3" in m:
+                _put_conv(sd, f"model.{i}.m.{j}.cv3", m["cv3"])
+                for k, mm in enumerate(m["m"]):
+                    _put_conv(sd, f"model.{i}.m.{j}.m.{k}.cv1", mm["cv1"])
+                    _put_conv(sd, f"model.{i}.m.{j}.m.{k}.cv2", mm["cv2"])
+    _put_conv(sd, "model.9.cv1", params["9"]["cv1"])
+    _put_conv(sd, "model.9.cv2", params["9"]["cv2"])
+    _put_conv(sd, "model.10.cv1", params["10"]["cv1"])
+    _put_conv(sd, "model.10.cv2", params["10"]["cv2"])
+    for j, m in enumerate(params["10"]["m"]):
+        _put_conv(sd, f"model.10.m.{j}.attn.qkv", m["attn"]["qkv"])
+        _put_conv(sd, f"model.10.m.{j}.attn.proj", m["attn"]["proj"])
+        _put_conv(sd, f"model.10.m.{j}.attn.pe", m["attn"]["pe"])
+        _put_conv(sd, f"model.10.m.{j}.ffn.0", m["ffn"][0])
+        _put_conv(sd, f"model.10.m.{j}.ffn.1", m["ffn"][1])
+    det = params["23"]
+    for lvl in range(3):
+        _put_conv(sd, f"model.23.cv2.{lvl}.0", det["cv2"][lvl][0])
+        _put_conv(sd, f"model.23.cv2.{lvl}.1", det["cv2"][lvl][1])
+        _put_plain(sd, f"model.23.cv2.{lvl}.2", det["cv2"][lvl][2])
+        cls = det["cv3"][lvl]
+        _put_conv(sd, f"model.23.cv3.{lvl}.0.0", cls[0]["dw"])
+        _put_conv(sd, f"model.23.cv3.{lvl}.0.1", cls[0]["pw"])
+        _put_conv(sd, f"model.23.cv3.{lvl}.1.0", cls[1]["dw"])
+        _put_conv(sd, f"model.23.cv3.{lvl}.1.1", cls[1]["pw"])
+        _put_plain(sd, f"model.23.cv3.{lvl}.2", cls[2])
     return sd
 
 

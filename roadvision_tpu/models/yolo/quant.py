@@ -88,6 +88,7 @@ def conv_i8(x: jnp.ndarray, p: Dict[str, jnp.ndarray], stride: int = 1,
         window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1] // p["w_i8"].shape[2],
         preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32) * (a_scale * p["w_scale"]) + p["b"]
     return jax.nn.silu(out) if act else out

@@ -124,15 +124,24 @@ def task_aligned_assign(scores: jnp.ndarray, pred_boxes: jnp.ndarray,
 
 def detection_loss(params, images, gt_boxes, gt_cls, gt_mask,
                    size: str = "n", nc: int = 80,
-                   dtype=jnp.float32) -> Tuple[jnp.ndarray, Dict]:
-    """Total v8 loss for a batch.
+                   dtype=jnp.float32, arch: str = "v8"
+                   ) -> Tuple[jnp.ndarray, Dict]:
+    """Total v8/v11 loss for a batch (the TAL objective is shared — the
+    two generations differ only in the feature/head graphs).
 
     images (B,H,W,3) float [0,1]; gt_boxes (B,M,4) xyxy input pixels;
     gt_cls (B,M) i32; gt_mask (B,M) bool.
     """
-    spec = arch_spec(size, nc)
-    feats = forward_features(params, images, spec, dtype)
-    outs = forward_head(params, feats, spec, dtype)
+    if arch == "11":
+        from .yolo11 import (arch_spec_11, forward_features_11,
+                             forward_head_11)
+        spec = arch_spec_11(size, nc)
+        feats = forward_features_11(params, images, spec, dtype)
+        outs = forward_head_11(params, feats, spec, dtype)
+    else:
+        spec = arch_spec(size, nc)
+        feats = forward_features(params, images, spec, dtype)
+        outs = forward_head(params, feats, spec, dtype)
 
     hw = [(o[0].shape[1], o[0].shape[2]) for o in outs]
     pts, strides = anchor_points(hw)                 # grid units / (N,)
@@ -196,7 +205,8 @@ def optax_sigmoid_bce(logits, labels):
 
 
 def make_train_step(size: str = "n", nc: int = 80, lr: float = 1e-3,
-                    dtype=jnp.float32, clip_norm: float = 10.0):
+                    dtype=jnp.float32, clip_norm: float = 10.0,
+                    arch: str = "v8"):
     """SGD-with-momentum train step (pure jax — no optax state pytree
     surprises under sharding), with global-norm gradient clipping and a
     non-finite guard (a NaN batch is skipped rather than poisoning the
@@ -207,7 +217,8 @@ def make_train_step(size: str = "n", nc: int = 80, lr: float = 1e-3,
              lr_scale=1.0):
         def loss_fn(p):
             return detection_loss(p, images, gt_boxes, gt_cls, gt_mask,
-                                  size=size, nc=nc, dtype=dtype)
+                                  size=size, nc=nc, dtype=dtype,
+                                  arch=arch)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
                              for g in jax.tree_util.tree_leaves(grads)))

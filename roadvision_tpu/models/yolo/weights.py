@@ -209,16 +209,98 @@ def state_dict_to_params_cls(sd: Mapping[str, Any]) -> Dict[str, Any]:
 def infer_size_from_state_dict(sd: Mapping[str, Any]) -> str:
     """Model size from the stem width (layer 0 output channels)."""
     sd = _normalize_keys(sd)
-    c0 = _to_np(sd["0.conv.weight"]).shape[0]
-    return {16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}[int(c0)]
+    c0 = int(_to_np(sd["0.conv.weight"]).shape[0])
+    if detect_arch(sd) == "11":
+        # YOLO11 widths: n .25, s .50, m/l 1.0 (depth splits them), x 1.5
+        if c0 == 64:
+            return "l" if "2.m.1.cv1.conv.weight" in sd else "m"
+        return {16: "n", 32: "s", 96: "x"}[c0]
+    return {16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}[c0]
 
 
 def detect_arch(sd: Mapping[str, Any]) -> str:
-    """"v8" (anchor-free Detect at layer 22) vs "v5" (anchored at 24)."""
+    """"v8" (anchor-free Detect at layer 22) vs "v5" (anchored at 24)
+    vs "11" (Detect at 23 after the C2PSA block)."""
     sd = _normalize_keys(sd)
     if any(k.startswith("24.m.") for k in sd):
         return "v5"
+    if any(k.startswith("23.cv2.") for k in sd):
+        return "11"
     return "v8"
+
+
+# ---------------------------------------------------------------------------
+# YOLO11 import (C3k2 blocks, C2PSA attention, DW-separable head at 23)
+# ---------------------------------------------------------------------------
+_C11_CONV_LAYERS = ("0", "1", "3", "5", "7", "17", "20")
+_C11_C3K2_LAYERS = ("2", "4", "6", "8", "13", "16", "19", "22")
+
+
+def _c3k2_import(sd, i: str) -> Dict[str, Any]:
+    """C3k2: the C2f shell whose m entries are either Bottlenecks
+    (cv1/cv2) or full C3k blocks (cv1/cv2/cv3 + inner m bottlenecks)."""
+    out = {"cv1": _fuse(sd, f"{i}.cv1"), "cv2": _fuse(sd, f"{i}.cv2"),
+           "m": []}
+    j = 0
+    while f"{i}.m.{j}.cv1.conv.weight" in sd:
+        if f"{i}.m.{j}.cv3.conv.weight" in sd:   # C3k
+            blk = {"cv1": _fuse(sd, f"{i}.m.{j}.cv1"),
+                   "cv2": _fuse(sd, f"{i}.m.{j}.cv2"),
+                   "cv3": _fuse(sd, f"{i}.m.{j}.cv3"), "m": []}
+            k = 0
+            while f"{i}.m.{j}.m.{k}.cv1.conv.weight" in sd:
+                blk["m"].append(
+                    {"cv1": _fuse(sd, f"{i}.m.{j}.m.{k}.cv1"),
+                     "cv2": _fuse(sd, f"{i}.m.{j}.m.{k}.cv2")})
+                k += 1
+        else:                                    # plain Bottleneck
+            blk = {"cv1": _fuse(sd, f"{i}.m.{j}.cv1"),
+                   "cv2": _fuse(sd, f"{i}.m.{j}.cv2")}
+        out["m"].append(blk)
+        j += 1
+    return out
+
+
+def state_dict_to_params_11(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert an ultralytics YOLO11 detection state dict to the pytree
+    of models/yolo/yolo11.py. Depthwise convs keep their (k, k, 1, C)
+    HWIO kernels — the forward infers feature_group_count from shape."""
+    sd = _normalize_keys(sd)
+    p: Dict[str, Any] = {}
+    for i in _C11_CONV_LAYERS:
+        p[i] = _fuse(sd, i)
+    for i in _C11_C3K2_LAYERS:
+        p[i] = _c3k2_import(sd, i)
+    p["9"] = {"cv1": _fuse(sd, "9.cv1"), "cv2": _fuse(sd, "9.cv2")}
+    psa = {"cv1": _fuse(sd, "10.cv1"), "cv2": _fuse(sd, "10.cv2"),
+           "m": []}
+    j = 0
+    while f"10.m.{j}.attn.qkv.conv.weight" in sd:
+        psa["m"].append({
+            "attn": {"qkv": _fuse(sd, f"10.m.{j}.attn.qkv"),
+                     "proj": _fuse(sd, f"10.m.{j}.attn.proj"),
+                     "pe": _fuse(sd, f"10.m.{j}.attn.pe")},
+            "ffn": [_fuse(sd, f"10.m.{j}.ffn.0"),
+                    _fuse(sd, f"10.m.{j}.ffn.1")],
+        })
+        j += 1
+    p["10"] = psa
+    det: Dict[str, Any] = {"cv2": [], "cv3": []}
+    for lvl in range(3):
+        det["cv2"].append([
+            _fuse(sd, f"23.cv2.{lvl}.0"),
+            _fuse(sd, f"23.cv2.{lvl}.1"),
+            _plain(sd, f"23.cv2.{lvl}.2.weight", f"23.cv2.{lvl}.2.bias"),
+        ])
+        det["cv3"].append([
+            {"dw": _fuse(sd, f"23.cv3.{lvl}.0.0"),
+             "pw": _fuse(sd, f"23.cv3.{lvl}.0.1")},
+            {"dw": _fuse(sd, f"23.cv3.{lvl}.1.0"),
+             "pw": _fuse(sd, f"23.cv3.{lvl}.1.1")},
+            _plain(sd, f"23.cv3.{lvl}.2.weight", f"23.cv3.{lvl}.2.bias"),
+        ])
+    p["23"] = det
+    return p
 
 
 # ---------------------------------------------------------------------------
@@ -286,9 +368,16 @@ def load_params(path_or_sd, size: str = "n", nc: int = 80,
                 raw = dict(np.load(p))
                 if raw and all(k.startswith("L") for k in raw):
                     params = import_npz(p)  # our own exported pytree
-                    c0 = params["0"]["w"].shape[-1]
-                    size = {16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}[int(c0)]
-                    arch = "v5" if "24" in params else "v8"
+                    c0 = int(params["0"]["w"].shape[-1])
+                    arch = "v5" if "24" in params \
+                        else "11" if "23" in params else "v8"
+                    if arch == "11":
+                        size = ("l" if len(params["2"]["m"]) > 1 else "m") \
+                            if c0 == 64 else {16: "n", 32: "s",
+                                              96: "x"}[c0]
+                    else:
+                        size = {16: "n", 32: "s", 48: "m", 64: "l",
+                                80: "x"}[c0]
                     return params, arch, size, True
                 sd = raw
             else:
@@ -299,6 +388,14 @@ def load_params(path_or_sd, size: str = "n", nc: int = 80,
             size = infer_size_from_state_dict(sd)
             if arch == "v5":
                 params = state_dict_to_params_v5(sd)
+            elif arch == "11":
+                nsd = _normalize_keys(sd)
+                if any(k.startswith("23.cv4.")
+                       or k.startswith("23.proto.") for k in nsd):
+                    raise ValueError(
+                        "YOLO11 seg/pose/obb heads are not supported "
+                        "yet — use the yolov8 task families")
+                params = state_dict_to_params_11(sd)
             else:
                 loaders = {"segment": state_dict_to_params_seg,
                            "pose": state_dict_to_params_pose,
@@ -317,6 +414,10 @@ def load_params(path_or_sd, size: str = "n", nc: int = 80,
     if arch == "v5":
         from .yolov5 import init_params as v5_init
         return v5_init(jax.random.PRNGKey(0), size, nc), "v5", size, False
+    if arch == "11":
+        from .yolo11 import init_params_11
+        return (init_params_11(jax.random.PRNGKey(0), size, nc),
+                "11", size, False)
     if task == "segment":
         from .yolov8_seg import init_params_seg
         return (init_params_seg(jax.random.PRNGKey(0), size, nc),

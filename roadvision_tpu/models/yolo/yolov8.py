@@ -151,7 +151,9 @@ def _conv(x, p, stride: int = 1, act: bool = True,
           dtype=jnp.float32, pad: int = None) -> jnp.ndarray:
     """Fused Conv(+bias)+SiLU, autopad k//2 (override for e.g. the v5
     6×6/p=2 stem), NHWC/HWIO. Dispatches to the int8 path when the param
-    dict holds quantized weights (models/yolo/quant.py)."""
+    dict holds quantized weights (models/yolo/quant.py). Grouped/depthwise
+    convs (YOLO11's DWConv head, C2PSA positional encoding) are inferred
+    from the kernel's input-channel width — no metadata needed."""
     if "w_i8" in p:
         from .quant import conv_i8
         return conv_i8(x, p, stride=stride, act=act, pad=pad)
@@ -162,6 +164,7 @@ def _conv(x, p, stride: int = 1, act: bool = True,
         window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1] // p["w"].shape[2],
         preferred_element_type=jnp.float32)
     out = out + p["b"]
     if not act:

@@ -177,6 +177,121 @@ def v5_forward(params, x_nhwc):
                 torch.cat(scores_l, 1).numpy())
 
 
+# --- YOLO11 blocks (C3k2 / C2PSA / DW-separable head) ------------------------
+
+def _gconv(x, p, stride=1, act=True):
+    """Grouped conv twin: groups inferred from the kernel's input width
+    (depthwise kernels arrive as HWIO (k, k, 1, C))."""
+    w = _weight(p)
+    k = w.shape[-1]
+    g = x.shape[1] // w.shape[1]
+    y = F.conv2d(x, w, _bias(p), stride=stride, padding=k // 2, groups=g)
+    return F.silu(y) if act else y
+
+
+def c3k(x, p):
+    y1 = conv(x, p["cv1"])
+    for mp in p["m"]:
+        y1 = y1 + conv(conv(y1, mp["cv1"]), mp["cv2"])
+    return conv(torch.cat([y1, conv(x, p["cv2"])], 1), p["cv3"])
+
+
+def c3k2(x, p):
+    y = conv(x, p["cv1"])
+    c = y.shape[1] // 2
+    parts = [y[:, :c], y[:, c:]]
+    for mp in p["m"]:
+        if "cv3" in mp:
+            parts.append(c3k(parts[-1], mp))
+        else:
+            parts.append(parts[-1]
+                         + conv(conv(parts[-1], mp["cv1"]), mp["cv2"]))
+    return conv(torch.cat(parts, 1), p["cv2"])
+
+
+def _attention_t(x, p):
+    b, c, hh, ww = x.shape
+    n = hh * ww
+    nh = c // 64
+    hd = c // nh
+    kd = hd // 2
+    qkv = _gconv(x, p["qkv"], act=False)
+    qkv = qkv.view(b, nh, kd * 2 + hd, n)
+    q, k, v = qkv.split([kd, kd, hd], dim=2)
+    attn = (q.transpose(-2, -1) @ k) * (kd ** -0.5)
+    attn = attn.softmax(dim=-1)
+    out = (v @ attn.transpose(-2, -1)).view(b, c, hh, ww)
+    out = out + _gconv(v.reshape(b, c, hh, ww), p["pe"], act=False)
+    return _gconv(out, p["proj"], act=False)
+
+
+def _psablock_t(x, p):
+    x = x + _attention_t(x, p["attn"])
+    return x + _gconv(_gconv(x, p["ffn"][0]), p["ffn"][1], act=False)
+
+
+def c2psa(x, p):
+    y = conv(x, p["cv1"])
+    c = y.shape[1] // 2
+    a, b = y[:, :c], y[:, c:]
+    for mp in p["m"]:
+        b = _psablock_t(b, mp)
+    return conv(torch.cat([a, b], 1), p["cv2"])
+
+
+def v11_forward(params, x_nhwc):
+    """params: jax yolo11 pytree; x_nhwc: np float32 (B,H,W,3) in [0,1].
+    Returns (boxes_xyxy (B,N,4), scores (B,N,nc)) as numpy."""
+    x = torch.from_numpy(np.ascontiguousarray(
+        np.asarray(x_nhwc).transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        y = conv(x, params["0"], stride=2)
+        y = conv(y, params["1"], stride=2)
+        y = c3k2(y, params["2"])
+        y = conv(y, params["3"], stride=2)
+        p3 = c3k2(y, params["4"])
+        y = conv(p3, params["5"], stride=2)
+        p4 = c3k2(y, params["6"])
+        y = conv(p4, params["7"], stride=2)
+        y = c3k2(y, params["8"])
+        y = sppf(y, params["9"])
+        p5 = c2psa(y, params["10"])
+
+        h4 = c3k2(torch.cat([up2(p5), p4], 1), params["13"])
+        o3 = c3k2(torch.cat([up2(h4), p3], 1), params["16"])
+        o4 = c3k2(torch.cat([conv(o3, params["17"], stride=2), h4], 1),
+                  params["19"])
+        o5 = c3k2(torch.cat([conv(o4, params["20"], stride=2), p5], 1),
+                  params["22"])
+
+        det = params["23"]
+        boxes_l, scores_l = [], []
+        for lvl, f in enumerate((o3, o4, o5)):
+            b = conv(conv(f, det["cv2"][lvl][0]), det["cv2"][lvl][1])
+            b = conv(b, det["cv2"][lvl][2], act=False)
+            c = f
+            for blk in det["cv3"][lvl][:2]:
+                c = _gconv(_gconv(c, blk["dw"]), blk["pw"])
+            c = conv(c, det["cv3"][lvl][2], act=False)
+            bs, _, h, w = b.shape
+            stride = float(V8_STRIDES[lvl])
+            bl = b.permute(0, 2, 3, 1).reshape(bs, h * w, 4, REG_MAX)
+            ltrb = (bl.softmax(-1)
+                    * torch.arange(REG_MAX, dtype=torch.float32)).sum(-1)
+            gy, gx = torch.meshgrid(torch.arange(h, dtype=torch.float32),
+                                    torch.arange(w, dtype=torch.float32),
+                                    indexing="ij")
+            pts = torch.stack([gx.reshape(-1), gy.reshape(-1)], -1) + 0.5
+            x1y1 = (pts[None] - ltrb[..., :2]) * stride
+            x2y2 = (pts[None] + ltrb[..., 2:]) * stride
+            boxes_l.append(torch.cat([x1y1, x2y2], -1))
+            nc = c.shape[1]
+            scores_l.append(
+                c.permute(0, 2, 3, 1).reshape(bs, h * w, nc).sigmoid())
+        return (torch.cat(boxes_l, 1).numpy(),
+                torch.cat(scores_l, 1).numpy())
+
+
 # --- letterbox + rescale (ultralytics geometry, torch/numpy) ----------------
 
 def letterbox(frames_u8, size, auto=False, stride=32):

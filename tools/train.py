@@ -90,7 +90,8 @@ def main(argv=None) -> int:
 
     size_hint = args.size or "n"
     name = str(args.weights).lower()
-    arch_hint = "v5" if "yolov5" in name else "v8"
+    arch_hint = "v5" if "yolov5" in name \
+        else "11" if "yolo11" in name else "v8"
     task = "segment" if "-seg" in name \
         else "pose" if "-pose" in name \
         else "obb" if "-obb" in name else "detect"
@@ -110,6 +111,8 @@ def main(argv=None) -> int:
         # the actual head width wins over --nc (pose random init is 1,
         # obb is 15)
         args.nc = int(params["22"]["cv3"][0][2]["b"].shape[0])
+    elif arch == "11":
+        args.nc = int(params["23"]["cv3"][0][2]["b"].shape[0])
     seg_task = task == "segment"
     pose_task = task == "pose"
     obb_task = task == "obb"
@@ -132,7 +135,7 @@ def main(argv=None) -> int:
         from roadvision_tpu.models.yolo.train_obb import make_train_step_obb
         step = make_train_step_obb(size, args.nc, lr=args.lr)
     else:
-        step = make_train_step(size, args.nc, lr=args.lr)
+        step = make_train_step(size, args.nc, lr=args.lr, arch=arch)
 
     if args.dp > 1:
         from roadvision_tpu.parallel import (batch_sharding, make_mesh,
