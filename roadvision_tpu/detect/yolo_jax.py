@@ -75,20 +75,20 @@ class YOLOJax(Detector):
         self.params, self.arch, self.size, self.loaded = \
             yolo_weights.load_params(model_ref, size=size_hint,
                                      arch=arch_hint, task=task)
-        if self.arch == "v8" and "cv4" in self.params.get("22", {}):
+        head = "23" if self.arch == "11" else "22"
+        if self.arch != "v5" and "cv4" in self.params.get(head, {}):
             # checkpoint head wins over the hint (cv4 final width: 1 =
             # angle branch, else keypoints — weights.detect_task logic)
-            if "proto" in self.params["22"]:
+            if "proto" in self.params[head]:
                 task = "segment"
-            elif self.params["22"]["cv4"][0][2]["b"].shape[0] == 1:
+            elif self.params[head]["cv4"][0][2]["b"].shape[0] == 1:
                 task = "obb"
             else:
                 task = "pose"
         self.task = task
-        if self.task in ("segment", "pose", "obb") \
-                and self.arch in ("v5", "11"):
-            raise ValueError(f"task '{self.task}' requires a YOLOv8 "
-                             f"{self.task} model")
+        if self.task in ("segment", "pose", "obb") and self.arch == "v5":
+            raise ValueError(f"task '{self.task}' requires a YOLOv8 or "
+                             f"YOLO11 {self.task} model")
         if not self.loaded:
             suffix = {"segment": "-seg", "pose": "-pose",
                       "obb": "-obb"}.get(task, "")
@@ -97,10 +97,8 @@ class YOLOJax(Detector):
         if self.arch == "v5":
             no = self.params["24"]["m"][0]["b"].shape[0]
             self.nc = no // 3 - 5
-        elif self.arch == "11":
-            self.nc = self.params["23"]["cv3"][0][2]["b"].shape[0]
         else:
-            self.nc = self.params["22"]["cv3"][0][2]["b"].shape[0]
+            self.nc = self.params[head]["cv3"][0][2]["b"].shape[0]
         if self.int8:
             from ..models.yolo.quant import quantize_params
             self.params = quantize_params(self.params)
@@ -134,22 +132,25 @@ class YOLOJax(Detector):
             from ..models.yolo import yolov5
             return yolov5.forward(params, imgs, size=self.size, nc=self.nc,
                                   dtype=self.dtype)
+        if self.task == "segment":
+            from ..models.yolo import yolov8_seg
+            return yolov8_seg.forward_seg(params, imgs, size=self.size,
+                                          nc=self.nc, dtype=self.dtype,
+                                          arch=self.arch)
+        if self.task == "pose":
+            from ..models.yolo import yolov8_pose
+            return yolov8_pose.forward_pose(params, imgs, size=self.size,
+                                            nc=self.nc, dtype=self.dtype,
+                                            arch=self.arch)
+        if self.task == "obb":
+            from ..models.yolo import yolov8_obb
+            return yolov8_obb.forward_obb(params, imgs, size=self.size,
+                                          nc=self.nc, dtype=self.dtype,
+                                          arch=self.arch)
         if self.arch == "11":
             from ..models.yolo import yolo11
             return yolo11.forward_11(params, imgs, size=self.size,
                                      nc=self.nc, dtype=self.dtype)
-        if self.task == "segment":
-            from ..models.yolo import yolov8_seg
-            return yolov8_seg.forward_seg(params, imgs, size=self.size,
-                                          nc=self.nc, dtype=self.dtype)
-        if self.task == "pose":
-            from ..models.yolo import yolov8_pose
-            return yolov8_pose.forward_pose(params, imgs, size=self.size,
-                                            nc=self.nc, dtype=self.dtype)
-        if self.task == "obb":
-            from ..models.yolo import yolov8_obb
-            return yolov8_obb.forward_obb(params, imgs, size=self.size,
-                                          nc=self.nc, dtype=self.dtype)
         return yolov8.forward(params, imgs, size=self.size, nc=self.nc,
                               dtype=self.dtype)
 
@@ -160,25 +161,28 @@ class YOLOJax(Detector):
             from ..models.yolo import yolov5
             return yolov5.forward_raw(params, imgs, size=self.size,
                                       nc=self.nc, dtype=self.dtype)
-        if self.arch == "11":
-            from ..models.yolo import yolo11
-            return yolo11.forward_raw_11(params, imgs, size=self.size,
-                                         nc=self.nc, dtype=self.dtype)
         if self.task == "segment":
             from ..models.yolo import yolov8_seg
             return yolov8_seg.forward_seg_raw(params, imgs, size=self.size,
-                                              nc=self.nc, dtype=self.dtype)
+                                              nc=self.nc, dtype=self.dtype,
+                                              arch=self.arch)
         if self.task == "pose":
             from ..models.yolo import yolov8_pose
             return yolov8_pose.forward_pose_raw(params, imgs,
                                                 size=self.size,
                                                 nc=self.nc,
-                                                dtype=self.dtype)
+                                                dtype=self.dtype,
+                                                arch=self.arch)
         if self.task == "obb":
             from ..models.yolo import yolov8_obb
             return yolov8_obb.forward_obb_raw(params, imgs,
                                               size=self.size, nc=self.nc,
-                                              dtype=self.dtype)
+                                              dtype=self.dtype,
+                                              arch=self.arch)
+        if self.arch == "11":
+            from ..models.yolo import yolo11
+            return yolo11.forward_raw_11(params, imgs, size=self.size,
+                                         nc=self.nc, dtype=self.dtype)
         return yolov8.forward_raw(params, imgs, size=self.size, nc=self.nc,
                                   dtype=self.dtype)
 

@@ -402,6 +402,20 @@ def _params_to_state_dict_11(params: Mapping[str, Any]
         _put_conv(sd, f"model.23.cv3.{lvl}.1.0", cls[1]["dw"])
         _put_conv(sd, f"model.23.cv3.{lvl}.1.1", cls[1]["pw"])
         _put_plain(sd, f"model.23.cv3.{lvl}.2", cls[2])
+        if "cv4" in det:   # task side branch (seg coeffs / kpts / angle)
+            stages = det["cv4"][lvl]
+            _put_conv(sd, f"model.23.cv4.{lvl}.0", stages[0])
+            _put_conv(sd, f"model.23.cv4.{lvl}.1", stages[1])
+            _put_plain(sd, f"model.23.cv4.{lvl}.2", stages[2])
+    if "proto" in det:     # Segment head
+        pr = det["proto"]
+        _put_conv(sd, "model.23.proto.cv1", pr["cv1"])
+        sd["model.23.proto.upsample.weight"] = np.asarray(
+            pr["up_w"], np.float32).transpose(2, 3, 0, 1)   # HWIO→IOHW
+        sd["model.23.proto.upsample.bias"] = np.asarray(
+            pr["up_b"], np.float32)
+        _put_conv(sd, "model.23.proto.cv2", pr["cv2"])
+        _put_conv(sd, "model.23.proto.cv3", pr["cv3"])
     return sd
 
 

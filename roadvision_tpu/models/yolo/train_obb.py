@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from ...ops.obb import probiou_pairs
 from .train import EPS, optax_sigmoid_bce
-from .yolov8 import REG_MAX, anchor_points, forward_features, forward_head
+from .yolov8 import REG_MAX, anchor_points, backbone_head_forward
 from .yolov8_obb import decode_angle, decode_rbox, forward_angle_raw, obb_spec
 
 
@@ -114,15 +114,15 @@ def task_aligned_assign_rotated(scores: jnp.ndarray, pred_rb: jnp.ndarray,
 
 def obb_loss(params, images, gt_rboxes, gt_cls, gt_mask,
              size: str = "n", nc: int = 15,
-             dtype=jnp.float32) -> Tuple[jnp.ndarray, Dict]:
+             dtype=jnp.float32, arch: str = "v8"
+             ) -> Tuple[jnp.ndarray, Dict]:
     """Total v8-obb loss for a batch.
 
     images (B,H,W,3) float [0,1]; gt_rboxes (B,M,5) cx,cy,w,h input px
     + θ rad; gt_cls (B,M) i32; gt_mask (B,M) bool (slot validity).
     """
-    spec = obb_spec(size, nc)
-    feats = forward_features(params, images, spec, dtype)
-    outs = forward_head(params, feats, spec, dtype)
+    spec = obb_spec(size, nc, arch)
+    feats, outs = backbone_head_forward(params, images, spec, dtype)
     angle = decode_angle(forward_angle_raw(params, feats, spec, dtype))
 
     hw = [(o[0].shape[1], o[0].shape[2]) for o in outs]
@@ -177,7 +177,8 @@ def obb_loss(params, images, gt_rboxes, gt_cls, gt_mask,
 
 
 def make_train_step_obb(size: str = "n", nc: int = 15, lr: float = 1e-3,
-                        dtype=jnp.float32, clip_norm: float = 10.0):
+                        dtype=jnp.float32, clip_norm: float = 10.0,
+                        arch: str = "v8"):
     """SGD-momentum step for the OBB objective — same contract as
     train.make_train_step with gt_rboxes (B,M,5) in place of gt_boxes."""
 
@@ -186,7 +187,7 @@ def make_train_step_obb(size: str = "n", nc: int = 15, lr: float = 1e-3,
              lr_scale=1.0):
         def loss_fn(p):
             return obb_loss(p, images, gt_rboxes, gt_cls, gt_mask,
-                            size=size, nc=nc, dtype=dtype)
+                            size=size, nc=nc, dtype=dtype, arch=arch)
         (loss, aux), grads = jax.value_and_grad(loss_fn,
                                                 has_aux=True)(params)
         gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .train import EPS, ciou, optax_sigmoid_bce, task_aligned_assign
-from .yolov8 import REG_MAX, anchor_points, forward_features, forward_head
+from .yolov8 import REG_MAX, anchor_points, backbone_head_forward
 from .yolov8_pose import KPT_SHAPE, forward_kpts_raw, pose_spec
 
 # COCO OKS per-keypoint falloff constants (cocoeval.py convention)
@@ -48,16 +48,16 @@ OKS_SIGMAS = np.array([.26, .25, .25, .35, .35, .79, .79, .72, .72,
 
 def pose_loss(params, images, gt_boxes, gt_cls, gt_mask, gt_kpts,
               size: str = "n", nc: int = 1, kpt_topk: int = 64,
-              dtype=jnp.float32) -> Tuple[jnp.ndarray, Dict]:
+              dtype=jnp.float32, arch: str = "v8"
+              ) -> Tuple[jnp.ndarray, Dict]:
     """Total v8-pose loss for a batch.
 
     images (B,H,W,3) float [0,1]; gt_boxes (B,M,4) xyxy input px;
     gt_cls (B,M) i32; gt_mask (B,M) bool (slot validity);
     gt_kpts (B,M,17,3) float — x, y input px, v>0 labelled.
     """
-    spec = pose_spec(size, nc)
-    feats = forward_features(params, images, spec, dtype)
-    outs = forward_head(params, feats, spec, dtype)
+    spec = pose_spec(size, nc, arch)
+    feats, outs = backbone_head_forward(params, images, spec, dtype)
     kraw = forward_kpts_raw(params, feats, spec, dtype)     # (B,N,51)
 
     hw = [(o[0].shape[1], o[0].shape[2]) for o in outs]
@@ -144,7 +144,7 @@ def pose_loss(params, images, gt_boxes, gt_cls, gt_mask, gt_kpts,
 
 def make_train_step_pose(size: str = "n", nc: int = 1, lr: float = 1e-3,
                          kpt_topk: int = 64, dtype=jnp.float32,
-                         clip_norm: float = 10.0):
+                         clip_norm: float = 10.0, arch: str = "v8"):
     """SGD-momentum step for the pose objective — same contract as
     train.make_train_step with a trailing gt_kpts batch argument."""
 
@@ -154,7 +154,7 @@ def make_train_step_pose(size: str = "n", nc: int = 1, lr: float = 1e-3,
         def loss_fn(p):
             return pose_loss(p, images, gt_boxes, gt_cls, gt_mask,
                              gt_kpts, size=size, nc=nc,
-                             kpt_topk=kpt_topk, dtype=dtype)
+                             kpt_topk=kpt_topk, dtype=dtype, arch=arch)
         (loss, aux), grads = jax.value_and_grad(loss_fn,
                                                 has_aux=True)(params)
         gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)

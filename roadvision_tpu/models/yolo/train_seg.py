@@ -32,25 +32,26 @@ import jax
 import jax.numpy as jnp
 
 from .train import (EPS, ciou, optax_sigmoid_bce, task_aligned_assign)
-from .yolov8 import REG_MAX, anchor_points, forward_features, forward_head
+from .yolov8 import REG_MAX, anchor_points, backbone_head_forward
 from .yolov8_seg import _proto_forward, forward_coeffs, seg_spec
 
 
 def segmentation_loss(params, images, gt_boxes, gt_cls, gt_mask,
                       gt_masks, size: str = "n", nc: int = 80,
                       mask_topk: int = 64,
-                      dtype=jnp.float32) -> Tuple[jnp.ndarray, Dict]:
+                      dtype=jnp.float32, arch: str = "v8"
+                      ) -> Tuple[jnp.ndarray, Dict]:
     """Total v8-seg loss for a batch.
 
     images (B,H,W,3) float [0,1]; gt_boxes (B,M,4) xyxy input px;
     gt_cls (B,M) i32; gt_mask (B,M) bool (slot validity);
     gt_masks (B,M,H/4,W/4) float instance masks at prototype resolution.
     """
-    spec = seg_spec(size, nc)
-    feats = forward_features(params, images, spec, dtype)
-    outs = forward_head(params, feats, spec, dtype)
+    spec = seg_spec(size, nc, arch)
+    feats, outs = backbone_head_forward(params, images, spec, dtype)
     coeffs = forward_coeffs(params, feats, spec, dtype)     # (B,N,nm)
-    protos = _proto_forward(params["22"]["proto"], feats[0], dtype)
+    protos = _proto_forward(params[spec["head"]]["proto"], feats[0],
+                            dtype)
 
     hw = [(o[0].shape[1], o[0].shape[2]) for o in outs]
     pts, strides = anchor_points(hw)
@@ -133,7 +134,7 @@ def segmentation_loss(params, images, gt_boxes, gt_cls, gt_mask,
 
 def make_train_step_seg(size: str = "n", nc: int = 80, lr: float = 1e-3,
                         mask_topk: int = 64, dtype=jnp.float32,
-                        clip_norm: float = 10.0):
+                        clip_norm: float = 10.0, arch: str = "v8"):
     """SGD-momentum step for the seg objective — same contract as
     train.make_train_step with a trailing gt_masks batch argument."""
 
@@ -143,7 +144,8 @@ def make_train_step_seg(size: str = "n", nc: int = 80, lr: float = 1e-3,
         def loss_fn(p):
             return segmentation_loss(p, images, gt_boxes, gt_cls,
                                      gt_mask, gt_masks, size=size, nc=nc,
-                                     mask_topk=mask_topk, dtype=dtype)
+                                     mask_topk=mask_topk, dtype=dtype,
+                                     arch=arch)
         (loss, aux), grads = jax.value_and_grad(loss_fn,
                                                 has_aux=True)(params)
         gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)

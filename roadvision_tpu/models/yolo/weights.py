@@ -113,75 +113,83 @@ def state_dict_to_params(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return p
 
 
-def state_dict_to_params_seg(sd: Mapping[str, Any]) -> Dict[str, Any]:
-    """Ultralytics YOLOv8-seg state dict → pytree: the detection mapping
+def state_dict_to_params_seg(sd: Mapping[str, Any],
+                             arch: str = "v8") -> Dict[str, Any]:
+    """Ultralytics YOLO seg state dict → pytree: the detection mapping
     plus the Segment head's ``cv4`` coefficient branch and ``proto``
-    prototype head (models/yolo/yolov8_seg.py layout). The ConvTranspose
-    upsample weight arrives (in, out, kH, kW) and is stored HWIO."""
-    p = state_dict_to_params(sd)
+    prototype head (models/yolo/yolov8_seg.py layout; arch "v8" or
+    "11"). The ConvTranspose upsample weight arrives (in, out, kH, kW)
+    and is stored HWIO."""
+    base, head = _base_loader(arch)
+    p = base(sd)
     sd = _normalize_keys(sd)
-    cv4 = []
-    for lvl in range(3):
-        cv4.append([
-            _fuse(sd, f"22.cv4.{lvl}.0"),
-            _fuse(sd, f"22.cv4.{lvl}.1"),
-            _plain(sd, f"22.cv4.{lvl}.2.weight", f"22.cv4.{lvl}.2.bias"),
-        ])
-    p["22"]["cv4"] = cv4
-    up_w = _to_np(sd["22.proto.upsample.weight"]).astype(np.float32)
-    up_b = (_to_np(sd["22.proto.upsample.bias"]).astype(np.float32)
-            if "22.proto.upsample.bias" in sd
+    p[head]["cv4"] = _cv4_branch(sd, head)
+    up_w = _to_np(sd[f"{head}.proto.upsample.weight"]).astype(np.float32)
+    up_b = (_to_np(sd[f"{head}.proto.upsample.bias"]).astype(np.float32)
+            if f"{head}.proto.upsample.bias" in sd
             else np.zeros(up_w.shape[1], np.float32))
-    p["22"]["proto"] = {
-        "cv1": _fuse(sd, "22.proto.cv1"),
+    p[head]["proto"] = {
+        "cv1": _fuse(sd, f"{head}.proto.cv1"),
         "up_w": jnp.asarray(up_w.transpose(2, 3, 0, 1)),  # IOHW → HWIO
         "up_b": jnp.asarray(up_b),
-        "cv2": _fuse(sd, "22.proto.cv2"),
-        "cv3": _fuse(sd, "22.proto.cv3"),
+        "cv2": _fuse(sd, f"{head}.proto.cv2"),
+        "cv3": _fuse(sd, f"{head}.proto.cv3"),
     }
     return p
 
 
 def detect_task(sd: Mapping[str, Any]) -> str:
-    """"segment" (cv4 + proto at layer 22), "pose"/"obb" (cv4 without
-    proto — the final cv4 conv is 51-wide for keypoints, 1-wide for
-    the angle), "classify" (linear head at layer 9) or "detect"."""
+    """"segment" (cv4 + proto at the detect layer — 22 for v8, 23 for
+    YOLO11), "pose"/"obb" (cv4 without proto — the final cv4 conv is
+    51-wide for keypoints, 1-wide for the angle), "classify" (linear
+    head at layer 9/10) or "detect"."""
     sd = _normalize_keys(sd)
-    if any(k.startswith("22.proto.") for k in sd):
+    head = "23" if any(k.startswith("23.cv2.") for k in sd) else "22"
+    if any(k.startswith(f"{head}.proto.") for k in sd):
         return "segment"
-    if "22.cv4.0.2.weight" in sd:
-        ne = _to_np(sd["22.cv4.0.2.weight"]).shape[0]
+    if f"{head}.cv4.0.2.weight" in sd:
+        ne = _to_np(sd[f"{head}.cv4.0.2.weight"]).shape[0]
         return "obb" if ne == 1 else "pose"
-    if "9.linear.weight" in sd:
+    if "9.linear.weight" in sd or "10.linear.weight" in sd:
         return "classify"
     return "detect"
 
 
-def _cv4_branch(sd: Mapping[str, Any]) -> list:
-    """The shared 3-conv cv4 side branch (pose keypoints / obb angle)."""
+def _cv4_branch(sd: Mapping[str, Any], head: str = "22") -> list:
+    """The shared 3-conv cv4 side branch (pose keypoints / obb angle /
+    seg coefficients), at the generation's detect layer."""
     return [[
-        _fuse(sd, f"22.cv4.{lvl}.0"),
-        _fuse(sd, f"22.cv4.{lvl}.1"),
-        _plain(sd, f"22.cv4.{lvl}.2.weight", f"22.cv4.{lvl}.2.bias"),
+        _fuse(sd, f"{head}.cv4.{lvl}.0"),
+        _fuse(sd, f"{head}.cv4.{lvl}.1"),
+        _plain(sd, f"{head}.cv4.{lvl}.2.weight",
+               f"{head}.cv4.{lvl}.2.bias"),
     ] for lvl in range(3)]
 
 
-def state_dict_to_params_pose(sd: Mapping[str, Any]) -> Dict[str, Any]:
-    """Ultralytics YOLOv8-pose state dict → pytree: the detection
-    mapping plus the Pose head's cv4 keypoint branch
-    (models/yolo/yolov8_pose.py layout)."""
-    p = state_dict_to_params(sd)
-    p["22"]["cv4"] = _cv4_branch(_normalize_keys(sd))
+def _base_loader(arch: str):
+    return (state_dict_to_params_11, "23") if arch == "11" \
+        else (state_dict_to_params, "22")
+
+
+def state_dict_to_params_pose(sd: Mapping[str, Any],
+                              arch: str = "v8") -> Dict[str, Any]:
+    """Ultralytics YOLO pose state dict → pytree: the detection mapping
+    plus the Pose head's cv4 keypoint branch
+    (models/yolo/yolov8_pose.py layout; arch "v8" or "11")."""
+    base, head = _base_loader(arch)
+    p = base(sd)
+    p[head]["cv4"] = _cv4_branch(_normalize_keys(sd), head)
     return p
 
 
-def state_dict_to_params_obb(sd: Mapping[str, Any]) -> Dict[str, Any]:
-    """Ultralytics YOLOv8-obb state dict → pytree: the detection
-    mapping plus the OBB head's cv4 angle branch
-    (models/yolo/yolov8_obb.py layout — same shape family as pose,
-    ne=1)."""
-    p = state_dict_to_params(sd)
-    p["22"]["cv4"] = _cv4_branch(_normalize_keys(sd))
+def state_dict_to_params_obb(sd: Mapping[str, Any],
+                             arch: str = "v8") -> Dict[str, Any]:
+    """Ultralytics YOLO obb state dict → pytree: the detection mapping
+    plus the OBB head's cv4 angle branch (models/yolo/yolov8_obb.py
+    layout — same shape family as pose, ne=1; arch "v8" or "11")."""
+    base, head = _base_loader(arch)
+    p = base(sd)
+    p[head]["cv4"] = _cv4_branch(_normalize_keys(sd), head)
     return p
 
 
@@ -388,20 +396,16 @@ def load_params(path_or_sd, size: str = "n", nc: int = 80,
             size = infer_size_from_state_dict(sd)
             if arch == "v5":
                 params = state_dict_to_params_v5(sd)
-            elif arch == "11":
-                nsd = _normalize_keys(sd)
-                if any(k.startswith("23.cv4.")
-                       or k.startswith("23.proto.") for k in nsd):
-                    raise ValueError(
-                        "YOLO11 seg/pose/obb heads are not supported "
-                        "yet — use the yolov8 task families")
-                params = state_dict_to_params_11(sd)
             else:
-                loaders = {"segment": state_dict_to_params_seg,
-                           "pose": state_dict_to_params_pose,
-                           "obb": state_dict_to_params_obb,
-                           "detect": state_dict_to_params}
-                params = loaders[detect_task(sd)](sd)
+                found = detect_task(sd)
+                if found == "detect":
+                    params = (state_dict_to_params_11(sd) if arch == "11"
+                              else state_dict_to_params(sd))
+                else:
+                    loaders = {"segment": state_dict_to_params_seg,
+                               "pose": state_dict_to_params_pose,
+                               "obb": state_dict_to_params_obb}
+                    params = loaders[found](sd, arch=arch)
             return params, arch, size, True
         except KeyError as exc:
             if not allow_random:
@@ -414,24 +418,25 @@ def load_params(path_or_sd, size: str = "n", nc: int = 80,
     if arch == "v5":
         from .yolov5 import init_params as v5_init
         return v5_init(jax.random.PRNGKey(0), size, nc), "v5", size, False
+    if task == "segment":
+        from .yolov8_seg import init_params_seg
+        return (init_params_seg(jax.random.PRNGKey(0), size, nc,
+                                arch=arch),
+                arch, size, False)
+    if task == "pose":
+        from .yolov8_pose import init_params_pose
+        return (init_params_pose(jax.random.PRNGKey(0), size,
+                                 nc if nc != 80 else 1, arch=arch),
+                arch, size, False)
+    if task == "obb":
+        from .yolov8_obb import init_params_obb
+        return (init_params_obb(jax.random.PRNGKey(0), size,
+                                nc if nc != 80 else 15, arch=arch),
+                arch, size, False)
     if arch == "11":
         from .yolo11 import init_params_11
         return (init_params_11(jax.random.PRNGKey(0), size, nc),
                 "11", size, False)
-    if task == "segment":
-        from .yolov8_seg import init_params_seg
-        return (init_params_seg(jax.random.PRNGKey(0), size, nc),
-                "v8", size, False)
-    if task == "pose":
-        from .yolov8_pose import init_params_pose
-        return (init_params_pose(jax.random.PRNGKey(0), size,
-                                 nc if nc != 80 else 1),
-                "v8", size, False)
-    if task == "obb":
-        from .yolov8_obb import init_params_obb
-        return (init_params_obb(jax.random.PRNGKey(0), size,
-                                nc if nc != 80 else 15),
-                "v8", size, False)
     return init_params(jax.random.PRNGKey(0), size, nc), "v8", size, False
 
 

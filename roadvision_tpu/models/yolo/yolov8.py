@@ -308,3 +308,37 @@ forward = jax.jit(forward_raw, static_argnames=("size", "nc", "dtype"))
 
 def count_params(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Arch dispatch (v8 | 11) — the task heads (seg/pose/obb) attach the same
+# cv4/proto branches to either generation's detect layer ("22" vs "23")
+# ---------------------------------------------------------------------------
+
+def base_spec(size: str, nc: int, arch: str = "v8") -> Dict[str, Any]:
+    """arch_spec of the requested generation + the head layer key."""
+    if arch == "11":
+        from .yolo11 import arch_spec_11
+        spec = arch_spec_11(size, nc)
+    else:
+        spec = arch_spec(size, nc)
+    spec["arch"] = arch
+    spec["head"] = "23" if arch == "11" else "22"
+    return spec
+
+
+def base_init(key, size: str, nc: int, arch: str = "v8") -> Dict[str, Any]:
+    if arch == "11":
+        from .yolo11 import init_params_11
+        return init_params_11(key, size, nc)
+    return init_params(key, size, nc)
+
+
+def backbone_head_forward(params, x, spec, dtype=jnp.float32):
+    """(feats, per-level head outputs) for the spec's generation."""
+    if spec.get("arch", "v8") == "11":
+        from .yolo11 import forward_features_11, forward_head_11
+        feats = forward_features_11(params, x, spec, dtype)
+        return feats, forward_head_11(params, feats, spec, dtype)
+    feats = forward_features(params, x, spec, dtype)
+    return feats, forward_head(params, feats, spec, dtype)

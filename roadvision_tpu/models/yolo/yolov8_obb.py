@@ -8,7 +8,9 @@ follows the ultralytics OBB head convention so real ``-obb``
 checkpoints import 1:1 (models/yolo/weights.py:
 state_dict_to_params_obb):
 
-  * the detection backbone/neck/head of yolov8.py, unchanged;
+  * the detection backbone/neck/head of yolov8.py — or YOLO11's
+    (``arch="11"``: the same cv4 angle branch on detect layer 23,
+    so ``yolo11*-obb.pt`` imports 1:1 too);
   * ``cv4`` — a third per-level branch predicting ``ne = 1`` raw angle
     value per anchor (Conv k3 → Conv k3 → 1×1 to ne);
   * angle decode: θ = (sigmoid(raw) − 0.25)·π, i.e. [−π/4, 3π/4);
@@ -27,9 +29,9 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from .yolov8 import (REG_MAX, _conv, _init_conv, anchor_points, arch_spec,
-                     dfl_decode, forward_features, forward_head,
-                     init_params)
+from .yolov8 import (REG_MAX, _conv, _init_conv, anchor_points,
+                     backbone_head_forward, base_init, base_spec,
+                     dfl_decode)
 
 NE = 1   # raw angle channels per anchor
 
@@ -43,19 +45,21 @@ DOTA_NAMES = (
 )
 
 
-def obb_spec(size: str = "n", nc: int = 15) -> Dict[str, Any]:
-    """arch_spec + the OBB head's channel plan (nc defaults to 15:
-    ``-obb`` checkpoints are DOTA-trained)."""
-    spec = arch_spec(size, nc)
+def obb_spec(size: str = "n", nc: int = 15,
+             arch: str = "v8") -> Dict[str, Any]:
+    """arch spec (v8 or 11) + the OBB head's channel plan (nc defaults
+    to 15: ``-obb`` checkpoints are DOTA-trained)."""
+    spec = base_spec(size, nc, arch)
     spec["ne"] = NE
     spec["c4"] = max(spec["ch_det"][0] // 4, NE)
     return spec
 
 
-def init_params_obb(key, size: str = "n", nc: int = 15) -> Dict[str, Any]:
+def init_params_obb(key, size: str = "n", nc: int = 15,
+                    arch: str = "v8") -> Dict[str, Any]:
     kd, kc = jax.random.split(key)
-    p = init_params(kd, size, nc)
-    spec = obb_spec(size, nc)
+    p = base_init(kd, size, nc, arch)
+    spec = obb_spec(size, nc, arch)
     c4, ne = spec["c4"], spec["ne"]
     cv4 = []
     for lvl, ch in enumerate(spec["ch_det"]):
@@ -65,13 +69,13 @@ def init_params_obb(key, size: str = "n", nc: int = 15) -> Dict[str, Any]:
             _init_conv(ks[1], c4, c4, 3),
             _init_conv(ks[2], c4, ne, 1),
         ])
-    p["22"]["cv4"] = cv4
+    p[spec["head"]]["cv4"] = cv4
     return p
 
 
 def forward_angle_raw(params, feats, spec, dtype=jnp.float32) -> jnp.ndarray:
     """Per-level cv4 branch → concatenated (B, N) raw angle logits."""
-    cv4 = params["22"]["cv4"]
+    cv4 = params[spec.get("head", "22")]["cv4"]
     outs = []
     for lvl, f in enumerate(feats):
         a = _conv(f, cv4[lvl][0], dtype=dtype)
@@ -106,13 +110,12 @@ def decode_rbox(box_logits: jnp.ndarray, angle: jnp.ndarray,
 
 
 def forward_obb_raw(params, x, size: str = "n", nc: int = 15,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, arch: str = "v8"):
     """(B, H, W, 3) float [0,1] → (rboxes (B,N,5) cx,cy,w,h px + θ rad,
     scores (B,N,nc)). Un-jitted — compose inside larger jitted steps
     (same contract as yolov8.forward_raw)."""
-    spec = obb_spec(size, nc)
-    feats = forward_features(params, x, spec, dtype)
-    outs = forward_head(params, feats, spec, dtype)
+    spec = obb_spec(size, nc, arch)
+    feats, outs = backbone_head_forward(params, x, spec, dtype)
     hw = [(o[0].shape[1], o[0].shape[2]) for o in outs]
     bs = x.shape[0]
     box_logits = jnp.concatenate(
@@ -125,4 +128,4 @@ def forward_obb_raw(params, x, size: str = "n", nc: int = 15,
 
 
 forward_obb = jax.jit(forward_obb_raw, static_argnames=("size", "nc",
-                                                        "dtype"))
+                                                        "dtype", "arch"))

@@ -6,7 +6,9 @@ it wraps also ships ``yolov8*-pose.pt``). Architecture follows the
 ultralytics Pose head convention so real ``-pose`` checkpoints import
 1:1 (models/yolo/weights.py:state_dict_to_params_pose):
 
-  * the detection backbone/neck/head of yolov8.py, unchanged;
+  * the detection backbone/neck/head of yolov8.py — or YOLO11's
+    (``arch="11"``: the same cv4 branch on detect layer 23, so
+    ``yolo11*-pose.pt`` imports 1:1 too);
   * ``cv4`` — a third per-level branch predicting ``nk = 17·3`` raw
     keypoint values per anchor (Conv k3 → Conv k3 → 1×1 to nk), the
     COCO 17-keypoint (x, y, visibility) layout;
@@ -26,8 +28,8 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from .yolov8 import (_conv, _init_conv, anchor_points, arch_spec, decode,
-                     forward_features, forward_head, init_params)
+from .yolov8 import (_conv, _init_conv, anchor_points, backbone_head_forward,
+                     base_init, base_spec, decode)
 
 KPT_SHAPE = (17, 3)   # COCO keypoints: (x, y, visibility)
 NK = KPT_SHAPE[0] * KPT_SHAPE[1]
@@ -38,19 +40,21 @@ SKELETON = ((15, 13), (13, 11), (16, 14), (14, 12), (11, 12), (5, 11),
             (0, 1), (0, 2), (1, 3), (2, 4), (3, 5), (4, 6))
 
 
-def pose_spec(size: str = "n", nc: int = 1) -> Dict[str, Any]:
-    """arch_spec + the pose head's channel plan (nc defaults to 1:
-    ``-pose`` checkpoints are person-only)."""
-    spec = arch_spec(size, nc)
+def pose_spec(size: str = "n", nc: int = 1,
+              arch: str = "v8") -> Dict[str, Any]:
+    """arch spec (v8 or 11) + the pose head's channel plan (nc defaults
+    to 1: ``-pose`` checkpoints are person-only)."""
+    spec = base_spec(size, nc, arch)
     spec["nk"] = NK
     spec["c4"] = max(spec["ch_det"][0] // 4, NK)
     return spec
 
 
-def init_params_pose(key, size: str = "n", nc: int = 1) -> Dict[str, Any]:
+def init_params_pose(key, size: str = "n", nc: int = 1,
+                     arch: str = "v8") -> Dict[str, Any]:
     kd, kc = jax.random.split(key)
-    p = init_params(kd, size, nc)
-    spec = pose_spec(size, nc)
+    p = base_init(kd, size, nc, arch)
+    spec = pose_spec(size, nc, arch)
     c4, nk = spec["c4"], spec["nk"]
     cv4 = []
     for lvl, ch in enumerate(spec["ch_det"]):
@@ -60,13 +64,13 @@ def init_params_pose(key, size: str = "n", nc: int = 1) -> Dict[str, Any]:
             _init_conv(ks[1], c4, c4, 3),
             _init_conv(ks[2], c4, nk, 1),
         ])
-    p["22"]["cv4"] = cv4
+    p[spec["head"]]["cv4"] = cv4
     return p
 
 
 def forward_kpts_raw(params, feats, spec, dtype=jnp.float32) -> jnp.ndarray:
     """Per-level cv4 branch → concatenated (B, N, nk) raw values."""
-    cv4 = params["22"]["cv4"]
+    cv4 = params[spec.get("head", "22")]["cv4"]
     outs = []
     for lvl, f in enumerate(feats):
         k = _conv(f, cv4[lvl][0], dtype=dtype)
@@ -89,13 +93,12 @@ def decode_kpts(raw: jnp.ndarray, hw_per_level) -> jnp.ndarray:
 
 
 def forward_pose_raw(params, x, size: str = "n", nc: int = 1,
-                     dtype=jnp.float32):
+                     dtype=jnp.float32, arch: str = "v8"):
     """(B, H, W, 3) float [0,1] → (boxes (B,N,4), scores (B,N,nc),
     kpts (B,N,17,3) in input pixels). Un-jitted — compose inside larger
     jitted steps (same contract as yolov8.forward_raw)."""
-    spec = pose_spec(size, nc)
-    feats = forward_features(params, x, spec, dtype)
-    outs = forward_head(params, feats, spec, dtype)
+    spec = pose_spec(size, nc, arch)
+    feats, outs = backbone_head_forward(params, x, spec, dtype)
     boxes, scores = decode(outs, nc)
     hw = [(o[0].shape[1], o[0].shape[2]) for o in outs]
     kpts = decode_kpts(forward_kpts_raw(params, feats, spec, dtype), hw)
@@ -103,7 +106,7 @@ def forward_pose_raw(params, x, size: str = "n", nc: int = 1,
 
 
 forward_pose = jax.jit(forward_pose_raw, static_argnames=("size", "nc",
-                                                          "dtype"))
+                                                          "dtype", "arch"))
 
 
 def scale_kpts(kpts: jnp.ndarray, ratio, pad, orig_hw) -> jnp.ndarray:

@@ -8,7 +8,9 @@ reference finds the segment task here). Architecture follows the
 ultralytics Segment head convention so real ``-seg`` checkpoints import
 1:1 (models/yolo/weights.py:state_dict_to_params_seg):
 
-  * the detection backbone/neck/head of yolov8.py, unchanged;
+  * the detection backbone/neck/head of yolov8.py — or YOLO11's
+    (``arch="11"``: the same cv4/proto branches on detect layer
+    23, so ``yolo11*-seg.pt`` imports 1:1 too);
   * ``cv4`` — a third per-level branch predicting ``nm`` mask
     coefficients per anchor (Conv k3 → Conv k3 → 1×1 to nm);
   * ``proto`` — a prototype-mask head on the P3 (stride-8) feature:
@@ -39,28 +41,33 @@ import jax
 import jax.numpy as jnp
 
 from .yolov8 import (REG_MAX, SIZE_CFG, _conv, _init_conv, _scale_ch,
-                     arch_spec, decode, forward_features, forward_head,
-                     init_params)
+                     backbone_head_forward, base_init, base_spec, decode)
 
 NM = 32          # prototype / coefficient count (size-invariant)
 NPR = 256        # prototype head width before width-multiple scaling
 
 
-def seg_spec(size: str = "n", nc: int = 80) -> Dict[str, Any]:
-    """arch_spec + the segmentation head's channel plan."""
-    spec = arch_spec(size, nc)
-    _, width, max_ch = SIZE_CFG[size]
+def seg_spec(size: str = "n", nc: int = 80,
+             arch: str = "v8") -> Dict[str, Any]:
+    """arch spec (v8 or 11) + the segmentation head's channel plan."""
+    spec = base_spec(size, nc, arch)
+    if arch == "11":
+        from .yolo11 import SIZE_CFG_11
+        _, width, max_ch = SIZE_CFG_11[size]
+    else:
+        _, width, max_ch = SIZE_CFG[size]
     spec["nm"] = NM
     spec["npr"] = _scale_ch(NPR, width, max_ch)
     spec["c4"] = max(spec["ch_det"][0] // 4, NM)
     return spec
 
 
-def init_params_seg(key, size: str = "n", nc: int = 80) -> Dict[str, Any]:
-    """Detection pytree + ``22.cv4`` + ``22.proto`` (random init)."""
+def init_params_seg(key, size: str = "n", nc: int = 80,
+                    arch: str = "v8") -> Dict[str, Any]:
+    """Detection pytree + head ``cv4`` + ``proto`` (random init)."""
     kd, kc, kp = jax.random.split(key, 3)
-    p = init_params(kd, size, nc)
-    spec = seg_spec(size, nc)
+    p = base_init(kd, size, nc, arch)
+    spec = seg_spec(size, nc, arch)
     c4, nm, npr = spec["c4"], spec["nm"], spec["npr"]
 
     cv4 = []
@@ -71,12 +78,12 @@ def init_params_seg(key, size: str = "n", nc: int = 80) -> Dict[str, Any]:
             _init_conv(ks[1], c4, c4, 3),
             _init_conv(ks[2], c4, nm, 1),
         ])
-    p["22"]["cv4"] = cv4
+    p[spec["head"]]["cv4"] = cv4
 
     kp1, kup, kp2, kp3 = jax.random.split(kp, 4)
     ch_p3 = spec["ch_det"][0]
     fan = npr * 2 * 2
-    p["22"]["proto"] = {
+    p[spec["head"]]["proto"] = {
         "cv1": _init_conv(kp1, ch_p3, npr, 3),
         # ConvTranspose 2×2 s2 kernel, stored HWIO (2, 2, npr, npr)
         "up_w": jax.random.normal(kup, (2, 2, npr, npr), jnp.float32)
@@ -119,7 +126,7 @@ def _proto_forward(p: Dict[str, Any], x: jnp.ndarray,
 def forward_coeffs(params, feats, spec, dtype=jnp.float32) -> jnp.ndarray:
     """Per-level cv4 branch → concatenated (B, N, nm) coefficients
     (raw linear outputs — composition applies sigmoid after the dot)."""
-    cv4 = params["22"]["cv4"]
+    cv4 = params[spec.get("head", "22")]["cv4"]
     outs = []
     for lvl, f in enumerate(feats):
         m = _conv(f, cv4[lvl][0], dtype=dtype)
@@ -130,18 +137,17 @@ def forward_coeffs(params, feats, spec, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def forward_seg_raw(params, x, size: str = "n", nc: int = 80,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, arch: str = "v8"):
     """(B, H, W, 3) float [0,1] → (boxes (B,N,4), scores (B,N,nc),
     coeffs (B,N,nm), protos (B,H/4,W/4,nm)). Un-jitted — compose inside
     larger jitted steps (same contract as yolov8.forward_raw)."""
-    spec = seg_spec(size, nc)
-    feats = forward_features(params, x, spec, dtype)
-    outs = forward_head(params, feats, spec, dtype)
+    spec = seg_spec(size, nc, arch)
+    feats, outs = backbone_head_forward(params, x, spec, dtype)
     boxes, scores = decode(outs, nc)
     coeffs = forward_coeffs(params, feats, spec, dtype)
-    protos = _proto_forward(params["22"]["proto"], feats[0], dtype)
+    protos = _proto_forward(params[spec["head"]]["proto"], feats[0], dtype)
     return boxes, scores, coeffs, protos
 
 
 forward_seg = jax.jit(forward_seg_raw, static_argnames=("size", "nc",
-                                                        "dtype"))
+                                                        "dtype", "arch"))

@@ -239,57 +239,172 @@ def c2psa(x, p):
     return conv(torch.cat([a, b], 1), p["cv2"])
 
 
+def _v11_feats(params, x):
+    """YOLO11 backbone + neck on an NCHW tensor → (o3, o4, o5)."""
+    y = conv(x, params["0"], stride=2)
+    y = conv(y, params["1"], stride=2)
+    y = c3k2(y, params["2"])
+    y = conv(y, params["3"], stride=2)
+    p3 = c3k2(y, params["4"])
+    y = conv(p3, params["5"], stride=2)
+    p4 = c3k2(y, params["6"])
+    y = conv(p4, params["7"], stride=2)
+    y = c3k2(y, params["8"])
+    y = sppf(y, params["9"])
+    p5 = c2psa(y, params["10"])
+
+    h4 = c3k2(torch.cat([up2(p5), p4], 1), params["13"])
+    o3 = c3k2(torch.cat([up2(h4), p3], 1), params["16"])
+    o4 = c3k2(torch.cat([conv(o3, params["17"], stride=2), h4], 1),
+              params["19"])
+    o5 = c3k2(torch.cat([conv(o4, params["20"], stride=2), p5], 1),
+              params["22"])
+    return o3, o4, o5
+
+
+def _v11_det_decode(det, feats):
+    """DW-separable v11 Detect head + DFL/anchor decode →
+    (boxes (B,N,4), scores (B,N,nc)) torch tensors."""
+    boxes_l, scores_l = [], []
+    for lvl, f in enumerate(feats):
+        b = conv(conv(f, det["cv2"][lvl][0]), det["cv2"][lvl][1])
+        b = conv(b, det["cv2"][lvl][2], act=False)
+        c = f
+        for blk in det["cv3"][lvl][:2]:
+            c = _gconv(_gconv(c, blk["dw"]), blk["pw"])
+        c = conv(c, det["cv3"][lvl][2], act=False)
+        bs, _, h, w = b.shape
+        stride = float(V8_STRIDES[lvl])
+        bl = b.permute(0, 2, 3, 1).reshape(bs, h * w, 4, REG_MAX)
+        ltrb = (bl.softmax(-1)
+                * torch.arange(REG_MAX, dtype=torch.float32)).sum(-1)
+        gy, gx = torch.meshgrid(torch.arange(h, dtype=torch.float32),
+                                torch.arange(w, dtype=torch.float32),
+                                indexing="ij")
+        pts = torch.stack([gx.reshape(-1), gy.reshape(-1)], -1) + 0.5
+        x1y1 = (pts[None] - ltrb[..., :2]) * stride
+        x2y2 = (pts[None] + ltrb[..., 2:]) * stride
+        boxes_l.append(torch.cat([x1y1, x2y2], -1))
+        nc = c.shape[1]
+        scores_l.append(
+            c.permute(0, 2, 3, 1).reshape(bs, h * w, nc).sigmoid())
+    return torch.cat(boxes_l, 1), torch.cat(scores_l, 1)
+
+
 def v11_forward(params, x_nhwc):
     """params: jax yolo11 pytree; x_nhwc: np float32 (B,H,W,3) in [0,1].
     Returns (boxes_xyxy (B,N,4), scores (B,N,nc)) as numpy."""
     x = torch.from_numpy(np.ascontiguousarray(
         np.asarray(x_nhwc).transpose(0, 3, 1, 2)))
     with torch.no_grad():
-        y = conv(x, params["0"], stride=2)
-        y = conv(y, params["1"], stride=2)
-        y = c3k2(y, params["2"])
-        y = conv(y, params["3"], stride=2)
-        p3 = c3k2(y, params["4"])
-        y = conv(p3, params["5"], stride=2)
-        p4 = c3k2(y, params["6"])
-        y = conv(p4, params["7"], stride=2)
-        y = c3k2(y, params["8"])
-        y = sppf(y, params["9"])
-        p5 = c2psa(y, params["10"])
+        feats = _v11_feats(params, x)
+        boxes, scores = _v11_det_decode(params["23"], feats)
+        return boxes.numpy(), scores.numpy()
 
-        h4 = c3k2(torch.cat([up2(p5), p4], 1), params["13"])
-        o3 = c3k2(torch.cat([up2(h4), p3], 1), params["16"])
-        o4 = c3k2(torch.cat([conv(o3, params["17"], stride=2), h4], 1),
-                  params["19"])
-        o5 = c3k2(torch.cat([conv(o4, params["20"], stride=2), p5], 1),
-                  params["22"])
 
+def v11_pose_forward(params, x_nhwc):
+    """v11 twin of yolov8_pose.forward_pose_raw(arch="11"): the cv4
+    keypoint branch on the YOLO11 feats, head layer 23."""
+    x = torch.from_numpy(np.ascontiguousarray(
+        np.asarray(x_nhwc).transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        feats = _v11_feats(params, x)
         det = params["23"]
-        boxes_l, scores_l = [], []
-        for lvl, f in enumerate((o3, o4, o5)):
+        boxes, scores = _v11_det_decode(det, feats)
+        kraw_l, grid_l, stride_l = [], [], []
+        for lvl, f in enumerate(feats):
+            k = conv(conv(f, det["cv4"][lvl][0]), det["cv4"][lvl][1])
+            k = conv(k, det["cv4"][lvl][2], act=False)
+            bs, nk, h, w = k.shape
+            kraw_l.append(k.permute(0, 2, 3, 1).reshape(bs, h * w, nk))
+            gy, gx = torch.meshgrid(torch.arange(h, dtype=torch.float32),
+                                    torch.arange(w, dtype=torch.float32),
+                                    indexing="ij")
+            grid_l.append(torch.stack([gx.reshape(-1), gy.reshape(-1)],
+                                      -1))
+            stride_l.append(torch.full((h * w,), float(V8_STRIDES[lvl])))
+        kraw = torch.cat(kraw_l, 1)
+        grid = torch.cat(grid_l, 0)
+        strides = torch.cat(stride_l, 0)
+        bs, n, nk = kraw.shape
+        yk = kraw.reshape(bs, n, nk // 3, 3)
+        xy = (yk[..., :2] * 2.0 + grid[None, :, None, :]) \
+            * strides[None, :, None, None]
+        kpts = torch.cat([xy, yk[..., 2:3].sigmoid()], -1)
+        return boxes.numpy(), scores.numpy(), kpts.numpy()
+
+
+def v11_obb_forward(params, x_nhwc):
+    """v11 twin of yolov8_obb.forward_obb_raw(arch="11"): cv4 angle
+    branch + dist2rbox on the YOLO11 feats, head layer 23."""
+    x = torch.from_numpy(np.ascontiguousarray(
+        np.asarray(x_nhwc).transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        feats = _v11_feats(params, x)
+        det = params["23"]
+        rb_l, scores_l = [], []
+        for lvl, f in enumerate(feats):
             b = conv(conv(f, det["cv2"][lvl][0]), det["cv2"][lvl][1])
             b = conv(b, det["cv2"][lvl][2], act=False)
             c = f
             for blk in det["cv3"][lvl][:2]:
                 c = _gconv(_gconv(c, blk["dw"]), blk["pw"])
             c = conv(c, det["cv3"][lvl][2], act=False)
+            a = conv(conv(f, det["cv4"][lvl][0]), det["cv4"][lvl][1])
+            a = conv(a, det["cv4"][lvl][2], act=False)
             bs, _, h, w = b.shape
             stride = float(V8_STRIDES[lvl])
             bl = b.permute(0, 2, 3, 1).reshape(bs, h * w, 4, REG_MAX)
             ltrb = (bl.softmax(-1)
                     * torch.arange(REG_MAX, dtype=torch.float32)).sum(-1)
+            theta = (a.permute(0, 2, 3, 1).reshape(bs, h * w).sigmoid()
+                     - 0.25) * np.pi
             gy, gx = torch.meshgrid(torch.arange(h, dtype=torch.float32),
                                     torch.arange(w, dtype=torch.float32),
                                     indexing="ij")
             pts = torch.stack([gx.reshape(-1), gy.reshape(-1)], -1) + 0.5
-            x1y1 = (pts[None] - ltrb[..., :2]) * stride
-            x2y2 = (pts[None] + ltrb[..., 2:]) * stride
-            boxes_l.append(torch.cat([x1y1, x2y2], -1))
+            lt, rb = ltrb[..., :2], ltrb[..., 2:]
+            xf = (rb[..., 0] - lt[..., 0]) / 2.0
+            yf = (rb[..., 1] - lt[..., 1]) / 2.0
+            cos, sin = theta.cos(), theta.sin()
+            cx = (xf * cos - yf * sin + pts[None, :, 0]) * stride
+            cy = (xf * sin + yf * cos + pts[None, :, 1]) * stride
+            wh = (lt + rb) * stride
+            rb_l.append(torch.stack([cx, cy, wh[..., 0], wh[..., 1],
+                                     theta], -1))
             nc = c.shape[1]
             scores_l.append(
                 c.permute(0, 2, 3, 1).reshape(bs, h * w, nc).sigmoid())
-        return (torch.cat(boxes_l, 1).numpy(),
+        return (torch.cat(rb_l, 1).numpy(),
                 torch.cat(scores_l, 1).numpy())
+
+
+def v11_seg_forward(params, x_nhwc):
+    """v11 twin of yolov8_seg.forward_seg_raw(arch="11"): cv4 mask
+    coefficients + Proto prototypes on the YOLO11 feats, head 23."""
+    x = torch.from_numpy(np.ascontiguousarray(
+        np.asarray(x_nhwc).transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        feats = _v11_feats(params, x)
+        det = params["23"]
+        boxes, scores = _v11_det_decode(det, feats)
+        coeffs_l = []
+        for lvl, f in enumerate(feats):
+            m = conv(conv(f, det["cv4"][lvl][0]), det["cv4"][lvl][1])
+            m = conv(m, det["cv4"][lvl][2], act=False)
+            bs, nm, h, w = m.shape
+            coeffs_l.append(m.permute(0, 2, 3, 1).reshape(bs, h * w, nm))
+        coeffs = torch.cat(coeffs_l, 1)
+        pr = det["proto"]
+        t = conv(feats[0], pr["cv1"])
+        up_w = torch.from_numpy(
+            np.asarray(pr["up_w"]).transpose(2, 3, 0, 1).copy())
+        up_b = torch.from_numpy(np.asarray(pr["up_b"]).copy())
+        t = F.conv_transpose2d(t, up_w, up_b, stride=2)
+        t = conv(t, pr["cv2"])
+        protos = conv(t, pr["cv3"])
+        return (boxes.numpy(), scores.numpy(), coeffs.numpy(),
+                protos.permute(0, 2, 3, 1).numpy())
 
 
 # --- letterbox + rescale (ultralytics geometry, torch/numpy) ----------------

@@ -159,11 +159,10 @@ def test_infer_yolo11_end_to_end():
         assert d.cls_name == det.names[d.cls_id]
 
 
-def test_v11_task_heads_rejected():
-    det_kwargs = {"model": "yolo11n.pt", "task": "segment"}
+def test_v5_task_heads_rejected():
     from roadvision_tpu.detect.yolo_jax import YOLOJax
-    with pytest.raises(ValueError, match="YOLOv8"):
-        YOLOJax(det_kwargs)
+    with pytest.raises(ValueError, match="YOLOv8 or"):
+        YOLOJax({"model": "yolov5n.pt", "task": "segment"})
 
 
 def test_params_onnx_roundtrip_v11(tmp_path):

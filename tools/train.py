@@ -98,21 +98,20 @@ def main(argv=None) -> int:
     params, arch, size, loaded = yolo_weights.load_params(
         args.weights, size=size_hint, nc=args.nc, arch=arch_hint,
         task=task)
-    if arch == "v8" and "cv4" in params.get("22", {}):
+    head = "23" if arch == "11" else "22"
+    if arch != "v5" and "cv4" in params.get(head, {}):
         # checkpoint head wins over the name hint (cv4 final width: 1 =
         # angle branch, else keypoints — weights.detect_task logic)
-        if "proto" in params["22"]:
+        if "proto" in params[head]:
             task = "segment"
-        elif params["22"]["cv4"][0][2]["b"].shape[0] == 1:
+        elif params[head]["cv4"][0][2]["b"].shape[0] == 1:
             task = "obb"
         else:
             task = "pose"
-    if arch == "v8":
+    if arch != "v5":
         # the actual head width wins over --nc (pose random init is 1,
         # obb is 15)
-        args.nc = int(params["22"]["cv3"][0][2]["b"].shape[0])
-    elif arch == "11":
-        args.nc = int(params["23"]["cv3"][0][2]["b"].shape[0])
+        args.nc = int(params[head]["cv3"][0][2]["b"].shape[0])
     seg_task = task == "segment"
     pose_task = task == "pose"
     obb_task = task == "obb"
@@ -127,13 +126,13 @@ def main(argv=None) -> int:
         step = make_train_step_v5(size, args.nc, lr=args.lr)
     elif seg_task:
         from roadvision_tpu.models.yolo.train_seg import make_train_step_seg
-        step = make_train_step_seg(size, args.nc, lr=args.lr)
+        step = make_train_step_seg(size, args.nc, lr=args.lr, arch=arch)
     elif pose_task:
         from roadvision_tpu.models.yolo.train_pose import make_train_step_pose
-        step = make_train_step_pose(size, args.nc, lr=args.lr)
+        step = make_train_step_pose(size, args.nc, lr=args.lr, arch=arch)
     elif obb_task:
         from roadvision_tpu.models.yolo.train_obb import make_train_step_obb
-        step = make_train_step_obb(size, args.nc, lr=args.lr)
+        step = make_train_step_obb(size, args.nc, lr=args.lr, arch=arch)
     else:
         step = make_train_step(size, args.nc, lr=args.lr, arch=arch)
 
