@@ -22,7 +22,7 @@ enable_compilation_cache()
 from roadvision_tpu.detect import build_detector  # noqa: E402
 from roadvision_tpu.io_video import VideoSource  # noqa: E402
 from roadvision_tpu.utils import get_logger  # noqa: E402
-from roadvision_tpu.vis import draw_detections  # noqa: E402
+from roadvision_tpu.vis import draw_overlays  # noqa: E402
 
 log = get_logger("roadvision.detect")
 
@@ -79,23 +79,20 @@ def main(argv=None) -> int:
         dets = det.infer(fr.image)
         img = np.ascontiguousarray(fr.image)
         task = getattr(det, "task", "detect")
-        if task == "segment":
-            from roadvision_tpu.vis import draw_masks
-            draw_masks(img, dets, det.last_letterbox_meta(),
-                       alpha=args.mask_alpha)
-        draw_detections(img, dets)
-        if task == "pose":
-            from roadvision_tpu.vis import draw_keypoints
-            draw_keypoints(img, dets)
-        if task == "obb":
-            from roadvision_tpu.vis import draw_rboxes
-            draw_rboxes(img, dets)
+        draw_overlays(img, dets,
+                      lb_meta=(det.last_letterbox_meta()
+                               if task == "segment" else None),
+                      mask_alpha=args.mask_alpha)
         Image.fromarray(img[..., ::-1]).save(out_dir / f"frame_{i:05d}.jpg")
         if args.json:
-            records.append([{
-                "bbox": [d.x1, d.y1, d.x2, d.y2], "conf": d.conf,
-                "cls_id": d.cls_id, "cls_name": d.cls_name,
-            } for d in dets])
+            records.append([dict(
+                {"bbox": [d.x1, d.y1, d.x2, d.y2], "conf": d.conf,
+                 "cls_id": d.cls_id, "cls_name": d.cls_name},
+                **({"rbox": np.asarray(d.rbox).tolist()}
+                   if d.rbox is not None else {}),
+                **({"keypoints": np.asarray(d.keypoints).tolist()}
+                   if d.keypoints is not None else {}),
+            ) for d in dets])
         i += 1
         if args.frames is not None and i >= args.frames:
             break
