@@ -281,11 +281,28 @@ class PipelineEngine:
             boxes = scale_boxes(boxes, ratio, pad, (h, w))
 
             if track:
-                def body(st, frame):
-                    fb, fc, fcf, fv, ft = frame
-                    return sort_step(st, fb, fc, fcf, fv, ft, proj)
-                sort_state, outs = jax.lax.scan(
-                    body, sort_state, (boxes, cls_id, conf, valid, ts))
+                if getattr(sort_step, "needs_embeddings", False):
+                    # re-id backend (deepsort): per-det appearance
+                    # descriptors, computed on device from the RAW
+                    # frames (stable across preprocess settings; proc
+                    # may not even exist on the sampled path)
+                    from ..track.appearance import box_embeddings
+                    embs = jax.vmap(box_embeddings)(frames_u8, boxes,
+                                                    valid)
+
+                    def body(st, frame):
+                        fb, fc, fcf, fv, ft, fe = frame
+                        return sort_step(st, fb, fc, fcf, fv, ft, proj,
+                                         fe)
+                    sort_state, outs = jax.lax.scan(
+                        body, sort_state,
+                        (boxes, cls_id, conf, valid, ts, embs))
+                else:
+                    def body(st, frame):
+                        fb, fc, fcf, fv, ft = frame
+                        return sort_step(st, fb, fc, fcf, fv, ft, proj)
+                    sort_state, outs = jax.lax.scan(
+                        body, sort_state, (boxes, cls_id, conf, valid, ts))
                 ids, dist, speed = outs.track_id, outs.distance_m, outs.speed_kmh
             else:
                 ids = jnp.zeros((b, det.max_det), jnp.int32)

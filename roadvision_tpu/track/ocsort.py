@@ -86,7 +86,7 @@ def make_oc_associate(iou_threshold: float, vdc_weight: float,
 
     def associate(iou, alive, dvalid, conf, ctx):
         del conf
-        state, boxes, _ts = ctx
+        state, boxes, _ts, _emb = ctx
         num_t, num_d = iou.shape
 
         # OCM: angle between observed track direction and the direction

@@ -17,6 +17,7 @@ from typing import Any, Dict, Type
 
 from .base import Tracker
 from .bytetrack import ByteTracker, make_byte_step
+from .deepsort import DeepSortTracker, make_deepsort_step
 from .ocsort import OcSortTracker, make_oc_step
 from .sort_tracker import SortTracker
 from .sort_tpu import make_sort_step
@@ -25,6 +26,7 @@ BACKENDS: Dict[str, Type[Tracker]] = {
     "sort": SortTracker,
     "bytetrack": ByteTracker,
     "ocsort": OcSortTracker,
+    "deepsort": DeepSortTracker,
 }
 
 
@@ -75,4 +77,15 @@ def build_device_step(cfg: Dict[str, Any]):
             use_ocr=bool(cfg.get("use_ocr", True)),
             oru_steps=int(cfg.get("oru_steps", 4)),
             new_track_thresh=float(cfg.get("new_track_thresh", 0.6)))
+    if name == "deepsort":
+        step = make_deepsort_step(
+            float(cfg.get("iou_threshold", 0.3)),
+            float(cfg.get("max_staleness", 1.0)),
+            float(cfg.get("speed_window", 0.75)),
+            app_weight=float(cfg.get("app_weight", 0.5)),
+            app_thresh=float(cfg.get("app_thresh", 0.6)),
+            rescue_iou=float(cfg.get("rescue_iou", 0.02)),
+            new_track_thresh=float(cfg.get("new_track_thresh", 0.6)))
+        step.needs_embeddings = True  # engine computes per-det descriptors
+        return step
     raise ValueError(f"unknown tracking backend: {name}")

@@ -51,6 +51,10 @@ import jax.numpy as jnp
 HISTORY = 32  # position history capacity (reference caps at 32, :158-159)
 STATE_DIM = 7
 MEAS_DIM = 4
+# appearance-descriptor width (track/appearance.py; plain int here to
+# keep this module import-light)
+_EMB_DIM = 108
+APP_EMA = 0.9  # matched-track appearance EMA factor (DeepSORT-style)
 
 _R = jnp.diag(jnp.array([1.0, 1.0, 10.0, 10.0], jnp.float32))
 _P0 = jnp.diag(jnp.array([10.0, 10.0, 10.0, 10.0, 1e4, 1e4, 1e4], jnp.float32))
@@ -89,6 +93,10 @@ class SortState(NamedTuple):
     prev_obs_ts: jnp.ndarray  # (T,) f32
     obs_mean: jnp.ndarray    # (T, 7) f32 KF posterior at last observation
     obs_cov: jnp.ndarray     # (T, 7, 7) f32
+    # appearance memory (maintained whenever the step receives per-det
+    # embeddings; consumed by the re-id association in deepsort.py) —
+    # EMA of the matched detections' descriptors, L2-renormalized
+    app: jnp.ndarray         # (T, appearance.EMB_DIM) f32
 
 
 class SortOutput(NamedTuple):
@@ -124,6 +132,7 @@ def init_state(num_slots: int) -> SortState:
         prev_obs_ts=jnp.zeros((t,), jnp.float32),
         obs_mean=jnp.zeros((t, STATE_DIM), jnp.float32),
         obs_cov=jnp.tile(_P0[None], (t, 1, 1)),
+        app=jnp.zeros((t, _EMB_DIM), jnp.float32),
     )
 
 
@@ -366,8 +375,12 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
 
     Returned signature:
       step(state, boxes (D,4), cls (D,), conf (D,), dvalid (D,), ts (),
-           proj) -> (state', SortOutput)
-    where proj is None (no projector) or (H (3,3), origin (2,), maxd ()).
+           proj, emb=None) -> (state', SortOutput)
+    where proj is None (no projector) or (H (3,3), origin (2,), maxd ()),
+    and emb is an optional (D, appearance.EMB_DIM) per-detection
+    appearance descriptor batch — when given, ``state.app`` is
+    maintained (EMA on match, set on create) and the descriptors reach
+    ``associate_fn`` through ctx (the re-id seam deepsort.py plugs into).
 
     ``association``: "greedy" (the reference's behavior, default) or
     "hungarian" (optimal assignment via the ε-auction,
@@ -378,8 +391,10 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
       ``associate_fn(iou (T,D), alive (T,), dvalid (D,), conf (D,), ctx)
       → det→track (D,) i32, -1 unmatched`` replaces the association
       stage (``association`` is then ignored); ``ctx`` is
-      ``(state, boxes, ts)`` with state post-predict, pre-update —
-      observation-centric strategies read the obs memory from it;
+      ``(state, boxes, ts, emb)`` with state post-predict, pre-update —
+      observation-centric strategies read the obs memory from it, re-id
+      strategies the appearance memory + per-det ``emb`` (None when the
+      caller supplies no embeddings);
       ``new_track_fn(dvalid, matched_d, conf) → (D,) bool`` replaces
       the new-track eligibility mask (default: every unmatched valid
       detection — the reference's immediate-ID behavior);
@@ -416,7 +431,8 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
 
     from ..geometry.projector import project_boxes_device
 
-    def step(state: SortState, boxes, cls_id, conf, dvalid, ts, proj=None):
+    def step(state: SortState, boxes, cls_id, conf, dvalid, ts, proj=None,
+             emb=None):
         num_t = state.mean.shape[0]
         num_d = boxes.shape[0]
         rows = jnp.arange(num_t)
@@ -437,7 +453,7 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
         track_boxes = x_to_bbox(state.mean)
         det2trk = associate_fn(iou_matrix(track_boxes, boxes),
                                state.alive, dvalid, conf,
-                               (state, boxes, ts))
+                               (state, boxes, ts, emb))
         matched_d = det2trk >= 0
         # inverse map track→det (association is one-to-one); unmatched dets
         # scatter out-of-bounds and are dropped
@@ -471,6 +487,16 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
             obs_cov=jnp.where(matched_t[:, None, None], ucov,
                               state.obs_cov),
         )
+        if emb is not None:
+            # appearance EMA on matched tracks, renormalized; a track
+            # whose memory is still empty adopts the det descriptor
+            mixed = APP_EMA * state.app + (1.0 - APP_EMA) * emb[det_idx]
+            empty = jnp.sum(state.app * state.app, axis=-1) < 1e-9
+            mixed = jnp.where(empty[:, None], emb[det_idx], mixed)
+            nrm = jnp.sqrt(jnp.sum(mixed * mixed, axis=-1, keepdims=True))
+            mixed = mixed / jnp.maximum(nrm, 1e-6)
+            state = state._replace(
+                app=jnp.where(sel_t, mixed, state.app))
 
         # 4. metrics for matched tracks using the DET bbox (:239-247)
         if proj is not None:
@@ -531,6 +557,8 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
             prev_obs_ts=state.prev_obs_ts.at[slot].set(ts, mode="drop"),
             obs_mean=state.obs_mean.at[slot].set(init_mean, mode="drop"),
             obs_cov=state.obs_cov.at[slot].set(_P0[None], mode="drop"),
+            app=(state.app.at[slot].set(emb, mode="drop")
+                 if emb is not None else state.app),
         )
 
         # metrics for brand-new tracks (first history entry; speed None,

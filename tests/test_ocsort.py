@@ -118,7 +118,7 @@ def test_ocm_prefers_direction_consistent_det():
     alive = state.alive
     dvalid = jnp.array([True, True])
     conf = jnp.array([0.9, 0.9])
-    ctx = (state, boxes, jnp.float32(0.1))
+    ctx = (state, boxes, jnp.float32(0.1), None)
 
     assoc_ocm = make_oc_associate(0.3, 0.2, 0.3, use_ocr=False)
     d2t = np.asarray(assoc_ocm(iou, alive, dvalid, conf, ctx))
