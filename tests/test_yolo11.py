@@ -159,6 +159,22 @@ def test_infer_yolo11_end_to_end():
         assert d.cls_name == det.names[d.cls_id]
 
 
+def test_v11_int8_quantized_forward():
+    """The int8 conv path handles YOLO11's grouped/depthwise kernels
+    (feature_group_count inferred in quant.conv_i8 too) — quantized
+    scores stay close to the f32 reference."""
+    from roadvision_tpu.models.yolo.quant import quantize_params
+
+    p = init_params_11(jax.random.PRNGKey(5), "n", 8)
+    x = np.random.RandomState(4).rand(1, 64, 64, 3).astype(np.float32)
+    b0, s0 = forward_raw_11(p, jnp.asarray(x), size="n", nc=8)
+    q = quantize_params(p)
+    b1, s1 = forward_raw_11(q, jnp.asarray(x), size="n", nc=8)
+    assert float(np.abs(np.asarray(s0) - np.asarray(s1)).max()) < 0.05
+    # boxes in px: a couple px of quantization drift is acceptable
+    assert float(np.abs(np.asarray(b0) - np.asarray(b1)).max()) < 4.0
+
+
 def test_v5_task_heads_rejected():
     from roadvision_tpu.detect.yolo_jax import YOLOJax
     with pytest.raises(ValueError, match="YOLOv8 or"):

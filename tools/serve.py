@@ -202,10 +202,16 @@ def _pipeline_loop(cfg, hub: FrameHub, max_frames, quality: int) -> None:
                 canvas = proc
             n_tracks = sum(1 for d in res.detections
                            if d.track_id is not None)
-            dets = [{"bbox": [d.x1, d.y1, d.x2, d.y2], "conf": d.conf,
-                     "cls_id": d.cls_id, "name": d.cls_name,
-                     "track_id": d.track_id, "distance_m": d.distance_m,
-                     "speed_kmh": d.speed_kmh} for d in res.detections]
+            dets = [dict(
+                {"bbox": [d.x1, d.y1, d.x2, d.y2], "conf": d.conf,
+                 "cls_id": d.cls_id, "name": d.cls_name,
+                 "track_id": d.track_id, "distance_m": d.distance_m,
+                 "speed_kmh": d.speed_kmh},
+                **({"rbox": np.asarray(d.rbox).tolist()}
+                   if d.rbox is not None else {}),
+                **({"keypoints": np.asarray(d.keypoints).tolist()}
+                   if d.keypoints is not None else {}),
+            ) for d in res.detections]
             hub.publish(encode_jpeg_bgr(canvas, quality), fps, n_tracks,
                         detections=dets, ts=res.ts)
     except Exception as exc:
@@ -252,10 +258,17 @@ def _multi_pipeline_loop(cfg, hub: FrameHub, max_frames,
                                                           0.45)))
                     tiles.append(frame)
                     all_dets.extend(
-                        dict(stream=s, bbox=[d.x1, d.y1, d.x2, d.y2],
-                             conf=d.conf, cls_id=d.cls_id, name=d.cls_name,
-                             track_id=d.track_id, distance_m=d.distance_m,
-                             speed_kmh=d.speed_kmh)
+                        dict({"stream": s,
+                              "bbox": [d.x1, d.y1, d.x2, d.y2],
+                              "conf": d.conf, "cls_id": d.cls_id,
+                              "name": d.cls_name, "track_id": d.track_id,
+                              "distance_m": d.distance_m,
+                              "speed_kmh": d.speed_kmh},
+                             **({"rbox": np.asarray(d.rbox).tolist()}
+                                if d.rbox is not None else {}),
+                             **({"keypoints":
+                                 np.asarray(d.keypoints).tolist()}
+                                if d.keypoints is not None else {}))
                         for d in res.detections)
                 fps = fpsm.tick(batch[0][i].ts)
                 canvas = tile_streams(
