@@ -147,6 +147,14 @@ class PipelineEngine:
                 log.warning("tracker init failed: %s", exc)
                 self.track_enabled = False
 
+        # camera-motion compensation (track/gmc.py): device-side phase
+        # correlation; the carried previous-frame thumbnail lives here
+        # (single-stream engine only — the sharded multi-stream step
+        # composes build_raw_step without the carry and skips GMC)
+        self.gmc_enabled = self.track_enabled \
+            and bool(track_cfg.get("gmc", False))
+        self._gmc_prev = None
+
         geom_cfg = cfg.get("geometry", {}) or {}
         self.projector: Optional[HomographyProjector] = None
         if geom_cfg.get("enabled", False):
@@ -214,7 +222,8 @@ class PipelineEngine:
                 sampled_fn = pre.sampled_planes_fn(
                     (py[1], py[2], new_h), (px[1], px[2], new_w))
 
-        def step(params, sort_state, frames_u8, ts):
+        def step(params, sort_state, frames_u8, ts,
+                 gmc_prev=None, gmc_valid=None):
             if sampled_fn is not None:
                 proc = jnp.zeros((), jnp.uint8)  # nothing reads full proc
             else:
@@ -280,29 +289,40 @@ class PipelineEngine:
                     classes_keep=det.keep if det.keep else None)
             boxes = scale_boxes(boxes, ratio, pad, (h, w))
 
+            last_gray = None
             if track:
-                if getattr(sort_step, "needs_embeddings", False):
+                feed = [boxes, cls_id, conf, valid, ts]
+                needs_emb = getattr(sort_step, "needs_embeddings", False)
+                if needs_emb:
                     # re-id backend (deepsort): per-det appearance
                     # descriptors, computed on device from the RAW
                     # frames (stable across preprocess settings; proc
                     # may not even exist on the sampled path)
                     from ..track.appearance import box_embeddings
-                    embs = jax.vmap(box_embeddings)(frames_u8, boxes,
-                                                    valid)
+                    feed.append(jax.vmap(box_embeddings)(frames_u8,
+                                                         boxes, valid))
+                use_gmc = gmc_prev is not None
+                if use_gmc:
+                    # camera-motion compensation: device phase
+                    # correlation between consecutive gray thumbnails
+                    from ..track.gmc import (GMC_SIZE, batch_shifts,
+                                             gray_thumbnail)
+                    grays = jax.vmap(gray_thumbnail)(frames_u8)
+                    sx = max(1, w // GMC_SIZE)
+                    sy = max(1, h // GMC_SIZE)
+                    feed.append(batch_shifts(gmc_prev, grays, gmc_valid,
+                                             (sx, sy)))
+                    last_gray = grays[-1]
 
-                    def body(st, frame):
-                        fb, fc, fcf, fv, ft, fe = frame
-                        return sort_step(st, fb, fc, fcf, fv, ft, proj,
-                                         fe)
-                    sort_state, outs = jax.lax.scan(
-                        body, sort_state,
-                        (boxes, cls_id, conf, valid, ts, embs))
-                else:
-                    def body(st, frame):
-                        fb, fc, fcf, fv, ft = frame
-                        return sort_step(st, fb, fc, fcf, fv, ft, proj)
-                    sort_state, outs = jax.lax.scan(
-                        body, sort_state, (boxes, cls_id, conf, valid, ts))
+                def body(st, frame):
+                    fb, fc, fcf, fv, ft, *rest = frame
+                    it = iter(rest)
+                    fe = next(it) if needs_emb else None
+                    fs = next(it) if use_gmc else None
+                    return sort_step(st, fb, fc, fcf, fv, ft, proj,
+                                     fe, fs)
+                sort_state, outs = jax.lax.scan(body, sort_state,
+                                                tuple(feed))
                 ids, dist, speed = outs.track_id, outs.distance_m, outs.speed_kmh
             else:
                 ids = jnp.zeros((b, det.max_det), jnp.int32)
@@ -321,6 +341,8 @@ class PipelineEngine:
             outs = (boxes, conf, cls_id, valid, ids, dist, speed)
             if extra is not None:   # segment masks / pose kpts
                 outs = outs + (extra,)
+            if last_gray is not None:   # GMC thumbnail carry
+                return out_frames, outs, sort_state, last_gray
             return out_frames, outs, sort_state
 
         return step
@@ -361,8 +383,17 @@ class PipelineEngine:
         params = self.detector.params if self.detector else {}
         dev = device_frames if device_frames is not None \
             else jnp.asarray(frames)
-        proc, det_arrays, self.sort_state = step(
-            params, self.sort_state, dev, jnp.asarray(ts_rel))
+        if self.gmc_enabled:
+            from ..track.gmc import GMC_SIZE
+            prev = self._gmc_prev if self._gmc_prev is not None \
+                else jnp.zeros((GMC_SIZE, GMC_SIZE), jnp.float32)
+            valid = jnp.float32(0.0 if self._gmc_prev is None else 1.0)
+            proc, det_arrays, self.sort_state, self._gmc_prev = step(
+                params, self.sort_state, dev, jnp.asarray(ts_rel),
+                prev, valid)
+        else:
+            proc, det_arrays, self.sort_state = step(
+                params, self.sort_state, dev, jnp.asarray(ts_rel))
         return (frames, timestamps, proc, det_arrays, want_proc,
                 ((b, h, w), want_proc))
 
@@ -486,4 +517,5 @@ class PipelineEngine:
     def reset(self) -> None:
         if self.track_enabled:
             self.sort_state = init_state(self.track_slots)
+        self._gmc_prev = None
         self._t0 = None

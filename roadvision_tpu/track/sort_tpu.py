@@ -375,12 +375,14 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
 
     Returned signature:
       step(state, boxes (D,4), cls (D,), conf (D,), dvalid (D,), ts (),
-           proj, emb=None) -> (state', SortOutput)
+           proj, emb=None, shift=None) -> (state', SortOutput)
     where proj is None (no projector) or (H (3,3), origin (2,), maxd ()),
-    and emb is an optional (D, appearance.EMB_DIM) per-detection
-    appearance descriptor batch — when given, ``state.app`` is
-    maintained (EMA on match, set on create) and the descriptors reach
-    ``associate_fn`` through ctx (the re-id seam deepsort.py plugs into).
+    emb is an optional (D, appearance.EMB_DIM) per-detection appearance
+    descriptor batch — when given, ``state.app`` is maintained (EMA on
+    match, set on create) and the descriptors reach ``associate_fn``
+    through ctx (the re-id seam deepsort.py plugs into) — and shift is
+    an optional (2,) source-px camera translation since the previous
+    frame (track/gmc.py) applied to the position memory pre-predict.
 
     ``association``: "greedy" (the reference's behavior, default) or
     "hungarian" (optimal assignment via the ε-auction,
@@ -432,10 +434,23 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
     from ..geometry.projector import project_boxes_device
 
     def step(state: SortState, boxes, cls_id, conf, dvalid, ts, proj=None,
-             emb=None):
+             emb=None, shift=None):
         num_t = state.mean.shape[0]
         num_d = boxes.shape[0]
         rows = jnp.arange(num_t)
+
+        # 0. global-motion compensation (optional, track/gmc.py): the
+        # camera moved by ``shift`` (2,) source px since the previous
+        # frame — translate every track's position memory so the motion
+        # model stays scene-relative (BoT-SORT's GMC in translation form)
+        if shift is not None:
+            d4 = jnp.concatenate([shift, shift])            # xyxy boxes
+            state = state._replace(
+                mean=state.mean.at[:, :2].add(shift[None]),
+                obs_mean=state.obs_mean.at[:, :2].add(shift[None]),
+                last_obs=state.last_obs + d4[None],
+                prev_obs=state.prev_obs + d4[None],
+            )
 
         # 1. predict all alive tracks at frame ts (:228-229)
         dt = jnp.maximum(1e-3, ts - state.last_predict_ts)
