@@ -51,12 +51,23 @@ def make_sharded_stream_step(engine, shape: Tuple[int, int, int],
       init_states(num_streams) → stacked SortState sharded over the mesh.
     """
     raw = engine.build_raw_step(shape, want_proc=False)
+    gmc = bool(getattr(engine, "gmc_enabled", False))
 
-    def one(params, state, frames, ts):
-        _, outs, state = raw(params, state, frames, ts)
-        return outs, state
+    if gmc:
+        # per-stream camera-motion compensation: each stream carries its
+        # own previous-frame thumbnail (S, G, G), sharded with the rest
+        def one(params, state, frames, ts, gprev, gvalid):
+            _, outs, state, gray = raw(params, state, frames, ts,
+                                       gprev, gvalid)
+            return outs, state, gray
 
-    vstep = jax.vmap(one, in_axes=(None, 0, 0, 0))
+        vstep = jax.vmap(one, in_axes=(None, 0, 0, 0, 0, None))
+    else:
+        def one(params, state, frames, ts):
+            _, outs, state = raw(params, state, frames, ts)
+            return outs, state
+
+        vstep = jax.vmap(one, in_axes=(None, 0, 0, 0))
 
     spec = _stream_sharding(mesh, axis)
     rep = replicated(mesh)
@@ -67,11 +78,17 @@ def make_sharded_stream_step(engine, shape: Tuple[int, int, int],
             tree)
 
     @jax.jit
-    def step(params, states, frames, ts):
+    def step(params, states, frames, ts, gprev=None, gvalid=None):
         params = jax.tree_util.tree_map(
             lambda leaf: jax.lax.with_sharding_constraint(leaf, rep), params)
         states = constrain(states)
         frames = jax.lax.with_sharding_constraint(frames, spec(frames))
+        if gmc:
+            gprev = jax.lax.with_sharding_constraint(gprev, spec(gprev))
+            outs, states, gray = vstep(params, states, frames, ts,
+                                       gprev, gvalid)
+            return (constrain(outs), constrain(states),
+                    jax.lax.with_sharding_constraint(gray, spec(gray)))
         outs, states = vstep(params, states, frames, ts)
         return constrain(outs), constrain(states)
 

@@ -149,8 +149,8 @@ class PipelineEngine:
 
         # camera-motion compensation (track/gmc.py): device-side phase
         # correlation; the carried previous-frame thumbnail lives here
-        # (single-stream engine only — the sharded multi-stream step
-        # composes build_raw_step without the carry and skips GMC)
+        # (the sharded multi-stream engine carries an (S, G, G) stack
+        # per stream — parallel/inference.py)
         self.gmc_enabled = self.track_enabled \
             and bool(track_cfg.get("gmc", False))
         self._gmc_prev = None

@@ -107,6 +107,7 @@ class MultiStreamEngine:
         self.timer = self.engine.timer
         self._built: Dict[Tuple[int, int, int], Any] = {}
         self.states = None
+        self._gmc_prev = None   # (S, G, G) per-stream thumbnail carry
         self._t0: Optional[float] = None
 
     # ------------------------------------------------------------------
@@ -152,8 +153,19 @@ class MultiStreamEngine:
         else:
             frames_in, ts_in = frames, ts_rel
         params = self.engine.detector.params if self.engine.detector else {}
-        outs, self.states = step(params, self.states,
-                                 jnp.asarray(frames_in), jnp.asarray(ts_in))
+        if getattr(self.engine, "gmc_enabled", False):
+            from ..track.gmc import GMC_SIZE
+            prev = self._gmc_prev if self._gmc_prev is not None else \
+                jnp.zeros((self.padded_streams, GMC_SIZE, GMC_SIZE),
+                          jnp.float32)
+            valid = jnp.float32(0.0 if self._gmc_prev is None else 1.0)
+            outs, self.states, self._gmc_prev = step(
+                params, self.states, jnp.asarray(frames_in),
+                jnp.asarray(ts_in), prev, valid)
+        else:
+            outs, self.states = step(params, self.states,
+                                     jnp.asarray(frames_in),
+                                     jnp.asarray(ts_in))
         return frames, timestamps, outs
 
     def collect_batch(self, inflight) -> List[List[FrameResult]]:

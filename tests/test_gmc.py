@@ -90,6 +90,40 @@ def test_gmc_holds_identity_through_camera_jolt():
     assert len(set(ids_gmc)) == 1
 
 
+def test_multi_engine_gmc_carry():
+    """GMC under the sharded multi-stream engine: per-stream thumbnail
+    carry (S, G, G), sharded over the mesh, advancing across batches."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from roadvision_tpu.config import DEFAULTS, merge
+    from roadvision_tpu.runtime import MultiStreamEngine
+
+    s, b, h, w = 8, 2, 96, 128
+    cfg = merge(DEFAULTS, {
+        "camera": {"width": w, "height": h,
+                   "sources": [f"synthetic:{2 + i}" for i in range(s)]},
+        "preprocess": {"enabled": False},
+        "detect": {"enabled": True, "model": "missing.pt",
+                   "device": "cpu", "max_det": 4, "imgsz": 64,
+                   "classes_keep": [], "conf_thres": 0.0},
+        "tracking": {"enabled": True, "gmc": True},
+        "tpu": {"batch_size": b, "track_slots": 8,
+                "mesh": {"enable": True, "axis": "data"}},
+    })
+    eng = MultiStreamEngine(cfg, num_streams=s)
+    rng = np.random.default_rng(0)
+    frames = np.asarray(rng.integers(0, 255, (s, b, h, w, 3)), np.uint8)
+    ts = np.tile(np.arange(b, dtype=np.float64)[None] / 30.0, (s, 1))
+    res = eng.process_batch(frames, ts)
+    assert len(res) == s and len(res[0]) == b
+    assert eng._gmc_prev is not None
+    assert eng._gmc_prev.shape == (s, GMC_SIZE, GMC_SIZE)
+    g1 = np.asarray(eng._gmc_prev)
+    frames2 = np.asarray(rng.integers(0, 255, (s, b, h, w, 3)), np.uint8)
+    eng.process_batch(frames2, ts + b / 30.0)
+    assert np.abs(np.asarray(eng._gmc_prev) - g1).max() > 0.0
+
+
 def test_engine_gmc_config_path():
     from roadvision_tpu.runtime.engine import PipelineEngine
 
