@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Dict, Type
 
 from .base import Tracker
+from .botsort import BotSortTracker, make_botsort_step
 from .bytetrack import ByteTracker, make_byte_step
 from .deepsort import DeepSortTracker, make_deepsort_step
 from .ocsort import OcSortTracker, make_oc_step
@@ -27,6 +28,7 @@ BACKENDS: Dict[str, Type[Tracker]] = {
     "bytetrack": ByteTracker,
     "ocsort": OcSortTracker,
     "deepsort": DeepSortTracker,
+    "botsort": BotSortTracker,
 }
 
 
@@ -86,6 +88,21 @@ def build_device_step(cfg: Dict[str, Any]):
             app_thresh=float(cfg.get("app_thresh", 0.6)),
             rescue_iou=float(cfg.get("rescue_iou", 0.02)),
             new_track_thresh=float(cfg.get("new_track_thresh", 0.6)))
+        step.needs_embeddings = True  # engine computes per-det descriptors
+        return step
+    if name == "botsort":
+        step = make_botsort_step(
+            float(cfg.get("max_staleness", 1.0)),
+            float(cfg.get("speed_window", 0.75)),
+            track_high_thresh=float(cfg.get("track_high_thresh", 0.5)),
+            track_low_thresh=float(cfg.get("track_low_thresh", 0.1)),
+            new_track_thresh=float(cfg.get("new_track_thresh", 0.6)),
+            match_iou=float(cfg.get("match_iou",
+                                    cfg.get("iou_threshold", 0.3))),
+            second_match_iou=float(cfg.get("second_match_iou", 0.5)),
+            app_weight=float(cfg.get("app_weight", 0.5)),
+            app_thresh=float(cfg.get("app_thresh", 0.6)),
+            rescue_iou=float(cfg.get("rescue_iou", 0.02)))
         step.needs_embeddings = True  # engine computes per-det descriptors
         return step
     raise ValueError(f"unknown tracking backend: {name}")
