@@ -53,7 +53,12 @@ DEFAULTS: Dict[str, Any] = {
                    classes_keep=[], rect=True,
                    # int8 mode only: auto-calibrate static activation
                    # scales from the first N stream frames (0 = dynamic)
-                   int8_calibration=0),
+                   int8_calibration=0,
+                   # tiled (sliced) small-object inference (ops/tiling.py):
+                   # overlapping native-res crops + optional full-frame
+                   # pass, merged by one global NMS; detect task only
+                   tiling=dict(enable=False, tile=640, overlap=0.25,
+                               full_frame=True)),
     "tracking": dict(enabled=False, backend="sort", max_staleness=1.0,
                      min_hits=3, iou_threshold=0.3, speed_window=0.75,
                      association="greedy"),

@@ -16,7 +16,7 @@ mode of SURVEY.md §4).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -116,6 +116,20 @@ class YOLOJax(Detector):
         if self.task == "obb" and self.nc == 15:
             from ..models.yolo.yolov8_obb import DOTA_NAMES
             self.names = dict(enumerate(DOTA_NAMES))
+        # tiled small-object inference (ops/tiling.py): normalized to
+        # None (off) or dict(tile, overlap, full_frame)
+        tcfg = cfg.get("tiling") or {}
+        self.tile_cfg: Optional[Dict[str, Any]] = None
+        if tcfg.get("enable"):
+            if self.task != "detect":
+                raise ValueError(
+                    f"detect.tiling supports the detect task only (got "
+                    f"'{self.task}') — per-anchor side outputs have no "
+                    f"defined cross-tile merge")
+            self.tile_cfg = dict(
+                tile=int(tcfg.get("tile", self.imgsz)),
+                overlap=float(tcfg.get("overlap", 0.25)),
+                full_frame=bool(tcfg.get("full_frame", True)))
         self._jit_cache: Dict[Tuple[int, int, int], Any] = {}
 
     # ------------------------------------------------------------------
@@ -254,6 +268,27 @@ class YOLOJax(Detector):
                 return ab, c, k, v, rb
 
             return functools.partial(run_obb, params)
+
+        if self.tile_cfg:
+            from ..ops.tiling import tile_plan, tiled_candidates
+            plan = tile_plan(h, w, tile=self.tile_cfg["tile"],
+                             overlap=self.tile_cfg["overlap"])
+            full = self.tile_cfg["full_frame"]
+            det = self
+
+            @jax.jit
+            def run_tiled(params, frames_u8):
+                boxes_all, scores_all = tiled_candidates(
+                    det, params, frames_u8, plan, full_frame=full)
+                # candidates are already in source coordinates; pre_topk
+                # doubled vs the single-pass 300 — each object occupies
+                # up to T overlap duplicates pre-merge
+                return nms_batch(boxes_all, scores_all, conf_thres=conf,
+                                 iou_thres=iou, max_det=max_det,
+                                 pre_topk=600,
+                                 classes_keep=keep if keep else None)
+
+            return functools.partial(run_tiled, params)
 
         @jax.jit
         def run(params, frames_u8):

@@ -212,8 +212,18 @@ class PipelineEngine:
         # lane access pattern measured 3x SLOWER than streaming the full
         # plane (109 vs 360 fps headline) — strided int-plane reads
         # serialize; re-evaluate on real silicon.
+        # tiled small-object inference (ops/tiling.py; detect task only,
+        # validated at detector construction) — the grid is static per
+        # (h, w), so the whole tiled pass stays one fixed-shape trace
+        tiled = getattr(det, "tile_cfg", None) if det is not None else None
+        if tiled is not None:
+            from ..ops.tiling import tile_plan
+            plan = tile_plan(h, w, tile=tiled["tile"],
+                             overlap=tiled["overlap"])
+
         sampled_fn = None
         if self._sampled_pre and det is not None and not want_proc \
+                and tiled is None \
                 and not pre.identity and pre.supports_sampled():
             r = min(det.imgsz / h, det.imgsz / w)
             new_h, new_w = round(h * r), round(w * r)
@@ -242,10 +252,22 @@ class PipelineEngine:
                 small = jnp.stack(sampled_fn(frames_u8), axis=-1)
                 imgs, ratio, pad = finish_letterbox(
                     small, (h, w), size=det.imgsz, rect=det.rect)
-            else:
+            elif tiled is None:
                 imgs, ratio, pad = det.letterbox(proc)
             extra = None   # seg masks / pose keypoints (8th output)
-            if seg:
+            if tiled is not None:
+                from ..ops.tiling import tiled_candidates
+                boxes_all, scores_all = tiled_candidates(
+                    det, params, proc, plan,
+                    full_frame=tiled["full_frame"])
+                # already in source coordinates (scale_boxes applied
+                # per tile / per frame inside); pre_topk doubled — each
+                # object occupies up to T overlap duplicates pre-merge
+                boxes, conf, cls_id, valid = nms_batch(
+                    boxes_all, scores_all, conf_thres=det.conf,
+                    iou_thres=det.iou, max_det=det.max_det, pre_topk=600,
+                    classes_keep=det.keep if det.keep else None)
+            elif seg:
                 from ..ops.masks import compose_masks
                 boxes640, scores, coeffs, protos = det.forward_fn(params,
                                                                   imgs)
@@ -287,7 +309,8 @@ class PipelineEngine:
                     boxes640, scores, conf_thres=det.conf,
                     iou_thres=det.iou, max_det=det.max_det, pre_topk=300,
                     classes_keep=det.keep if det.keep else None)
-            boxes = scale_boxes(boxes, ratio, pad, (h, w))
+            if tiled is None:
+                boxes = scale_boxes(boxes, ratio, pad, (h, w))
 
             last_gray = None
             if track:

@@ -53,6 +53,10 @@ def main(argv=None) -> int:
                          "COCO-17 keypoints + skeleton; obb = "
                          "YOLOv8-obb rotated-box outlines (auto: from "
                          "the weights name / checkpoint head)")
+    ap.add_argument("--tile", type=int, default=0,
+                    help="tiled small-object inference: crop size "
+                         "(0 = off; detect task only)")
+    ap.add_argument("--tile-overlap", type=float, default=0.25)
     ap.add_argument("--mask-alpha", type=float, default=0.45)
     ap.add_argument("--json", action="store_true",
                     help="also write per-frame detections json")
@@ -63,7 +67,10 @@ def main(argv=None) -> int:
                           "conf_thres": args.conf, "iou_thres": args.iou,
                           "max_det": args.max_det, "imgsz": args.imgsz,
                           "classes_keep": keep, "rect": args.rect,
-                          "compute_dtype": args.dtype, "task": args.task})
+                          "compute_dtype": args.dtype, "task": args.task,
+                          "tiling": {"enable": args.tile > 0,
+                                     "tile": args.tile or 640,
+                                     "overlap": args.tile_overlap}})
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 
