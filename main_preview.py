@@ -104,6 +104,11 @@ def run_multi(args, cfg) -> int:
     log.info("multi-stream mode: %d sources over mesh %s",
              len(sources), dict(engine.mesh.shape))
     fpsm = FPSMeter(alpha=0.1)
+    ana_cfg = cfg.get("analytics", {}) or {}
+    analytics = None
+    if ana_cfg.get("enabled"):
+        from roadvision_tpu.analytics import Analytics
+        analytics = [Analytics(ana_cfg) for _ in sources]  # per stream
 
     writer = None
     if bool(record_cfg.get("enable", False)) or args.record:
@@ -132,6 +137,9 @@ def run_multi(args, cfg) -> int:
                                                           0.6)),
                             mask_alpha=float(draw_cfg.get("mask_alpha",
                                                           0.45)))
+                    if analytics is not None:
+                        analytics[s].update(res.detections, res.ts)
+                        analytics[s].overlay(frame)
                     tiles.append(frame)
                 fps = fpsm.tick(batch[0][i].ts)
                 canvas = tile_streams(
@@ -155,6 +163,10 @@ def run_multi(args, cfg) -> int:
             cv2.destroyAllWindows()
         log.info("processed %d frames x %d streams; stage times: %s",
                  n_frames, len(sources), engine.timer.summary())
+        if analytics is not None:
+            import json as _json
+            log.info("analytics: %s", _json.dumps(
+                [a.summary() for a in analytics]))
     return 0
 
 
@@ -218,6 +230,12 @@ def main(argv=None) -> int:
 
     watcher = ConfigWatcher(args.config, cfg) if args.watch_config else None
 
+    ana_cfg = cfg.get("analytics", {}) or {}
+    analytics = None
+    if ana_cfg.get("enabled"):
+        from roadvision_tpu.analytics import Analytics
+        analytics = Analytics(ana_cfg)
+
     n_frames = 0
     tail_s = 0.0
     t_first = None
@@ -246,6 +264,9 @@ def main(argv=None) -> int:
                     thickness=int(draw_cfg.get("thickness", 2)),
                     font_scale=float(draw_cfg.get("font_scale", 0.6)),
                     mask_alpha=float(draw_cfg.get("mask_alpha", 0.45)))
+            if analytics is not None:
+                analytics.update(res.detections, res.ts)
+                analytics.overlay(proc)
             fps = fpsm.tick(res.ts)
 
             if want_compare:
@@ -277,6 +298,9 @@ def main(argv=None) -> int:
             cv2.destroyAllWindows()
         log.info("processed %d frames; stage times: %s",
                  n_frames, engine.timer.summary())
+        if analytics is not None:
+            import json as _json
+            log.info("analytics: %s", _json.dumps(analytics.summary()))
         if n_frames > 1 and t_first is not None:
             wall = _time.perf_counter() - t_first
             log.info("sustained %.2f fps end-to-end (%d frames after "

@@ -1,0 +1,254 @@
+"""Traffic analytics: directional line counting and zone occupancy.
+
+Beyond-reference addition (the reference stops at per-object distance
+and speed, src/geometry/projector.py + src/track/sort_tracker.py; a
+road-vision deployment's next question is "how many, which way, how
+long"). Consumes the tracked `Detection` lists every engine variant
+already materializes per frame — pure host-side control logic over
+≤ max_det objects, deliberately NOT device code: the state is a
+per-identity dict and the math is a handful of scalar cross products
+per frame, far below dispatch cost.
+
+Components (all driven by the additive ``analytics:`` config section):
+
+  * :class:`CountingLine` — directional counts across a line segment.
+    An identity is counted when its box-bottom-center crosses the
+    segment (sign change of the cross product, with the crossing point
+    inside the segment's extent). Direction is the sign of the
+    crossing: "pos" = left→right of the p1→p2 direction, "neg" = the
+    other way. Per-class tallies + an event log.
+  * :class:`Zone` — polygon occupancy (point-in-polygon of the
+    box-bottom-center) with per-identity dwell times on exit.
+  * :class:`Analytics` — the config-built aggregate the driver and the
+    MJPEG server feed (``update(dets, ts)``) and render
+    (``overlay(img)``, ``summary()``).
+
+Identity hygiene: state is keyed by ``track_id``; entries idle past
+``stale_after`` seconds are dropped, so recycled ids (fixed-slot
+tracker, track/sort_tpu.py) cannot inherit a stale side/entry record.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+
+def _side(p1, p2, x: float, y: float) -> float:
+    """Signed area sign: >0 left of p1→p2, <0 right, 0 on the line."""
+    return ((p2[0] - p1[0]) * (y - p1[1])
+            - (p2[1] - p1[1]) * (x - p1[0]))
+
+
+def _seg_t(p1, p2, x: float, y: float) -> float:
+    """Projection parameter of (x, y) onto the p1→p2 segment (0..1
+    inside)."""
+    dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+    den = dx * dx + dy * dy
+    if den <= 0.0:
+        return 0.5
+    return ((x - p1[0]) * dx + (y - p1[1]) * dy) / den
+
+
+def _anchor(det) -> Tuple[float, float]:
+    """Bottom-center of the box — the road-contact point (matches the
+    reference's projector convention, src/geometry/projector.py)."""
+    return (0.5 * (det.x1 + det.x2), det.y2)
+
+
+class CountingLine:
+    def __init__(self, name: str, p1, p2,
+                 classes: Optional[Iterable[int]] = None,
+                 stale_after: float = 5.0):
+        self.name = str(name)
+        self.p1 = (float(p1[0]), float(p1[1]))
+        self.p2 = (float(p2[0]), float(p2[1]))
+        self.classes = set(int(c) for c in classes) if classes else None
+        self.stale_after = float(stale_after)
+        self.counts: Dict[str, int] = {"pos": 0, "neg": 0}
+        self.by_class: Dict[str, Dict[str, int]] = {}
+        self.events: List[Dict[str, Any]] = []
+        self._last: Dict[int, Tuple[float, float, float, float]] = {}
+        # id → (side, x, y, ts)
+
+    def update(self, detections, timestamp: float) -> List[Dict[str, Any]]:
+        ts = float(timestamp)
+        new_events: List[Dict[str, Any]] = []
+        for d in detections:
+            tid = getattr(d, "track_id", None)
+            if tid is None:
+                continue
+            if self.classes is not None and int(d.cls_id) not in self.classes:
+                continue
+            x, y = _anchor(d)
+            side = _side(self.p1, self.p2, x, y)
+            prev = self._last.get(int(tid))
+            if prev is not None and prev[0] * side < 0.0:
+                # sign change — crossing point must fall on the segment
+                f = prev[0] / (prev[0] - side)   # interpolation fraction
+                cx = prev[1] + f * (x - prev[1])
+                cy = prev[2] + f * (y - prev[2])
+                if 0.0 <= _seg_t(self.p1, self.p2, cx, cy) <= 1.0:
+                    direction = "pos" if side > 0 else "neg"
+                    self.counts[direction] += 1
+                    cls = str(getattr(d, "cls_name", d.cls_id))
+                    per = self.by_class.setdefault(
+                        cls, {"pos": 0, "neg": 0})
+                    per[direction] += 1
+                    ev = {"line": self.name, "track_id": int(tid),
+                          "cls": cls, "direction": direction, "ts": ts}
+                    self.events.append(ev)
+                    new_events.append(ev)
+            self._last[int(tid)] = (side, x, y, ts)
+        self._last = {k: v for k, v in self._last.items()
+                      if ts - v[3] <= self.stale_after}
+        return new_events
+
+    def summary(self) -> Dict[str, Any]:
+        return {"name": self.name, "pos": self.counts["pos"],
+                "neg": self.counts["neg"],
+                "total": self.counts["pos"] + self.counts["neg"],
+                "by_class": {k: dict(v) for k, v in self.by_class.items()}}
+
+
+def _point_in_polygon(poly, x: float, y: float) -> bool:
+    """Even-odd ray casting (half-open edges — boundary membership is
+    consistent, not guaranteed either way on exact edges)."""
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if (y1 > y) != (y2 > y):
+            xi = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+            if x < xi:
+                inside = not inside
+    return inside
+
+
+class Zone:
+    def __init__(self, name: str, polygon,
+                 classes: Optional[Iterable[int]] = None,
+                 stale_after: float = 5.0):
+        if len(polygon) < 3:
+            raise ValueError(f"zone '{name}': polygon needs >= 3 points")
+        self.name = str(name)
+        self.polygon = [(float(x), float(y)) for (x, y) in polygon]
+        self.classes = set(int(c) for c in classes) if classes else None
+        self.stale_after = float(stale_after)
+        self.entered_total = 0
+        self.dwell_s: List[float] = []     # completed visits
+        self._inside: Dict[int, float] = {}    # id → entry ts
+        self._seen: Dict[int, float] = {}      # id → last-seen ts
+
+    @property
+    def occupancy(self) -> int:
+        return len(self._inside)
+
+    def update(self, detections, timestamp: float) -> List[Dict[str, Any]]:
+        ts = float(timestamp)
+        events: List[Dict[str, Any]] = []
+        present: Dict[int, bool] = {}
+        for d in detections:
+            tid = getattr(d, "track_id", None)
+            if tid is None:
+                continue
+            if self.classes is not None and int(d.cls_id) not in self.classes:
+                continue
+            x, y = _anchor(d)
+            present[int(tid)] = _point_in_polygon(self.polygon, x, y)
+            self._seen[int(tid)] = ts
+        for tid, inside in present.items():
+            was = tid in self._inside
+            if inside and not was:
+                self._inside[tid] = ts
+                self.entered_total += 1
+                events.append({"zone": self.name, "track_id": tid,
+                               "event": "enter", "ts": ts})
+            elif was and not inside:
+                dwell = ts - self._inside.pop(tid)
+                self.dwell_s.append(dwell)
+                events.append({"zone": self.name, "track_id": tid,
+                               "event": "exit", "ts": ts,
+                               "dwell_s": dwell})
+        # identities that vanished (track ended / left the frame) close
+        # their visit at last-seen time
+        for tid in [t for t, last in self._seen.items()
+                    if ts - last > self.stale_after]:
+            if tid in self._inside:
+                dwell = self._seen[tid] - self._inside.pop(tid)
+                self.dwell_s.append(dwell)
+                events.append({"zone": self.name, "track_id": tid,
+                               "event": "exit", "ts": self._seen[tid],
+                               "dwell_s": dwell})
+            del self._seen[tid]
+        return events
+
+    def summary(self) -> Dict[str, Any]:
+        mean = (sum(self.dwell_s) / len(self.dwell_s)) \
+            if self.dwell_s else None
+        return {"name": self.name, "occupancy": self.occupancy,
+                "entered_total": self.entered_total,
+                "completed_visits": len(self.dwell_s),
+                "mean_dwell_s": mean}
+
+
+class Analytics:
+    """Config-built aggregate. ``analytics:`` section:
+
+    .. code-block:: yaml
+
+        analytics:
+          enabled: true
+          stale_after: 5.0
+          lines:
+            - {name: main, p1: [0, 400], p2: [1920, 400], classes: [2, 7]}
+          zones:
+            - {name: junction, polygon: [[100, 100], [500, 100],
+                                         [500, 500], [100, 500]]}
+    """
+
+    def __init__(self, cfg: Dict[str, Any]):
+        stale = float(cfg.get("stale_after", 5.0))
+        self.lines = [CountingLine(ln.get("name", f"line{i}"),
+                                   ln["p1"], ln["p2"],
+                                   classes=ln.get("classes"),
+                                   stale_after=stale)
+                      for i, ln in enumerate(cfg.get("lines") or [])]
+        self.zones = [Zone(z.get("name", f"zone{i}"), z["polygon"],
+                           classes=z.get("classes"), stale_after=stale)
+                      for i, z in enumerate(cfg.get("zones") or [])]
+
+    def update(self, detections, timestamp: float) -> List[Dict[str, Any]]:
+        dets = list(detections)
+        events: List[Dict[str, Any]] = []
+        for ln in self.lines:
+            events.extend(ln.update(dets, timestamp))
+        for z in self.zones:
+            events.extend(z.update(dets, timestamp))
+        return events
+
+    def summary(self) -> Dict[str, Any]:
+        return {"lines": [ln.summary() for ln in self.lines],
+                "zones": [z.summary() for z in self.zones]}
+
+    def overlay(self, image) -> None:
+        """Draw lines/zones + live tallies on a BGR uint8 frame."""
+        from .vis.draw import draw_line, put_text
+
+        yellow, cyan = (0, 220, 220), (220, 220, 0)
+        for ln in self.lines:
+            draw_line(image, ln.p1, ln.p2, yellow, thickness=2)
+            mx = int(0.5 * (ln.p1[0] + ln.p2[0]))
+            my = int(0.5 * (ln.p1[1] + ln.p2[1]))
+            put_text(image,
+                     f"{ln.name} {ln.counts['pos']}/{ln.counts['neg']}",
+                     (mx + 4, max(12, my - 6)), color=yellow,
+                     font_scale=0.5)
+        for z in self.zones:
+            pts = z.polygon
+            for i in range(len(pts)):
+                draw_line(image, pts[i], pts[(i + 1) % len(pts)], cyan,
+                          thickness=2)
+            x0, y0 = pts[0]
+            put_text(image, f"{z.name} occ {z.occupancy}",
+                     (int(x0) + 4, max(12, int(y0) - 6)), color=cyan,
+                     font_scale=0.5)

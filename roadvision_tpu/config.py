@@ -68,6 +68,9 @@ DEFAULTS: Dict[str, Any] = {
                        origin=[0.0, 0.0], max_distance=1_000_000.0),
     ),
     "vis": dict(draw=dict(det=True, thickness=2, font_scale=0.6)),
+    # additive: traffic analytics over tracked detections
+    # (roadvision_tpu/analytics.py — line counting, zone occupancy)
+    "analytics": dict(enabled=False, stale_after=5.0, lines=[], zones=[]),
     "tpu": dict(batch_size=8, track_slots=None, compute_dtype="bfloat16",
                 watchdog_s=60.0, sampled_preprocess=False,
                 mesh=dict(enable=False, axis="data", devices=None)),

@@ -190,6 +190,25 @@ def draw_masks(image: np.ndarray, detections: Iterable[Detection],
         image[full] = (px * (1.0 - alpha) + color * alpha).astype(np.uint8)
 
 
+def draw_line(image: np.ndarray, p1, p2, color,
+              thickness: int = 1) -> None:
+    """Arbitrary-angle line segment by dense point sampling (cv2-free),
+    clipped to the image; ``thickness`` grows a square stamp around each
+    sample. In-place on the BGR uint8 frame."""
+    h, w = image.shape[:2]
+    x1, y1 = float(p1[0]), float(p1[1])
+    x2, y2 = float(p2[0]), float(p2[1])
+    n = max(2, int(np.hypot(x2 - x1, y2 - y1)))
+    xs = np.linspace(x1, x2, n).round().astype(int)
+    ys = np.linspace(y1, y2, n).round().astype(int)
+    r = max(0, int(thickness) // 2)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            px, py = xs + dx, ys + dy
+            ok = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+            image[py[ok], px[ok]] = color
+
+
 def draw_keypoints(image: np.ndarray, detections: Iterable[Detection],
                    vis_thresh: float = 0.5, radius: int = 2) -> None:
     """COCO-17 keypoint + skeleton overlay (pose task). Keypoints are
@@ -199,7 +218,6 @@ def draw_keypoints(image: np.ndarray, detections: Iterable[Detection],
     segment. In-place on the BGR uint8 frame."""
     from ..models.yolo.yolov8_pose import SKELETON
 
-    h, w = image.shape[:2]
     for d in detections:
         if d.keypoints is None:
             continue
@@ -209,12 +227,7 @@ def draw_keypoints(image: np.ndarray, detections: Iterable[Detection],
         for (a, b) in SKELETON:
             if not (ok[a] and ok[b]):
                 continue
-            n = max(2, int(np.hypot(kp[b, 0] - kp[a, 0],
-                                    kp[b, 1] - kp[a, 1])))
-            xs = np.linspace(kp[a, 0], kp[b, 0], n).round().astype(int)
-            ys = np.linspace(kp[a, 1], kp[b, 1], n).round().astype(int)
-            keep = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
-            image[ys[keep], xs[keep]] = color
+            draw_line(image, kp[a, :2], kp[b, :2], color)
         for j in range(kp.shape[0]):
             if not ok[j]:
                 continue
@@ -228,7 +241,6 @@ def draw_rboxes(image: np.ndarray, detections: Iterable[Detection]) -> None:
     (cx, cy, w, h, θ) in source-frame pixels; the four edges are drawn
     by dense point sampling (cv2-free), class-colored. In-place on the
     BGR uint8 frame."""
-    h, w = image.shape[:2]
     for d in detections:
         if d.rbox is None:
             continue
@@ -241,11 +253,7 @@ def draw_rboxes(image: np.ndarray, detections: Iterable[Detection]) -> None:
         color = COLOR_TABLE[int(d.cls_id) % 10]
         for i in range(4):
             j = (i + 1) % 4
-            n = max(2, int(np.hypot(xs[j] - xs[i], ys[j] - ys[i])))
-            px = np.linspace(xs[i], xs[j], n).round().astype(int)
-            py = np.linspace(ys[i], ys[j], n).round().astype(int)
-            ok = (px >= 0) & (px < w) & (py >= 0) & (py < h)
-            image[py[ok], px[ok]] = color
+            draw_line(image, (xs[i], ys[i]), (xs[j], ys[j]), color)
 
 
 def draw_overlays(image: np.ndarray, detections,

@@ -1,0 +1,115 @@
+"""Traffic analytics (roadvision_tpu/analytics.py): directional line
+counting, segment-extent gating, id-recycling hygiene, zone
+occupancy/dwell, config aggregate + overlay."""
+import numpy as np
+
+from roadvision_tpu.analytics import Analytics, CountingLine, Zone
+from roadvision_tpu.detect.types import Detection
+
+
+def _det(cx, y2, tid, cls_id=2, cls_name="car", w=20.0, h=16.0):
+    return Detection(cx - w / 2, y2 - h, cx + w / 2, y2, 0.9, cls_id,
+                     cls_name, track_id=tid)
+
+
+def test_line_counts_both_directions_once():
+    ln = CountingLine("main", (0, 100), (200, 100))
+    # downward crossing (bottom-center y2: 90 → 110)
+    assert ln.update([_det(50, 90, tid=1)], 0.1) == []
+    ev = ln.update([_det(50, 110, tid=1)], 0.2)
+    assert len(ev) == 1 and ev[0]["track_id"] == 1
+    assert ev[0]["direction"] == "pos"
+    # lingering on the same side: no double count
+    assert ln.update([_det(50, 115, tid=1)], 0.3) == []
+    # back up: the opposite direction
+    ev = ln.update([_det(50, 92, tid=1)], 0.4)
+    assert len(ev) == 1 and ev[0]["direction"] == "neg"
+    s = ln.summary()
+    assert s["total"] == 2 and s["pos"] == 1 and s["neg"] == 1
+    assert s["by_class"]["car"] == {"pos": 1, "neg": 1}
+
+
+def test_crossing_outside_segment_extent_not_counted():
+    ln = CountingLine("short", (0, 100), (40, 100))
+    ln.update([_det(120, 90, tid=3)], 0.1)
+    assert ln.update([_det(120, 110, tid=3)], 0.2) == []
+    assert ln.summary()["total"] == 0
+
+
+def test_same_side_wiggle_not_counted():
+    ln = CountingLine("main", (0, 100), (200, 100))
+    for i, y in enumerate([80, 95, 85, 98, 90]):
+        assert ln.update([_det(50, y, tid=1)], 0.1 * (i + 1)) == []
+    assert ln.summary()["total"] == 0
+
+
+def test_stale_id_dropped_before_reuse():
+    ln = CountingLine("main", (0, 100), (200, 100), stale_after=1.0)
+    ln.update([_det(50, 90, tid=7)], 0.0)     # side A, then vanishes
+    ln.update([], 5.0)                        # idle sweep far later
+    # id 7 recycled to a NEW object already past the line: the stale
+    # side record is gone, so its first observation cannot count
+    assert ln.update([_det(150, 110, tid=7)], 5.1) == []
+    assert ln.summary()["total"] == 0
+
+
+def test_class_filter():
+    ln = CountingLine("cars", (0, 100), (200, 100), classes=[2])
+    ln.update([_det(50, 90, tid=1, cls_id=0, cls_name="person")], 0.1)
+    ln.update([_det(50, 110, tid=1, cls_id=0, cls_name="person")], 0.2)
+    assert ln.summary()["total"] == 0
+
+
+def test_zone_occupancy_and_dwell():
+    z = Zone("box", [(0, 0), (100, 0), (100, 100), (0, 100)])
+    assert z.update([_det(150, 50, tid=1)], 0.0) == []    # outside
+    ev = z.update([_det(50, 50, tid=1)], 1.0)
+    assert ev == [{"zone": "box", "track_id": 1, "event": "enter",
+                   "ts": 1.0}]
+    assert z.occupancy == 1
+    ev = z.update([_det(150, 50, tid=1)], 3.5)
+    assert ev[0]["event"] == "exit" and abs(ev[0]["dwell_s"] - 2.5) < 1e-9
+    assert z.occupancy == 0
+    s = z.summary()
+    assert s["entered_total"] == 1 and s["completed_visits"] == 1
+    assert abs(s["mean_dwell_s"] - 2.5) < 1e-9
+
+
+def test_zone_vanished_identity_closes_visit():
+    z = Zone("box", [(0, 0), (100, 0), (100, 100), (0, 100)],
+             stale_after=1.0)
+    z.update([_det(50, 50, tid=4)], 0.0)       # enters
+    z.update([_det(60, 50, tid=4)], 0.5)       # last seen inside
+    ev = z.update([], 2.0)                     # long gone
+    assert ev and ev[0]["event"] == "exit"
+    assert abs(ev[0]["dwell_s"] - 0.5) < 1e-9
+    assert z.occupancy == 0
+
+
+def test_aggregate_from_config_and_overlay():
+    ana = Analytics({
+        "stale_after": 5.0,
+        "lines": [{"name": "main", "p1": [0, 100], "p2": [200, 100]}],
+        "zones": [{"name": "j", "polygon": [[0, 0], [100, 0],
+                                            [100, 100], [0, 100]]}],
+    })
+    ana.update([_det(50, 90, tid=1)], 0.1)
+    ev = ana.update([_det(50, 110, tid=1)], 0.2)
+    assert any("line" in e for e in ev)
+    s = ana.summary()
+    assert s["lines"][0]["total"] == 1
+    assert s["zones"][0]["name"] == "j"
+
+    img = np.zeros((150, 250, 3), np.uint8)
+    ana.overlay(img)
+    # x=150 is on the counting line but past the zone's cyan edges
+    assert img[100, 150].tolist() == [0, 220, 220]
+    assert (img != 0).any(axis=-1).sum() > 300      # zone edges + text
+
+
+def test_detections_without_ids_ignored():
+    ln = CountingLine("main", (0, 100), (200, 100))
+    d = _det(50, 90, tid=None)
+    ln.update([d], 0.1)
+    d2 = _det(50, 110, tid=None)
+    assert ln.update([d2], 0.2) == []

@@ -40,6 +40,11 @@ def main(argv=None) -> int:
     ap.add_argument("--conf", type=float, default=0.001)
     ap.add_argument("--iou-thres", default="0.5")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--tile", type=int, default=0,
+                    help="tiled small-object inference: crop size "
+                         "(0 = off; detect task only) — compare mAP "
+                         "with/without tiling on the same data")
+    ap.add_argument("--tile-overlap", type=float, default=0.25)
     args = ap.parse_args(argv)
 
     task = args.task
@@ -51,7 +56,10 @@ def main(argv=None) -> int:
     det = build_detector({"backend": "ultralytics", "model": args.weights,
                           "task": task, "conf_thres": args.conf,
                           "iou_thres": 0.7, "max_det": 300,
-                          "imgsz": args.imgsz, "classes_keep": []})
+                          "imgsz": args.imgsz, "classes_keep": [],
+                          "tiling": {"enable": args.tile > 0,
+                                     "tile": args.tile or 640,
+                                     "overlap": args.tile_overlap}})
     thresholds = [float(t) for t in args.iou_thres.split(",")]
 
     if task == "segment":

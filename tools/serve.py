@@ -70,7 +70,7 @@ class FrameHub:
         self.latest = {"ts": None, "frame": 0, "detections": []}
 
     def publish(self, jpeg: bytes, fps: float, n_tracks: int,
-                detections=None, ts=None) -> None:
+                detections=None, ts=None, analytics=None) -> None:
         with self._cond:
             self._jpeg = jpeg
             self._seq += 1
@@ -79,6 +79,8 @@ class FrameHub:
             self._tracks_total += n_tracks
             self.stats["tracks_per_frame"] = round(
                 self._tracks_total / self.stats["frames"], 2)
+            if analytics is not None:
+                self.stats["analytics"] = analytics
             self.latest = {"ts": ts, "frame": self.stats["frames"],
                            "detections": detections or []}
             self._cond.notify_all()
@@ -178,6 +180,11 @@ def _pipeline_loop(cfg, hub: FrameHub, max_frames, quality: int) -> None:
     engine = PipelineEngine(cfg)
     fpsm = FPSMeter(alpha=0.1)
     want_compare = bool(compare_cfg.get("enable", True))
+    ana_cfg = cfg.get("analytics", {}) or {}
+    analytics = None
+    if ana_cfg.get("enabled"):
+        from roadvision_tpu.analytics import Analytics
+        analytics = Analytics(ana_cfg)
     try:
         for res in engine.stream(vs, max_frames=max_frames):
             proc = np.ascontiguousarray(res.proc)
@@ -188,6 +195,9 @@ def _pipeline_loop(cfg, hub: FrameHub, max_frames, quality: int) -> None:
                     thickness=int(draw_cfg.get("thickness", 2)),
                     font_scale=float(draw_cfg.get("font_scale", 0.6)),
                     mask_alpha=float(draw_cfg.get("mask_alpha", 0.45)))
+            if analytics is not None:
+                analytics.update(res.detections, res.ts)
+                analytics.overlay(proc)
             fps = fpsm.tick(res.ts)
             if want_compare:
                 canvas = make_canvas(
@@ -213,7 +223,9 @@ def _pipeline_loop(cfg, hub: FrameHub, max_frames, quality: int) -> None:
                    if d.keypoints is not None else {}),
             ) for d in res.detections]
             hub.publish(encode_jpeg_bgr(canvas, quality), fps, n_tracks,
-                        detections=dets, ts=res.ts)
+                        detections=dets, ts=res.ts,
+                        analytics=(analytics.summary()
+                                   if analytics is not None else None))
     except Exception as exc:
         log.warning("pipeline loop ended: %s", exc)
     finally:
@@ -240,6 +252,11 @@ def _multi_pipeline_loop(cfg, hub: FrameHub, max_frames,
              len(sources), dict(engine.mesh.shape))
     fpsm = FPSMeter(alpha=0.1)
     labels = [f"CAM{i}" for i in range(len(sources))]
+    ana_cfg = cfg.get("analytics", {}) or {}
+    analytics = None
+    if ana_cfg.get("enabled"):
+        from roadvision_tpu.analytics import Analytics
+        analytics = [Analytics(ana_cfg) for _ in sources]  # per stream
     try:
         for batch in engine.stream(sources, max_frames=max_frames):
             for i in range(len(batch[0])):
@@ -256,6 +273,9 @@ def _multi_pipeline_loop(cfg, hub: FrameHub, max_frames,
                                                           0.6)),
                             mask_alpha=float(draw_cfg.get("mask_alpha",
                                                           0.45)))
+                    if analytics is not None:
+                        analytics[s].update(res.detections, res.ts)
+                        analytics[s].overlay(frame)
                     tiles.append(frame)
                     all_dets.extend(
                         dict({"stream": s,
@@ -277,7 +297,9 @@ def _multi_pipeline_loop(cfg, hub: FrameHub, max_frames,
                 n_tracks = sum(1 for d in all_dets
                                if d["track_id"] is not None)
                 hub.publish(encode_jpeg_bgr(canvas, quality), fps, n_tracks,
-                            detections=all_dets, ts=batch[0][i].ts)
+                            detections=all_dets, ts=batch[0][i].ts,
+                            analytics=([a.summary() for a in analytics]
+                                       if analytics is not None else None))
     except Exception as exc:
         log.warning("multi-stream loop ended: %s", exc)
     finally:
