@@ -166,11 +166,16 @@ class ImageDirSource(_BaseSource):
         self.idx = 0
 
     def read_frame(self):
-        from PIL import Image
         if self.idx >= len(self.files):
             return False, None
-        img = np.asarray(Image.open(self.files[self.idx]).convert("RGB"))
+        path = self.files[self.idx]
         self.idx += 1
+        if path.suffix.lower() in (".jpg", ".jpeg"):
+            # native libjpeg-turbo decode straight to BGR (no flip copy)
+            from .mjpeg_avi import decode_jpeg_bgr
+            return True, decode_jpeg_bgr(path.read_bytes())
+        from PIL import Image
+        img = np.asarray(Image.open(path).convert("RGB"))
         return True, img[..., ::-1].copy()  # RGB → BGR, the pipeline contract
 
 
@@ -273,6 +278,14 @@ def _resolve(source, width, height, fps_request, num_frames=None) -> _BaseSource
         if p.suffix == ".y4m":
             from .y4m import Y4MReader
             return Y4MReader(source)
+        if p.suffix.lower() == ".avi" and p.is_file():
+            # codec-free MJPEG playback (the recorder's own output);
+            # non-MJPG AVIs fall through to cv2/ffmpeg below
+            try:
+                from .mjpeg_avi import MJPEGAviReader
+                return MJPEGAviReader(source)
+            except ValueError:
+                pass
         if p.is_dir():
             return ImageDirSource(source)
         if not _HAS_CV2:

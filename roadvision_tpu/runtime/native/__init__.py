@@ -19,9 +19,12 @@ _SRC = _HERE / "host_ops.cpp"
 _LIB = _HERE / "libhostops.so"
 _JPEG_SRC = _HERE / "jpeg_enc.cpp"
 _JPEG_LIB = _HERE / "libjpegenc.so"
+_JDEC_SRC = _HERE / "jpeg_dec.cpp"
+_JDEC_LIB = _HERE / "libjpegdec.so"
 
 _lib: Optional[ctypes.CDLL] = None
 _jpeg_lib = None  # None = untried, False = unavailable
+_jdec_lib = None  # None = untried, False = unavailable
 
 
 def _compile(src: Path, lib: Path, extra=()) -> Optional[ctypes.CDLL]:
@@ -107,6 +110,43 @@ def jpeg_encode_bgr(frame: np.ndarray, quality: int = 90,
         return ctypes.string_at(out, n)
     finally:
         lib.rvt_jpeg_free(out)
+
+
+def get_jdec_lib():
+    """libjpeg-turbo decode path; False when -ljpeg is unavailable."""
+    global _jdec_lib
+    if _jdec_lib is None:
+        lib = _compile(_JDEC_SRC, _JDEC_LIB, extra=("-ljpeg",))
+        if lib is not None:
+            lib.rvt_jpeg_decode_bgr.restype = ctypes.c_long
+            lib.rvt_jpeg_decode_bgr.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+            lib.rvt_jpeg_free_dec.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        _jdec_lib = lib if lib is not None else False
+    return _jdec_lib
+
+
+def jpeg_decode_bgr(data: bytes) -> Optional[np.ndarray]:
+    """Decode a JPEG byte stream to (h, w, 3) uint8 BGR; None when the
+    native path is unavailable or the stream does not decode."""
+    lib = get_jdec_lib()
+    if not lib:
+        return None
+    src = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.rvt_jpeg_decode_bgr(src, len(data), ctypes.byref(h),
+                                ctypes.byref(w), ctypes.byref(out))
+    if n < 0:
+        return None
+    try:
+        view = np.ctypeslib.as_array(out, shape=(h.value, w.value, 3))
+        return view.copy()  # own the memory before freeing the C buffer
+    finally:
+        lib.rvt_jpeg_free_dec(out)
 
 
 def fill_rect(img: np.ndarray, x1: int, y1: int, x2: int, y2: int, color):
