@@ -61,7 +61,11 @@ DEFAULTS: Dict[str, Any] = {
                                full_frame=True)),
     "tracking": dict(enabled=False, backend="sort", max_staleness=1.0,
                      min_hits=3, iou_threshold=0.3, speed_window=0.75,
-                     association="greedy"),
+                     association="greedy",
+                     # additive: learned re-id embedder checkpoint for
+                     # the appearance backends (track/reid.py; None =
+                     # handcrafted grid descriptor)
+                     reid_weights=None),
     "geometry": dict(
         enabled=False,
         projector=dict(type="homography", image_points=[], world_points=[],

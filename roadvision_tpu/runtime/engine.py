@@ -147,6 +147,28 @@ class PipelineEngine:
                 log.warning("tracker init failed: %s", exc)
                 self.track_enabled = False
 
+        # per-detection appearance descriptors for the re-id backends:
+        # handcrafted grid signature by default (track/appearance.py),
+        # or the learned embedder when tracking.reid_weights points at a
+        # trained checkpoint (track/reid.py, tools/train_reid.py) — same
+        # vector contract, so association/EMA downstream are unchanged
+        self._embed_fn = None
+        if self._sort_step is not None and \
+                getattr(self._sort_step, "needs_embeddings", False):
+            from ..track.appearance import box_embeddings
+            self._embed_fn = box_embeddings
+            reid_w = track_cfg.get("reid_weights")
+            if reid_w:
+                try:
+                    from ..track.reid import (load_reid_params,
+                                              make_reid_embed)
+                    self._embed_fn = make_reid_embed(
+                        load_reid_params(reid_w))
+                    log.info("re-id: learned embedder from %s", reid_w)
+                except Exception as exc:  # soft fail, keep grid descriptor
+                    log.warning("re-id weights %s unusable (%s); using "
+                                "the grid descriptor", reid_w, exc)
+
         # camera-motion compensation (track/gmc.py): device-side phase
         # correlation; the carried previous-frame thumbnail lives here
         # (the sharded multi-stream engine carries an (S, G, G) stack
@@ -317,12 +339,12 @@ class PipelineEngine:
                 feed = [boxes, cls_id, conf, valid, ts]
                 needs_emb = getattr(sort_step, "needs_embeddings", False)
                 if needs_emb:
-                    # re-id backend (deepsort): per-det appearance
-                    # descriptors, computed on device from the RAW
-                    # frames (stable across preprocess settings; proc
-                    # may not even exist on the sampled path)
-                    from ..track.appearance import box_embeddings
-                    feed.append(jax.vmap(box_embeddings)(frames_u8,
+                    # re-id backend (deepsort/botsort): per-det
+                    # appearance descriptors, computed on device from
+                    # the RAW frames (stable across preprocess settings;
+                    # proc may not even exist on the sampled path);
+                    # grid descriptor or learned net per config
+                    feed.append(jax.vmap(self._embed_fn)(frames_u8,
                                                          boxes, valid))
                 use_gmc = gmc_prev is not None
                 if use_gmc:

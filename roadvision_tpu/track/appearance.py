@@ -28,22 +28,26 @@ EMB_GRID = 6
 EMB_DIM = EMB_GRID * EMB_GRID * 3
 
 
-def box_embeddings(frame_u8: jnp.ndarray, boxes: jnp.ndarray,
-                   valid: jnp.ndarray) -> jnp.ndarray:
-    """(H, W, 3) uint8 frame + (D, 4) xyxy source px + (D,) bool →
-    (D, EMB_DIM) f32, L2-normalized (zero rows for invalid dets)."""
+def sample_box_grid(frame_u8: jnp.ndarray, boxes: jnp.ndarray,
+                    size: int) -> jnp.ndarray:
+    """(H, W, 3) uint8 frame + (D, 4) xyxy source px → (D, size, size, 3)
+    f32 bilinear samples of each box interior (grid centers at
+    (i + 0.5)/size of the box extent, clamped to the frame).
+
+    Shared sampler for the handcrafted grid descriptor below and the
+    learned embedder (track/reid.py) — fixed shapes, four gathers."""
     h, w = frame_u8.shape[:2]
     img = frame_u8.astype(jnp.float32)
 
-    u = (jnp.arange(EMB_GRID, dtype=jnp.float32) + 0.5) / EMB_GRID
+    u = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
     x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
-    gx = x1[:, None] + u[None, :] * (x2 - x1)[:, None]      # (D, G)
+    gx = x1[:, None] + u[None, :] * (x2 - x1)[:, None]      # (D, S)
     gy = y1[:, None] + u[None, :] * (y2 - y1)[:, None]
-    # full (D, G, G) grids
-    sx = jnp.clip(gx[:, None, :], 0.0, w - 1.0)             # (D, 1, G)
-    sy = jnp.clip(gy[:, :, None], 0.0, h - 1.0)             # (D, G, 1)
-    sx = jnp.broadcast_to(sx, (boxes.shape[0], EMB_GRID, EMB_GRID))
-    sy = jnp.broadcast_to(sy, (boxes.shape[0], EMB_GRID, EMB_GRID))
+    # full (D, S, S) grids
+    sx = jnp.clip(gx[:, None, :], 0.0, w - 1.0)             # (D, 1, S)
+    sy = jnp.clip(gy[:, :, None], 0.0, h - 1.0)             # (D, S, 1)
+    sx = jnp.broadcast_to(sx, (boxes.shape[0], size, size))
+    sy = jnp.broadcast_to(sy, (boxes.shape[0], size, size))
 
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
@@ -60,9 +64,15 @@ def box_embeddings(frame_u8: jnp.ndarray, boxes: jnp.ndarray,
     p11 = img[y1i, x1i]
     fx = fx[..., None]
     fy = fy[..., None]
-    sample = (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
-              + p10 * (1 - fx) * fy + p11 * fx * fy)        # (D, G, G, 3)
+    return (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
+            + p10 * (1 - fx) * fy + p11 * fx * fy)          # (D, S, S, 3)
 
+
+def box_embeddings(frame_u8: jnp.ndarray, boxes: jnp.ndarray,
+                   valid: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) uint8 frame + (D, 4) xyxy source px + (D,) bool →
+    (D, EMB_DIM) f32, L2-normalized (zero rows for invalid dets)."""
+    sample = sample_box_grid(frame_u8, boxes, EMB_GRID)
     flat = sample.reshape(boxes.shape[0], EMB_DIM)
     flat = flat - jnp.mean(flat, axis=-1, keepdims=True)
     norm = jnp.sqrt(jnp.sum(flat * flat, axis=-1, keepdims=True))
