@@ -124,11 +124,11 @@ def main(argv=None) -> int:
     if args.gt:
         import json
 
-        from roadvision_tpu.track.eval import evaluate_tracking
+        from roadvision_tpu.track.eval import evaluate_all
         gt_frames = read_mot(args.gt, n_frames)
         pred_frames = read_mot(out, n_frames)
-        result = evaluate_tracking(gt_frames, pred_frames,
-                                   iou_thres=args.eval_iou)
+        result = evaluate_all(gt_frames, pred_frames,
+                              iou_thres=args.eval_iou)
         print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
                           for k, v in result.items()}))
     return 0
