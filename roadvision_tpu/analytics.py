@@ -18,7 +18,15 @@ Components (all driven by the additive ``analytics:`` config section):
     crossing: "pos" = left→right of the p1→p2 direction, "neg" = the
     other way. Per-class tallies + an event log.
   * :class:`Zone` — polygon occupancy (point-in-polygon of the
-    box-bottom-center) with per-identity dwell times on exit.
+    box-bottom-center) with per-identity dwell times on exit, plus
+    speed statistics (mean / max / 85th percentile — the traffic-
+    engineering operating speed) over the ``speed_kmh`` values the
+    geometry layer attaches.
+  * :class:`StoppedMonitor` — stopped-vehicle / incident detection: an
+    identity whose road-contact point stays within a fraction of its
+    own box diagonal for ``after_s`` seconds raises a ``stopped``
+    event (and ``resumed`` when it moves off), optionally gated to a
+    polygon and to classes.
   * :class:`Analytics` — the config-built aggregate the driver and the
     MJPEG server feed (``update(dets, ts)``) and render
     (``overlay(img)``, ``summary()``).
@@ -136,6 +144,7 @@ class Zone:
         self.stale_after = float(stale_after)
         self.entered_total = 0
         self.dwell_s: List[float] = []     # completed visits
+        self.speed_samples: List[float] = []   # km/h while inside
         self._inside: Dict[int, float] = {}    # id → entry ts
         self._seen: Dict[int, float] = {}      # id → last-seen ts
 
@@ -154,8 +163,12 @@ class Zone:
             if self.classes is not None and int(d.cls_id) not in self.classes:
                 continue
             x, y = _anchor(d)
-            present[int(tid)] = _point_in_polygon(self.polygon, x, y)
+            inside_now = _point_in_polygon(self.polygon, x, y)
+            present[int(tid)] = inside_now
             self._seen[int(tid)] = ts
+            spd = getattr(d, "speed_kmh", None)
+            if inside_now and spd is not None:
+                self.speed_samples.append(float(spd))
         for tid, inside in present.items():
             was = tid in self._inside
             if inside and not was:
@@ -185,10 +198,103 @@ class Zone:
     def summary(self) -> Dict[str, Any]:
         mean = (sum(self.dwell_s) / len(self.dwell_s)) \
             if self.dwell_s else None
-        return {"name": self.name, "occupancy": self.occupancy,
-                "entered_total": self.entered_total,
-                "completed_visits": len(self.dwell_s),
-                "mean_dwell_s": mean}
+        out = {"name": self.name, "occupancy": self.occupancy,
+               "entered_total": self.entered_total,
+               "completed_visits": len(self.dwell_s),
+               "mean_dwell_s": mean}
+        if self.speed_samples:
+            s = sorted(self.speed_samples)
+            # p85: traffic engineering's operating-speed percentile
+            # (nearest-rank convention)
+            k = max(0, min(len(s) - 1, int(0.85 * len(s) + 0.5) - 1))
+            out["speed"] = {"samples": len(s),
+                            "mean_kmh": sum(s) / len(s),
+                            "max_kmh": s[-1],
+                            "p85_kmh": s[k]}
+        return out
+
+
+class StoppedMonitor:
+    """Stopped-vehicle (incident) detection over tracked identities.
+
+    An identity is "stopped" once its road-contact anchor has stayed
+    within ``move_frac`` of its own box diagonal — and, when the
+    geometry layer provides speeds, below ``min_speed_kmh`` — for
+    ``after_s`` continuous seconds. One ``stopped`` event fires per
+    stillness episode, a ``resumed`` event when it moves off. Pixel
+    displacement is the primary signal so the monitor works without a
+    calibrated projector; the box-relative threshold makes it depth-
+    invariant (a far car moves fewer pixels per m/s).
+    """
+
+    def __init__(self, after_s: float = 2.0, move_frac: float = 0.08,
+                 min_speed_kmh: float = 3.0,
+                 classes: Optional[Iterable[int]] = None,
+                 polygon=None, stale_after: float = 5.0):
+        self.after_s = float(after_s)
+        self.move_frac = float(move_frac)
+        self.min_speed_kmh = float(min_speed_kmh)
+        self.classes = set(int(c) for c in classes) if classes else None
+        self.polygon = ([(float(x), float(y)) for (x, y) in polygon]
+                        if polygon else None)
+        self.stale_after = float(stale_after)
+        self.events: List[Dict[str, Any]] = []
+        # id → [still_since_ts, ref_x, ref_y, flagged, last_ts, cls]
+        self._state: Dict[int, List[Any]] = {}
+        self.stopped_now: Dict[int, Tuple[float, float]] = {}  # id → anchor
+
+    def update(self, detections, timestamp: float) -> List[Dict[str, Any]]:
+        ts = float(timestamp)
+        new_events: List[Dict[str, Any]] = []
+        for d in detections:
+            tid = getattr(d, "track_id", None)
+            if tid is None:
+                continue
+            if self.classes is not None and int(d.cls_id) not in self.classes:
+                continue
+            x, y = _anchor(d)
+            if self.polygon is not None and \
+                    not _point_in_polygon(self.polygon, x, y):
+                continue
+            tid = int(tid)
+            diag = ((d.x2 - d.x1) ** 2 + (d.y2 - d.y1) ** 2) ** 0.5
+            spd = getattr(d, "speed_kmh", None)
+            st = self._state.get(tid)
+            moved = False
+            if st is not None:
+                dist = ((x - st[1]) ** 2 + (y - st[2]) ** 2) ** 0.5
+                moved = dist > self.move_frac * max(diag, 1e-6)
+            if spd is not None and spd > self.min_speed_kmh:
+                moved = True
+            if st is None or moved:
+                if st is not None and st[3]:        # was flagged → resumed
+                    ev = {"event": "resumed", "track_id": tid, "ts": ts,
+                          "stopped_for_s": ts - st[0]}
+                    self.events.append(ev)
+                    new_events.append(ev)
+                    self.stopped_now.pop(tid, None)
+                self._state[tid] = [ts, x, y, False, ts,
+                                    str(getattr(d, "cls_name", d.cls_id))]
+                continue
+            st[4] = ts
+            if not st[3] and ts - st[0] >= self.after_s:
+                st[3] = True
+                ev = {"event": "stopped", "track_id": tid, "ts": ts,
+                      "cls": st[5], "since": st[0], "x": x, "y": y}
+                self.events.append(ev)
+                new_events.append(ev)
+            if st[3]:
+                self.stopped_now[tid] = (x, y)
+        for tid in [t for t, st in self._state.items()
+                    if ts - st[4] > self.stale_after]:
+            del self._state[tid]
+            self.stopped_now.pop(tid, None)
+        return new_events
+
+    def summary(self) -> Dict[str, Any]:
+        return {"currently_stopped": len(self.stopped_now),
+                "stop_events_total": sum(
+                    1 for e in self.events if e["event"] == "stopped")}
 
 
 class Analytics:
@@ -204,6 +310,13 @@ class Analytics:
           zones:
             - {name: junction, polygon: [[100, 100], [500, 100],
                                          [500, 500], [100, 500]]}
+          stopped:
+            enable: true
+            after_s: 2.0        # stillness before the alert
+            move_frac: 0.08     # of the box diagonal
+            min_speed_kmh: 3.0  # when geometry provides speeds
+            # polygon: [...]    # optional gating region
+            # classes: [2, 5, 7]
     """
 
     def __init__(self, cfg: Dict[str, Any]):
@@ -216,6 +329,16 @@ class Analytics:
         self.zones = [Zone(z.get("name", f"zone{i}"), z["polygon"],
                            classes=z.get("classes"), stale_after=stale)
                       for i, z in enumerate(cfg.get("zones") or [])]
+        stop_cfg = cfg.get("stopped") or {}
+        self.stopped: Optional[StoppedMonitor] = None
+        if stop_cfg.get("enable", False):
+            self.stopped = StoppedMonitor(
+                after_s=float(stop_cfg.get("after_s", 2.0)),
+                move_frac=float(stop_cfg.get("move_frac", 0.08)),
+                min_speed_kmh=float(stop_cfg.get("min_speed_kmh", 3.0)),
+                classes=stop_cfg.get("classes"),
+                polygon=stop_cfg.get("polygon"),
+                stale_after=stale)
 
     def update(self, detections, timestamp: float) -> List[Dict[str, Any]]:
         dets = list(detections)
@@ -224,11 +347,16 @@ class Analytics:
             events.extend(ln.update(dets, timestamp))
         for z in self.zones:
             events.extend(z.update(dets, timestamp))
+        if self.stopped is not None:
+            events.extend(self.stopped.update(dets, timestamp))
         return events
 
     def summary(self) -> Dict[str, Any]:
-        return {"lines": [ln.summary() for ln in self.lines],
-                "zones": [z.summary() for z in self.zones]}
+        out = {"lines": [ln.summary() for ln in self.lines],
+               "zones": [z.summary() for z in self.zones]}
+        if self.stopped is not None:
+            out["stopped"] = self.stopped.summary()
+        return out
 
     def overlay(self, image) -> None:
         """Draw lines/zones + live tallies on a BGR uint8 frame."""
@@ -252,3 +380,9 @@ class Analytics:
             put_text(image, f"{z.name} occ {z.occupancy}",
                      (int(x0) + 4, max(12, int(y0) - 6)), color=cyan,
                      font_scale=0.5)
+        if self.stopped is not None:
+            red = (40, 40, 230)
+            for tid, (x, y) in self.stopped.stopped_now.items():
+                put_text(image, f"STOPPED #{tid}",
+                         (max(0, int(x) - 20), max(12, int(y) - 4)),
+                         color=red, font_scale=0.5)

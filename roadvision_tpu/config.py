@@ -74,7 +74,10 @@ DEFAULTS: Dict[str, Any] = {
     "vis": dict(draw=dict(det=True, thickness=2, font_scale=0.6)),
     # additive: traffic analytics over tracked detections
     # (roadvision_tpu/analytics.py — line counting, zone occupancy)
-    "analytics": dict(enabled=False, stale_after=5.0, lines=[], zones=[]),
+    "analytics": dict(enabled=False, stale_after=5.0, lines=[], zones=[],
+                      stopped=dict(enable=False, after_s=2.0,
+                                   move_frac=0.08, min_speed_kmh=3.0,
+                                   polygon=None, classes=None)),
     "tpu": dict(batch_size=8, track_slots=None, compute_dtype="bfloat16",
                 watchdog_s=60.0, sampled_preprocess=False,
                 mesh=dict(enable=False, axis="data", devices=None)),

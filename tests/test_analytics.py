@@ -113,3 +113,88 @@ def test_detections_without_ids_ignored():
     ln.update([d], 0.1)
     d2 = _det(50, 110, tid=None)
     assert ln.update([d2], 0.2) == []
+
+
+def _sdet(cx, y2, tid, speed=None, w=20.0, h=16.0):
+    d = _det(cx, y2, tid=tid, w=w, h=h)
+    d.speed_kmh = speed
+    return d
+
+
+def test_zone_speed_statistics():
+    from roadvision_tpu.analytics import Zone
+    z = Zone("j", [(0, 0), (100, 0), (100, 100), (0, 100)])
+    # inside with speeds 10..100 km/h; one outside sample ignored
+    for i, spd in enumerate(range(10, 101, 10)):
+        z.update([_sdet(50, 50, tid=1, speed=float(spd))], 0.1 * i)
+    z.update([_sdet(500, 500, tid=2, speed=999.0)], 2.0)
+    s = z.summary()["speed"]
+    assert s["samples"] == 10
+    assert abs(s["mean_kmh"] - 55.0) < 1e-9
+    assert s["max_kmh"] == 100.0
+    # nearest-rank p85 of [10..100] → round(0.85*10)=9th value = 90
+    assert s["p85_kmh"] == 90.0
+    # no samples → no speed key
+    assert "speed" not in Zone("e", [(0, 0), (1, 0), (1, 1)]).summary()
+
+
+def test_stopped_vehicle_event_and_resume():
+    from roadvision_tpu.analytics import StoppedMonitor
+    m = StoppedMonitor(after_s=1.0, move_frac=0.1)
+    # still for 1.2 s → exactly one stopped event
+    evs = []
+    for i in range(7):
+        evs += m.update([_sdet(50, 50, tid=3)], 0.2 * i)
+    stops = [e for e in evs if e["event"] == "stopped"]
+    assert len(stops) == 1 and stops[0]["track_id"] == 3
+    assert m.summary()["currently_stopped"] == 1
+    # moves off (> move_frac * diag ≈ 2.56 px) → resumed once
+    evs = m.update([_sdet(80, 50, tid=3)], 1.6)
+    assert [e["event"] for e in evs] == ["resumed"]
+    assert m.summary()["currently_stopped"] == 0
+    assert m.summary()["stop_events_total"] == 1
+
+
+def test_moving_vehicle_never_flags():
+    from roadvision_tpu.analytics import StoppedMonitor
+    m = StoppedMonitor(after_s=0.5, move_frac=0.05)
+    evs = []
+    for i in range(10):
+        evs += m.update([_sdet(50 + 10 * i, 50, tid=4)], 0.2 * i)
+    assert evs == []
+
+
+def test_speed_gate_blocks_stillness():
+    """A distant object can be pixel-still yet fast — the projector's
+    speed overrides the pixel heuristic."""
+    from roadvision_tpu.analytics import StoppedMonitor
+    m = StoppedMonitor(after_s=0.5, min_speed_kmh=3.0)
+    evs = []
+    for i in range(8):
+        evs += m.update([_sdet(50, 50, tid=5, speed=40.0)], 0.2 * i)
+    assert evs == []
+
+
+def test_stopped_polygon_and_class_gating():
+    from roadvision_tpu.analytics import StoppedMonitor
+    poly = [(0, 0), (100, 0), (100, 100), (0, 100)]
+    m = StoppedMonitor(after_s=0.4, polygon=poly, classes=[2])
+    evs = []
+    for i in range(5):
+        evs += m.update([_sdet(500, 500, tid=6),       # outside polygon
+                         _det(50, 50, tid=7, cls_id=0)], 0.2 * i)
+    assert evs == []
+    for i in range(5):
+        evs += m.update([_det(50, 50, tid=8, cls_id=2)], 1.0 + 0.2 * i)
+    assert [e["event"] for e in evs] == ["stopped"]
+
+
+def test_aggregate_stopped_config_and_overlay():
+    ana = Analytics({"stopped": {"enable": True, "after_s": 0.4}})
+    for i in range(5):
+        ana.update([_det(50, 50, tid=9)], 0.2 * i)
+    s = ana.summary()
+    assert s["stopped"]["currently_stopped"] == 1
+    img = np.zeros((150, 250, 3), np.uint8)
+    ana.overlay(img)
+    assert (img == np.array([40, 40, 230])).all(axis=-1).any()
