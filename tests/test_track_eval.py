@@ -140,3 +140,51 @@ def test_engine_stream_order_is_monotonic():
     for got in first:
         fr = ref.read()
         np.testing.assert_array_equal(got, fr.image)
+
+
+def test_interpolate_gaps_exact_linear():
+    from roadvision_tpu.track.postprocess import interpolate_gaps
+    frames = [
+        [(0.0, 0.0, 10.0, 10.0, 1, 1.0)],
+        [], [],
+        [(30.0, 0.0, 40.0, 10.0, 1, 0.4)],
+    ]
+    out = interpolate_gaps(frames, max_gap=5)
+    # observed frames untouched
+    assert out[0] == frames[0] and out[3] == frames[3]
+    # gap filled with linear boxes AND extras (conf)
+    np.testing.assert_allclose(out[1], [(10.0, 0.0, 20.0, 10.0, 1, 0.8)])
+    np.testing.assert_allclose(out[2], [(20.0, 0.0, 30.0, 10.0, 1, 0.6)])
+    assert out[1][0][4] == 1 and isinstance(out[1][0][4], int)
+    # originals not mutated
+    assert frames[1] == []
+
+
+def test_interpolate_gaps_limits():
+    from roadvision_tpu.track.postprocess import interpolate_gaps
+    frames = [[(0, 0, 10, 10, 1)]] + [[]] * 4 + [[(50, 0, 60, 10, 1)]]
+    # gap of 4 > max_gap 3: untouched
+    out = interpolate_gaps(frames, max_gap=3)
+    assert all(out[f] == [] for f in range(1, 5))
+    # max_gap 0: no-op even for 1-frame gaps
+    frames2 = [[(0, 0, 10, 10, 1)], [], [(20, 0, 30, 10, 1)]]
+    assert interpolate_gaps(frames2, max_gap=0)[1] == []
+    # two different ids interpolate independently
+    frames3 = [[(0, 0, 10, 10, 1), (100, 0, 110, 10, 2)], [],
+               [(20, 0, 30, 10, 1), (120, 0, 130, 10, 2)]]
+    mid = interpolate_gaps(frames3, max_gap=2)[1]
+    assert sorted(r[4] for r in mid) == [1, 2]
+
+
+def test_interpolation_improves_metrics():
+    from roadvision_tpu.track.postprocess import interpolate_gaps
+    gt = [[(0, 0, 10, 10, 1)]] * 8
+    pred = [[(0, 0, 10, 10, 7)]] * 3 + [[], []] + \
+        [[(0, 0, 10, 10, 7)]] * 3
+    filled = interpolate_gaps(pred, max_gap=5)
+    before = evaluate_all(gt, pred)
+    after = evaluate_all(gt, filled)
+    assert after["mota"] > before["mota"]
+    assert after["idf1"] > before["idf1"]
+    assert after["hota"] > before["hota"]
+    assert after["mota"] == after["idf1"] == 1.0

@@ -63,6 +63,10 @@ def main(argv=None) -> int:
                          "(MOTA, id switches, misses, FPs) after tracking")
     ap.add_argument("--eval-iou", type=float, default=0.5,
                     help="IoU match threshold for --gt scoring")
+    ap.add_argument("--interpolate", type=int, default=0, metavar="N",
+                    help="fill per-identity gaps of <= N frames with "
+                         "linearly interpolated boxes (the standard MOT "
+                         "postprocess; 0 = off)")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -84,13 +88,14 @@ def main(argv=None) -> int:
     engine = PipelineEngine(cfg)
     writer = make_writer(args.record) if args.record else None
 
-    lines = []
+    frame_rows = []          # per frame: (x1, y1, x2, y2, id, conf, gx, gy)
     n_frames = 0
     n_tracks = set()
     try:
         for res in engine.stream(vs, max_frames=args.frames,
                                  want_proc=writer is not None):
             n_frames += 1
+            rows = []
             for d in res.detections:
                 if d.track_id is None:
                     continue
@@ -101,10 +106,9 @@ def main(argv=None) -> int:
                         (d.x1, d.y1, d.x2, d.y2))
                     if pt is not None:
                         gx, gy = pt
-                lines.append(
-                    f"{n_frames},{d.track_id},{d.x1:.2f},{d.y1:.2f},"
-                    f"{d.x2 - d.x1:.2f},{d.y2 - d.y1:.2f},{d.conf:.4f},"
-                    f"{gx:.2f},{gy:.2f},-1")
+                rows.append((d.x1, d.y1, d.x2, d.y2, int(d.track_id),
+                             d.conf, gx, gy))
+            frame_rows.append(rows)
             if writer is not None:
                 proc = np.ascontiguousarray(res.proc)
                 if res.detections:
@@ -114,6 +118,21 @@ def main(argv=None) -> int:
         if writer is not None:
             writer.release()
         vs.release()
+
+    if args.interpolate > 0:
+        from roadvision_tpu.track.postprocess import interpolate_gaps
+        before = sum(len(r) for r in frame_rows)
+        frame_rows = interpolate_gaps(frame_rows, args.interpolate)
+        added = sum(len(r) for r in frame_rows) - before
+        log.info("interpolated %d gap rows (max_gap=%d)", added,
+                 args.interpolate)
+
+    lines = []
+    for f, rows in enumerate(frame_rows, start=1):
+        for (x1, y1, x2, y2, tid, conf, gx, gy) in rows:
+            lines.append(
+                f"{f},{tid},{x1:.2f},{y1:.2f},{x2 - x1:.2f},"
+                f"{y2 - y1:.2f},{conf:.4f},{gx:.2f},{gy:.2f},-1")
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
