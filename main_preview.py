@@ -111,11 +111,20 @@ def run_multi(args, cfg) -> int:
         analytics = [Analytics(ana_cfg) for _ in sources]  # per stream
 
     writer = None
+    gated = False
+    min_det = int(record_cfg.get("min_detections", 1))
     if bool(record_cfg.get("enable", False)) or args.record:
         path = args.record or record_cfg.get("path", "out_compare.avi")
         writer = make_writer(path, fps=record_cfg.get("fps", 30),
                              quality=int(record_cfg.get("quality", 85)))
-        log.info("recording to %s", path)
+        gated = bool(record_cfg.get("events_only", False))
+        if gated:
+            from roadvision_tpu.io_video import EventGatedWriter
+            writer = EventGatedWriter(
+                writer, pre_roll=int(record_cfg.get("pre_roll", 30)),
+                post_roll=int(record_cfg.get("post_roll", 60)))
+        log.info("recording to %s%s", path,
+                 " (event-gated)" if gated else "")
     show = _HAS_CV2 and not args.no_show
 
     n_frames = 0
@@ -125,6 +134,7 @@ def run_multi(args, cfg) -> int:
             b = len(batch[0])
             for i in range(b):
                 tiles = []
+                trig = False
                 for s, stream_results in enumerate(batch):
                     res = stream_results[i]
                     frame = np.ascontiguousarray(res.proc)
@@ -137,8 +147,11 @@ def run_multi(args, cfg) -> int:
                                                           0.6)),
                             mask_alpha=float(draw_cfg.get("mask_alpha",
                                                           0.45)))
+                    if len(res.detections) >= min_det:
+                        trig = True
                     if analytics is not None:
-                        analytics[s].update(res.detections, res.ts)
+                        if analytics[s].update(res.detections, res.ts):
+                            trig = True
                         analytics[s].overlay(frame)
                     tiles.append(frame)
                 fps = fpsm.tick(batch[0][i].ts)
@@ -146,7 +159,10 @@ def run_multi(args, cfg) -> int:
                     tiles, labels,
                     fps=fps if preview_cfg.get("show_fps", True) else None)
                 if writer:
-                    writer.write(canvas)
+                    if gated:
+                        writer.write_gated(canvas, trig)
+                    else:
+                        writer.write(canvas)
                 if show:
                     cv2.imshow("Multi-Stream Preview", canvas)
                     if (cv2.waitKey(1) & 0xFF) in (27, ord("q")):
@@ -163,6 +179,8 @@ def run_multi(args, cfg) -> int:
             cv2.destroyAllWindows()
         log.info("processed %d frames x %d streams; stage times: %s",
                  n_frames, len(sources), engine.timer.summary())
+        if gated and writer is not None:
+            log.info("event-gated recording: %s", writer.summary())
         if analytics is not None:
             import json as _json
             log.info("analytics: %s", _json.dumps(
@@ -209,12 +227,24 @@ def main(argv=None) -> int:
     engine = PipelineEngine(cfg)
 
     writer = None
+    gated = False
+    min_det = int(record_cfg.get("min_detections", 1))
     want_record = bool(record_cfg.get("enable", False)) or args.record
     if want_record:
         path = args.record or record_cfg.get("path", "out_compare.avi")
         writer = make_writer(path, fps=record_cfg.get("fps", 30),
                              quality=int(record_cfg.get("quality", 85)))
-        log.info("recording to %s", path)
+        gated = bool(record_cfg.get("events_only", False))
+        if gated:
+            from roadvision_tpu.io_video import EventGatedWriter
+            writer = EventGatedWriter(
+                writer, pre_roll=int(record_cfg.get("pre_roll", 30)),
+                post_roll=int(record_cfg.get("post_roll", 60)))
+            log.info("recording to %s (event-gated: pre %s / post %s "
+                     "frames)", path, record_cfg.get("pre_roll", 30),
+                     record_cfg.get("post_roll", 60))
+        else:
+            log.info("recording to %s", path)
 
     want_compare = bool(compare_cfg.get("enable", True))
     layout = compare_cfg.get("layout", "h")
@@ -264,8 +294,9 @@ def main(argv=None) -> int:
                     thickness=int(draw_cfg.get("thickness", 2)),
                     font_scale=float(draw_cfg.get("font_scale", 0.6)),
                     mask_alpha=float(draw_cfg.get("mask_alpha", 0.45)))
+            ana_events = []
             if analytics is not None:
-                analytics.update(res.detections, res.ts)
+                ana_events = analytics.update(res.detections, res.ts)
                 analytics.overlay(proc)
             fps = fpsm.tick(res.ts)
 
@@ -279,7 +310,12 @@ def main(argv=None) -> int:
                 canvas = proc
 
             if writer:
-                writer.write(canvas)
+                if gated:
+                    trig = (len(res.detections) >= min_det
+                            or bool(ana_events))
+                    writer.write_gated(canvas, trig)
+                else:
+                    writer.write(canvas)
             tail_s += _time.perf_counter() - t_tail
             if show:
                 cv2.imshow("Compare Preview" if want_compare else "Preview",
@@ -298,6 +334,8 @@ def main(argv=None) -> int:
             cv2.destroyAllWindows()
         log.info("processed %d frames; stage times: %s",
                  n_frames, engine.timer.summary())
+        if gated and writer is not None:
+            log.info("event-gated recording: %s", writer.summary())
         if analytics is not None:
             import json as _json
             log.info("analytics: %s", _json.dumps(analytics.summary()))

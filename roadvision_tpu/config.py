@@ -42,7 +42,11 @@ DEFAULTS: Dict[str, Any] = {
         # the budget. Raise it on hosts with cores to spare (the writer's
         # encode pool re-engages automatically when >2 cores exist).
         record=dict(enable=False, path="out_compare.mp4", fps=30,
-                    quality=85),
+                    quality=85,
+                    # additive: event-gated recording — write only
+                    # around activity (pre/post roll in frames)
+                    events_only=False, pre_roll=30, post_roll=60,
+                    min_detections=1),
     ),
     "preprocess": dict(
         enabled=False, chain=[],

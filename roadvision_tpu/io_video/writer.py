@@ -230,6 +230,64 @@ class _CV2Writer:
             self.writer.release()
 
 
+class EventGatedWriter:
+    """Record only around activity: a pre-roll ring buffer + post-roll
+    hold wrapped around any writer above.
+
+    Beyond-reference deployment feature (the reference's recorder is
+    dead code, main_preview.py:130-137; a road camera recording 24/7
+    mostly stores empty asphalt). ``write(frame, triggered)`` buffers
+    quiet frames in a ``pre_roll``-deep ring; on a trigger (detections
+    present, an analytics event — the caller decides) it flushes the
+    ring, writes through, and keeps writing for ``post_roll`` further
+    frames after the LAST trigger, so one event yields one contiguous
+    clip with context on both sides.
+    """
+
+    def __init__(self, writer, pre_roll: int = 30, post_roll: int = 60):
+        from collections import deque
+
+        self._w = writer
+        self._ring = deque(maxlen=max(0, int(pre_roll))) \
+            if int(pre_roll) > 0 else None
+        self._post = max(0, int(post_roll))
+        self._open = 0                 # post-roll frames still to write
+        self.frames_seen = 0
+        self.frames_written = 0
+        self.segments = 0
+
+    def write(self, frame) -> None:    # plain-writer compatibility
+        self.write_gated(frame, True)
+
+    def write_gated(self, frame, triggered: bool) -> None:
+        self.frames_seen += 1
+        if triggered:
+            if self._open == 0:
+                self.segments += 1
+            if self._ring:
+                for f in self._ring:
+                    self._w.write(f)
+                    self.frames_written += 1
+                self._ring.clear()
+            self._w.write(frame)
+            self.frames_written += 1
+            self._open = self._post
+        elif self._open > 0:
+            self._w.write(frame)
+            self.frames_written += 1
+            self._open -= 1
+        elif self._ring is not None:
+            self._ring.append(frame)
+
+    def release(self) -> None:
+        self._w.release()
+
+    def summary(self) -> dict:
+        return {"frames_seen": self.frames_seen,
+                "frames_written": self.frames_written,
+                "segments": self.segments}
+
+
 def make_writer(path: str, fps: float = 30.0, quality: int = 90):
     """Pick a writer by extension (with graceful mp4 fallback).
 

@@ -169,3 +169,33 @@ def test_engine_sampled_fast_path_matches_full():
                                                     ds.x2, ds.y2)
             assert df.conf == ds.conf and df.cls_id == ds.cls_id
             assert df.track_id == ds.track_id
+
+
+def test_main_preview_event_gated_recording(tmp_path):
+    """preview.record.events_only routes through EventGatedWriter: no
+    trigger → empty recording; min_detections 0 → every frame."""
+    import yaml
+
+    import main_preview
+    base = {"camera": {"source": "synthetic:3", "width": 96,
+                       "height": 64}}
+    out = tmp_path / "gated.avi"
+    cfgp = tmp_path / "cfg.yaml"
+    cfgp.write_text(yaml.safe_dump({
+        **base, "preview": {"record": {
+            "events_only": True, "pre_roll": 2, "post_roll": 2,
+            "min_detections": 99}}}))
+    rc = main_preview.main(["--config", str(cfgp), "--max-frames", "6",
+                            "--no-show", "--record", str(out)])
+    assert rc == 0
+    # nothing triggered → the lazy writer never even opened the file
+    assert (not out.exists()
+            or out.read_bytes().count(b"\xff\xd8\xff") == 0)
+
+    cfgp.write_text(yaml.safe_dump({
+        **base, "preview": {"record": {
+            "events_only": True, "min_detections": 0}}}))
+    rc = main_preview.main(["--config", str(cfgp), "--max-frames", "6",
+                            "--no-show", "--record", str(out)])
+    assert rc == 0
+    assert out.read_bytes().count(b"\xff\xd8\xff") == 6

@@ -156,3 +156,68 @@ def test_y4m_via_videosource_and_writer(tmp_path):
     frames, ts, m = vs.read_batch(10)
     assert m == 4 and frames.shape == (4, 16, 16, 3)
     assert abs(int(frames[2].mean()) - 90) <= 2
+
+
+class _SpyWriter:
+    def __init__(self):
+        self.frames = []
+        self.released = False
+
+    def write(self, f):
+        self.frames.append(f)
+
+    def release(self):
+        self.released = True
+
+
+def test_event_gated_writer_pre_post_roll():
+    from roadvision_tpu.io_video import EventGatedWriter
+    spy = _SpyWriter()
+    w = EventGatedWriter(spy, pre_roll=2, post_roll=2)
+    for i in range(10):
+        w.write_gated(i, triggered=(i == 5))
+    # pre-roll ring [3,4] flushed, trigger 5, post-roll 6,7
+    assert spy.frames == [3, 4, 5, 6, 7]
+    assert w.segments == 1
+    assert w.frames_seen == 10 and w.frames_written == 5
+    w.release()
+    assert spy.released
+
+
+def test_event_gated_writer_merges_overlapping_triggers():
+    from roadvision_tpu.io_video import EventGatedWriter
+    spy = _SpyWriter()
+    w = EventGatedWriter(spy, pre_roll=1, post_roll=2)
+    for i in range(8):
+        w.write_gated(i, triggered=(i in (2, 4)))
+    # one contiguous segment: pre [1], 2, post 3, re-trigger 4, post 5,6
+    assert spy.frames == [1, 2, 3, 4, 5, 6]
+    assert w.segments == 1
+
+
+def test_event_gated_writer_separate_segments_and_zero_preroll():
+    from roadvision_tpu.io_video import EventGatedWriter
+    spy = _SpyWriter()
+    w = EventGatedWriter(spy, pre_roll=0, post_roll=1)
+    for i in range(12):
+        w.write_gated(i, triggered=(i in (1, 8)))
+    assert spy.frames == [1, 2, 8, 9]
+    assert w.segments == 2
+    assert w.summary() == {"frames_seen": 12, "frames_written": 4,
+                           "segments": 2}
+
+
+def test_event_gated_writer_quiet_run_writes_nothing(tmp_path):
+    from roadvision_tpu.io_video import EventGatedWriter, make_writer
+    import numpy as np
+    path = tmp_path / "quiet.avi"
+    w = EventGatedWriter(make_writer(str(path)), pre_roll=3, post_roll=3)
+    frame = np.zeros((32, 48, 3), np.uint8)
+    for _ in range(10):
+        w.write_gated(frame, triggered=False)
+    w.release()
+    assert w.frames_written == 0
+    # the AVI writer opens lazily on the first frame: a fully quiet run
+    # leaves no file (or an empty one on writers that open eagerly)
+    assert (not path.exists()
+            or path.read_bytes().count(b"\xff\xd8\xff") == 0)
