@@ -127,6 +127,12 @@ def run_multi(args, cfg) -> int:
                  " (event-gated)" if gated else "")
     show = _HAS_CV2 and not args.no_show
 
+    trails = None
+    if int(draw_cfg.get("trails", 0)) > 0:
+        from roadvision_tpu.vis import TrailRenderer
+        trails = [TrailRenderer(length=int(draw_cfg["trails"]))
+                  for _ in sources]
+
     n_frames = 0
     labels = [f"CAM{i}" for i in range(len(sources))]
     try:
@@ -138,6 +144,11 @@ def run_multi(args, cfg) -> int:
                 for s, stream_results in enumerate(batch):
                     res = stream_results[i]
                     frame = np.ascontiguousarray(res.proc)
+                    if trails is not None:
+                        trails[s].update(res.detections, res.ts)
+                        trails[s].draw(
+                            frame,
+                            thickness=int(draw_cfg.get("thickness", 2)))
                     if draw_cfg.get("det", True) and res.detections:
                         draw_overlays(
                             frame, res.detections,
@@ -269,6 +280,7 @@ def main(argv=None) -> int:
     n_frames = 0
     tail_s = 0.0
     t_first = None
+    trails = None
     import time as _time
     try:
         for res in engine.stream(vs, max_frames=args.max_frames):
@@ -287,6 +299,14 @@ def main(argv=None) -> int:
                     divider_px = int(compare_cfg.get("divider_px", 4))
             t_tail = _time.perf_counter()
             proc = np.ascontiguousarray(res.proc)
+            tr_n = int(draw_cfg.get("trails", 0))
+            if tr_n > 0:
+                if trails is None or trails.length != max(2, tr_n):
+                    from roadvision_tpu.vis import TrailRenderer
+                    trails = TrailRenderer(length=tr_n)
+                trails.update(res.detections, res.ts)
+                trails.draw(proc,
+                            thickness=int(draw_cfg.get("thickness", 2)))
             if draw_cfg.get("det", True) and res.detections:
                 draw_overlays(
                     proc, res.detections,

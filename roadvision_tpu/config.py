@@ -75,7 +75,10 @@ DEFAULTS: Dict[str, Any] = {
         projector=dict(type="homography", image_points=[], world_points=[],
                        origin=[0.0, 0.0], max_distance=1_000_000.0),
     ),
-    "vis": dict(draw=dict(det=True, thickness=2, font_scale=0.6)),
+    "vis": dict(draw=dict(det=True, thickness=2, font_scale=0.6,
+                      # additive: per-identity motion trails
+                      # (vis.TrailRenderer; 0 = off)
+                      trails=0)),
     # additive: traffic analytics over tracked detections
     # (roadvision_tpu/analytics.py — line counting, zone occupancy)
     "analytics": dict(enabled=False, stale_after=5.0, lines=[], zones=[],

@@ -209,6 +209,50 @@ def draw_line(image: np.ndarray, p1, p2, color,
             image[py[ok], px[ok]] = color
 
 
+class TrailRenderer:
+    """Per-identity motion trails (``vis.draw.trails: N``).
+
+    Beyond-reference overlay (the reference draws only the current
+    frame's boxes, src/vis/draw.py:25-56): keeps the last ``length``
+    box-bottom-center anchors per track id and draws them as a
+    polyline colored by identity (COLOR_TABLE keyed ``track_id % 10``
+    so the trail matches nothing-in-particular but stays stable per
+    id). Host-side state like the analytics module; identities idle
+    past ``stale_after`` seconds are dropped so recycled ids never
+    inherit an old trail.
+    """
+
+    def __init__(self, length: int = 32, stale_after: float = 2.0):
+        self.length = max(2, int(length))
+        self.stale_after = float(stale_after)
+        self._hist: dict = {}          # id → list[(x, y)]
+        self._seen: dict = {}          # id → last ts
+
+    def update(self, detections, timestamp: float) -> None:
+        ts = float(timestamp)
+        for d in detections:
+            tid = getattr(d, "track_id", None)
+            if tid is None:
+                continue
+            tid = int(tid)
+            pts = self._hist.setdefault(tid, [])
+            pts.append((0.5 * (d.x1 + d.x2), d.y2))
+            del pts[:-self.length]
+            self._seen[tid] = ts
+        for tid in [t for t, last in self._seen.items()
+                    if ts - last > self.stale_after]:
+            del self._seen[tid]
+            del self._hist[tid]
+
+    def draw(self, image: np.ndarray, thickness: int = 2) -> None:
+        for tid, pts in self._hist.items():
+            if len(pts) < 2:
+                continue
+            color = COLOR_TABLE[tid % 10]
+            for p1, p2 in zip(pts, pts[1:]):
+                draw_line(image, p1, p2, color, thickness=thickness)
+
+
 def draw_keypoints(image: np.ndarray, detections: Iterable[Detection],
                    vis_thresh: float = 0.5, radius: int = 2) -> None:
     """COCO-17 keypoint + skeleton overlay (pose task). Keypoints are

@@ -70,3 +70,37 @@ def test_legacy_draw_detections():
     assert (img == 255).all(axis=-1).any()                 # label text
     # no bottom metrics label: area below the box stays empty
     assert (img[52:, 10:50] == 0).all()
+
+
+def test_trail_renderer_draws_identity_path():
+    from roadvision_tpu.detect.types import Detection
+    from roadvision_tpu.vis import COLOR_TABLE, TrailRenderer
+
+    tr = TrailRenderer(length=8, stale_after=1.0)
+    img = np.zeros((64, 128, 3), np.uint8)
+    for i, x in enumerate((10, 30, 50)):
+        d = Detection(x - 5, 20, x + 5, 40, 0.9, 2, "car", track_id=1)
+        tr.update([d], 0.1 * (i + 1))
+    tr.draw(img, thickness=1)
+    color = COLOR_TABLE[1 % 10]
+    # the polyline covers the anchor row (y2=40) between x 10 and 50
+    assert (img[40, 10:51] == color).all(axis=-1).sum() >= 38
+    # nothing above the anchor row
+    assert img[:39].max() == 0
+
+
+def test_trail_renderer_length_cap_and_staleness():
+    from roadvision_tpu.detect.types import Detection
+    from roadvision_tpu.vis import TrailRenderer
+
+    tr = TrailRenderer(length=4, stale_after=0.5)
+    for i in range(10):
+        d = Detection(i, 0, i + 2, 10, 0.9, 0, "p", track_id=3)
+        tr.update([d], 0.1 * i)
+    assert len(tr._hist[3]) == 4
+    # identity idle past stale_after vanishes
+    tr.update([], 2.0)
+    assert 3 not in tr._hist
+    # untracked detections are ignored
+    tr.update([Detection(0, 0, 5, 5, 0.9, 0, "p")], 2.1)
+    assert not tr._hist
