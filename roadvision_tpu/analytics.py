@@ -65,12 +65,18 @@ def _anchor(det) -> Tuple[float, float]:
 class CountingLine:
     def __init__(self, name: str, p1, p2,
                  classes: Optional[Iterable[int]] = None,
-                 stale_after: float = 5.0):
+                 stale_after: float = 5.0,
+                 wrong_way: Optional[str] = None):
         self.name = str(name)
         self.p1 = (float(p1[0]), float(p1[1]))
         self.p2 = (float(p2[0]), float(p2[1]))
         self.classes = set(int(c) for c in classes) if classes else None
         self.stale_after = float(stale_after)
+        if wrong_way not in (None, "pos", "neg"):
+            raise ValueError(
+                f"line '{name}': wrong_way must be 'pos' or 'neg'")
+        self.wrong_way = wrong_way   # crossings this way are violations
+        self.wrong_way_total = 0
         self.counts: Dict[str, int] = {"pos": 0, "neg": 0}
         self.by_class: Dict[str, Dict[str, int]] = {}
         self.events: List[Dict[str, Any]] = []
@@ -103,6 +109,10 @@ class CountingLine:
                     per[direction] += 1
                     ev = {"line": self.name, "track_id": int(tid),
                           "cls": cls, "direction": direction, "ts": ts}
+                    if self.wrong_way is not None \
+                            and direction == self.wrong_way:
+                        ev["wrong_way"] = True
+                        self.wrong_way_total += 1
                     self.events.append(ev)
                     new_events.append(ev)
             self._last[int(tid)] = (side, x, y, ts)
@@ -111,10 +121,13 @@ class CountingLine:
         return new_events
 
     def summary(self) -> Dict[str, Any]:
-        return {"name": self.name, "pos": self.counts["pos"],
-                "neg": self.counts["neg"],
-                "total": self.counts["pos"] + self.counts["neg"],
-                "by_class": {k: dict(v) for k, v in self.by_class.items()}}
+        out = {"name": self.name, "pos": self.counts["pos"],
+               "neg": self.counts["neg"],
+               "total": self.counts["pos"] + self.counts["neg"],
+               "by_class": {k: dict(v) for k, v in self.by_class.items()}}
+        if self.wrong_way is not None:
+            out["wrong_way_total"] = self.wrong_way_total
+        return out
 
 
 def _point_in_polygon(poly, x: float, y: float) -> bool:
@@ -324,7 +337,8 @@ class Analytics:
         self.lines = [CountingLine(ln.get("name", f"line{i}"),
                                    ln["p1"], ln["p2"],
                                    classes=ln.get("classes"),
-                                   stale_after=stale)
+                                   stale_after=stale,
+                                   wrong_way=ln.get("wrong_way"))
                       for i, ln in enumerate(cfg.get("lines") or [])]
         self.zones = [Zone(z.get("name", f"zone{i}"), z["polygon"],
                            classes=z.get("classes"), stale_after=stale)

@@ -198,3 +198,24 @@ def test_aggregate_stopped_config_and_overlay():
     img = np.zeros((150, 250, 3), np.uint8)
     ana.overlay(img)
     assert (img == np.array([40, 40, 230])).all(axis=-1).any()
+
+
+def test_wrong_way_alerting():
+    ln = CountingLine("oneway", (0, 100), (200, 100), wrong_way="neg")
+    # legal direction (pos): counted, no violation flag
+    ln.update([_det(50, 90, tid=1)], 0.1)
+    ev = ln.update([_det(50, 110, tid=1)], 0.2)
+    assert ev and "wrong_way" not in ev[0]
+    # wrong way (neg): flagged
+    ln.update([_det(80, 110, tid=2)], 0.3)
+    ev = ln.update([_det(80, 90, tid=2)], 0.4)
+    assert ev and ev[0]["wrong_way"] is True
+    s = ln.summary()
+    assert s["wrong_way_total"] == 1 and s["total"] == 2
+    # config plumbing + validation
+    ana = Analytics({"lines": [{"name": "x", "p1": [0, 0], "p2": [1, 0],
+                                "wrong_way": "pos"}]})
+    assert ana.lines[0].wrong_way == "pos"
+    import pytest
+    with pytest.raises(ValueError, match="wrong_way"):
+        CountingLine("bad", (0, 0), (1, 0), wrong_way="up")

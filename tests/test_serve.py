@@ -115,3 +115,42 @@ def test_serve_multi_stream():
     finally:
         hub.close()
         server.shutdown()
+
+
+def test_events_endpoint_and_since_filter():
+    """/events serves the analytics event log (id-stamped, bounded),
+    ?since=N filters — exercised against a hand-fed hub so the content
+    is deterministic."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    import tools.serve as serve
+
+    hub = serve.FrameHub()
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 serve._make_handler(hub))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        jpeg = b"\xff\xd8\xff fake"
+        hub.publish(jpeg, 30.0, 1, events=[
+            {"line": "main", "direction": "pos", "track_id": 1, "ts": 0.1},
+            {"zone": "j", "event": "enter", "track_id": 1, "ts": 0.1}])
+        hub.publish(jpeg, 30.0, 1, events=[
+            {"event": "stopped", "track_id": 2, "ts": 0.4,
+             "wrong_way": True}])
+        evs = json.loads(urllib.request.urlopen(
+            base + "/events", timeout=5).read())["events"]
+        assert [e["id"] for e in evs] == [1, 2, 3]
+        assert evs[0]["line"] == "main" and evs[2]["event"] == "stopped"
+        evs2 = json.loads(urllib.request.urlopen(
+            base + "/events?since=2", timeout=5).read())["events"]
+        assert [e["id"] for e in evs2] == [3]
+        # bad since value → unfiltered, not a 500
+        evs3 = json.loads(urllib.request.urlopen(
+            base + "/events?since=x", timeout=5).read())["events"]
+        assert len(evs3) == 3
+    finally:
+        server.shutdown()

@@ -68,9 +68,13 @@ class FrameHub:
         self.stats = {"frames": 0, "fps": 0.0, "tracks_per_frame": 0.0}
         self._tracks_total = 0
         self.latest = {"ts": None, "frame": 0, "detections": []}
+        from collections import deque
+        self.events = deque(maxlen=512)   # analytics events, id-stamped
+        self._event_id = 0
 
     def publish(self, jpeg: bytes, fps: float, n_tracks: int,
-                detections=None, ts=None, analytics=None) -> None:
+                detections=None, ts=None, analytics=None,
+                events=None) -> None:
         with self._cond:
             self._jpeg = jpeg
             self._seq += 1
@@ -81,6 +85,9 @@ class FrameHub:
                 self._tracks_total / self.stats["frames"], 2)
             if analytics is not None:
                 self.stats["analytics"] = analytics
+            for ev in events or []:
+                self._event_id += 1
+                self.events.append(dict(ev, id=self._event_id))
             self.latest = {"ts": ts, "frame": self.stats["frames"],
                            "detections": detections or []}
             self._cond.notify_all()
@@ -116,6 +123,24 @@ def _make_handler(hub: FrameHub, boundary: bytes = b"roadvisionframe"):
                 self.wfile.write(_INDEX)
             elif self.path == "/detections":
                 body = json.dumps(hub.latest).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.split("?")[0] == "/events":
+                # analytics event log (line crossings, zone enter/exit,
+                # stopped vehicles); ?since=<id> returns only newer ones
+                since = 0
+                if "?" in self.path:
+                    from urllib.parse import parse_qs
+                    q = parse_qs(self.path.split("?", 1)[1])
+                    try:
+                        since = int(q.get("since", ["0"])[0])
+                    except ValueError:
+                        since = 0
+                evs = [e for e in list(hub.events) if e["id"] > since]
+                body = json.dumps({"events": evs}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
@@ -195,8 +220,9 @@ def _pipeline_loop(cfg, hub: FrameHub, max_frames, quality: int) -> None:
                     thickness=int(draw_cfg.get("thickness", 2)),
                     font_scale=float(draw_cfg.get("font_scale", 0.6)),
                     mask_alpha=float(draw_cfg.get("mask_alpha", 0.45)))
+            ana_events = []
             if analytics is not None:
-                analytics.update(res.detections, res.ts)
+                ana_events = analytics.update(res.detections, res.ts)
                 analytics.overlay(proc)
             fps = fpsm.tick(res.ts)
             if want_compare:
@@ -225,7 +251,8 @@ def _pipeline_loop(cfg, hub: FrameHub, max_frames, quality: int) -> None:
             hub.publish(encode_jpeg_bgr(canvas, quality), fps, n_tracks,
                         detections=dets, ts=res.ts,
                         analytics=(analytics.summary()
-                                   if analytics is not None else None))
+                                   if analytics is not None else None),
+                        events=ana_events)
     except Exception as exc:
         log.warning("pipeline loop ended: %s", exc)
     finally:
@@ -260,7 +287,7 @@ def _multi_pipeline_loop(cfg, hub: FrameHub, max_frames,
     try:
         for batch in engine.stream(sources, max_frames=max_frames):
             for i in range(len(batch[0])):
-                tiles, all_dets = [], []
+                tiles, all_dets, ana_events = [], [], []
                 for s, stream_results in enumerate(batch):
                     res = stream_results[i]
                     frame = np.ascontiguousarray(res.proc)
@@ -274,7 +301,9 @@ def _multi_pipeline_loop(cfg, hub: FrameHub, max_frames,
                             mask_alpha=float(draw_cfg.get("mask_alpha",
                                                           0.45)))
                     if analytics is not None:
-                        analytics[s].update(res.detections, res.ts)
+                        for ev in analytics[s].update(res.detections,
+                                                      res.ts):
+                            ana_events.append(dict(ev, stream=s))
                         analytics[s].overlay(frame)
                     tiles.append(frame)
                     all_dets.extend(
@@ -299,7 +328,8 @@ def _multi_pipeline_loop(cfg, hub: FrameHub, max_frames,
                 hub.publish(encode_jpeg_bgr(canvas, quality), fps, n_tracks,
                             detections=all_dets, ts=batch[0][i].ts,
                             analytics=([a.summary() for a in analytics]
-                                       if analytics is not None else None))
+                                       if analytics is not None else None),
+                            events=ana_events)
     except Exception as exc:
         log.warning("multi-stream loop ended: %s", exc)
     finally:
