@@ -10,6 +10,7 @@ fog_batch.py:36-45) — and double as package entry points here:
     rvt-track     = tools/track.py    (offline tracking, MOT output)
     rvt-train     = tools/train.py    (YOLO training)
     rvt-serve     = tools/serve.py    (headless MJPEG live server)
+    rvt-analyze   = tools/analyze.py  (offline traffic-analytics report)
     rvt-bench     = bench.py          (the benchmark harness)
 
 Resolution order: a repo checkout first (``tools`` importable from the
@@ -57,6 +58,10 @@ def serve(argv: Optional[list] = None) -> int:
     return _run(["tools.serve", "roadvision_tpu.tools.serve"], argv)
 
 
+def analyze(argv: Optional[list] = None) -> int:
+    return _run(["tools.analyze", "roadvision_tpu.tools.analyze"], argv)
+
+
 def bench(argv: Optional[list] = None) -> int:
     del argv  # bench.py is env-var driven (RVT_BENCH_*), no argv
     for name in ("bench", "roadvision_tpu.tools.bench"):
@@ -70,7 +75,8 @@ def bench(argv: Optional[list] = None) -> int:
 
 if __name__ == "__main__":  # python -m roadvision_tpu.cli <name> [args]
     cmds = {"preview": preview, "detect": detect, "track": track,
-            "train": train, "serve": serve, "bench": bench}
+            "train": train, "serve": serve, "bench": bench,
+            "analyze": analyze}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         raise SystemExit(f"usage: python -m roadvision_tpu.cli "
                          f"{{{'|'.join(cmds)}}} [args...]")

@@ -495,3 +495,38 @@ def test_autotune_all_sweeps_declared():
     for sw in at.SWEEPS.values():
         assert sw["var"] in hooks
         assert sw["var"] in (root / hooks[sw["var"]]).read_text()
+
+
+def test_analyze_cli_report(tmp_path):
+    import tools.analyze as analyze
+    out = tmp_path / "report.json"
+    rc = analyze.main([
+        "--source", "synthetic:3", "--frames", "10",
+        "--out", str(out), "--weights", "assets/yolov8n_synthetic_256.npz",
+        "--width", "256", "--height", "256",
+        "--line", "mid:0,128:256,128", "--wrong-way", "neg",
+        "--zone", "left:0,0:128,0:128,256:0,256",
+        "--stopped-after", "1.0"])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["frames"] == 10
+    assert report["unique_track_ids"] > 0
+    assert report["detections_total"] > 0
+    lines = report["analytics"]["lines"]
+    assert lines[0]["name"] == "mid" and "wrong_way_total" in lines[0]
+    zones = report["analytics"]["zones"]
+    assert zones[0]["name"] == "left" and "entered_total" in zones[0]
+    assert report["analytics"]["stopped"]["currently_stopped"] >= 0
+    assert isinstance(report["events"], list)
+    # consistency: line totals equal the crossing events in the log
+    n_cross = sum(1 for e in report["events"] if e.get("line") == "mid")
+    assert lines[0]["total"] == n_cross
+
+
+def test_analyze_parse_points_validation():
+    from tools.analyze import _parse_points
+    import pytest
+    name, pts = _parse_points("z:1,2:3,4:5,6")
+    assert name == "z" and pts == [(1.0, 2.0), (3.0, 4.0), (5.0, 6.0)]
+    with pytest.raises(ValueError, match="bad geometry"):
+        _parse_points("justname")
