@@ -144,6 +144,8 @@ def run_multi(args, cfg) -> int:
                 for s, stream_results in enumerate(batch):
                     res = stream_results[i]
                     frame = np.ascontiguousarray(res.proc)
+                    if not frame.flags.writeable:
+                        frame = frame.copy()
                     if trails is not None:
                         trails[s].update(res.detections, res.ts)
                         trails[s].draw(
@@ -299,6 +301,8 @@ def main(argv=None) -> int:
                     divider_px = int(compare_cfg.get("divider_px", 4))
             t_tail = _time.perf_counter()
             proc = np.ascontiguousarray(res.proc)
+            if not proc.flags.writeable:   # jax-backed view (no-preprocess
+                proc = proc.copy()         # path) → copy before overlays
             tr_n = int(draw_cfg.get("trails", 0))
             if tr_n > 0:
                 if trails is None or trails.length != max(2, tr_n):

@@ -99,7 +99,8 @@ def make_botsort_step(max_staleness: float, speed_window: float,
                       second_match_iou: float = 0.5,
                       app_weight: float = 0.5,
                       app_thresh: float = 0.6,
-                      rescue_iou: float = 0.02):
+                      rescue_iou: float = 0.02,
+                      nsa: bool = False):
     """Build the jitted single-frame BoT-SORT-style step.
 
     Same signature as :func:`sort_tpu.make_sort_step`'s return value;
@@ -120,7 +121,7 @@ def make_botsort_step(max_staleness: float, speed_window: float,
         associate_fn=make_botsort_associate(
             track_high_thresh, track_low_thresh, match_iou,
             second_match_iou, app_weight, app_thresh, rescue_iou),
-        new_track_fn=new_track)
+        new_track_fn=new_track, nsa=nsa)
 
 
 class BotSortTracker(ByteTracker):

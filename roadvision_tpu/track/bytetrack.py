@@ -85,7 +85,8 @@ def make_byte_step(max_staleness: float, speed_window: float,
                    track_low_thresh: float = 0.1,
                    new_track_thresh: float = 0.6,
                    match_iou: float = 0.3,
-                   second_match_iou: float = 0.5):
+                   second_match_iou: float = 0.5,
+                   nsa: bool = False):
     """Build the jitted single-frame ByteTrack step.
 
     Same signature as :func:`sort_tpu.make_sort_step`'s return value:
@@ -105,7 +106,7 @@ def make_byte_step(max_staleness: float, speed_window: float,
         0.0, max_staleness, speed_window,
         associate_fn=make_byte_associate(track_high_thresh, track_low_thresh,
                                          match_iou, second_match_iou),
-        new_track_fn=new_track)
+        new_track_fn=new_track, nsa=nsa)
 
 
 class ByteTracker(SortTracker):

@@ -61,7 +61,8 @@ def make_deepsort_step(iou_threshold: float, max_staleness: float,
                        speed_window: float, app_weight: float = 0.5,
                        app_thresh: float = 0.6,
                        rescue_iou: float = 0.02,
-                       new_track_thresh: float = 0.6):
+                       new_track_thresh: float = 0.6,
+                       nsa: bool = False):
     """Build the jitted single-frame DeepSORT-style step.
 
     Same signature as :func:`sort_tpu.make_sort_step`'s return value;
@@ -79,7 +80,7 @@ def make_deepsort_step(iou_threshold: float, max_staleness: float,
         float(iou_threshold), float(max_staleness), float(speed_window),
         associate_fn=make_deepsort_associate(
             iou_threshold, app_weight, app_thresh, rescue_iou),
-        new_track_fn=new_track)
+        new_track_fn=new_track, nsa=nsa)
 
 
 class DeepSortTracker(SortTracker):

@@ -123,7 +123,7 @@ def make_oc_associate(iou_threshold: float, vdc_weight: float,
     return associate
 
 
-def make_oru_update(oru_steps: int):
+def make_oru_update(oru_steps: int, nsa: bool = False):
     """ORU measurement-update strategy (the make_sort_step update_fn
     hook). Freshly-tracked matches get the plain batched KF update;
     re-activating matches (hit_streak == 0: unmatched the previous step)
@@ -131,10 +131,13 @@ def make_oru_update(oru_steps: int):
     virtual predict/update cycles along the z-space line between the
     last and the current observation."""
     k_steps = int(oru_steps)
+    use_nsa = bool(nsa)
 
-    def update(state, boxes, det_idx, matched_t, ts):
+    def update(state, boxes, det_idx, matched_t, ts, conf):
+        from .sort_tpu import nsa_r_scale
+        scale = nsa_r_scale(conf[det_idx]) if use_nsa else None
         z_new = bbox_to_z(boxes)[det_idx]                 # (T,4)
-        umean, ucov = _kf_update(state.mean, state.cov, z_new)
+        umean, ucov = _kf_update(state.mean, state.cov, z_new, scale)
         if k_steps <= 0:
             return umean, ucov
         reactivated = matched_t & (state.hit_streak == 0)
@@ -147,7 +150,7 @@ def make_oru_update(oru_steps: int):
             frac = (k + 1.0) / k_steps
             zk = z_last + frac * (z_new - z_last)
             pm, pc = _kf_predict(mean, cov, dt_k)
-            return _kf_update(pm, pc, zk)
+            return _kf_update(pm, pc, zk, scale)
 
         vmean, vcov = jax.lax.fori_loop(
             0, k_steps, body, (state.obs_mean, state.obs_cov))
@@ -160,7 +163,8 @@ def make_oru_update(oru_steps: int):
 def make_oc_step(iou_threshold: float, max_staleness: float,
                  speed_window: float, vdc_weight: float = 0.2,
                  ocr_iou: float = None, use_ocr: bool = True,
-                 oru_steps: int = 4, new_track_thresh: float = 0.6):
+                 oru_steps: int = 4, new_track_thresh: float = 0.6,
+                 nsa: bool = False):
     """Build the jitted single-frame OC-SORT step.
 
     Same signature as :func:`sort_tpu.make_sort_step`'s return value —
@@ -178,7 +182,7 @@ def make_oc_step(iou_threshold: float, max_staleness: float,
             iou_threshold, vdc_weight,
             iou_threshold if ocr_iou is None else ocr_iou, use_ocr),
         new_track_fn=new_track,
-        update_fn=make_oru_update(oru_steps))
+        update_fn=make_oru_update(oru_steps, nsa=nsa))
 
 
 class OcSortTracker(SortTracker):

@@ -50,13 +50,17 @@ def build_device_step(cfg: Dict[str, Any]):
     composition is backend-agnostic.
     """
     name = str(cfg.get("backend") or "sort").lower()
+    # NSA Kalman (StrongSORT/GIAOTracker): confidence-adaptive
+    # measurement noise R~ = (1-conf)*R, available under every backend
+    nsa = bool(cfg.get("nsa", False))
     if name == "sort":
         return make_sort_step(
             float(cfg.get("iou_threshold", 0.3)),
             float(cfg.get("max_staleness", 1.0)),
             float(cfg.get("speed_window", 0.75)),
             int(cfg.get("min_hits", 3)),
-            association=str(cfg.get("association", "greedy")))
+            association=str(cfg.get("association", "greedy")),
+            nsa=nsa)
     if name == "bytetrack":
         return make_byte_step(
             float(cfg.get("max_staleness", 1.0)),
@@ -66,7 +70,8 @@ def build_device_step(cfg: Dict[str, Any]):
             new_track_thresh=float(cfg.get("new_track_thresh", 0.6)),
             match_iou=float(cfg.get("match_iou",
                                     cfg.get("iou_threshold", 0.3))),
-            second_match_iou=float(cfg.get("second_match_iou", 0.5)))
+            second_match_iou=float(cfg.get("second_match_iou", 0.5)),
+            nsa=nsa)
     if name == "ocsort":
         ocr = cfg.get("ocr_iou")
         iou_t = float(cfg.get("iou_threshold", 0.3))
@@ -78,7 +83,8 @@ def build_device_step(cfg: Dict[str, Any]):
             ocr_iou=float(ocr) if ocr is not None else iou_t,
             use_ocr=bool(cfg.get("use_ocr", True)),
             oru_steps=int(cfg.get("oru_steps", 4)),
-            new_track_thresh=float(cfg.get("new_track_thresh", 0.6)))
+            new_track_thresh=float(cfg.get("new_track_thresh", 0.6)),
+            nsa=nsa)
     if name == "deepsort":
         step = make_deepsort_step(
             float(cfg.get("iou_threshold", 0.3)),
@@ -87,7 +93,8 @@ def build_device_step(cfg: Dict[str, Any]):
             app_weight=float(cfg.get("app_weight", 0.5)),
             app_thresh=float(cfg.get("app_thresh", 0.6)),
             rescue_iou=float(cfg.get("rescue_iou", 0.02)),
-            new_track_thresh=float(cfg.get("new_track_thresh", 0.6)))
+            new_track_thresh=float(cfg.get("new_track_thresh", 0.6)),
+            nsa=nsa)
         step.needs_embeddings = True  # engine computes per-det descriptors
         return step
     if name == "botsort":
@@ -102,7 +109,8 @@ def build_device_step(cfg: Dict[str, Any]):
             second_match_iou=float(cfg.get("second_match_iou", 0.5)),
             app_weight=float(cfg.get("app_weight", 0.5)),
             app_thresh=float(cfg.get("app_thresh", 0.6)),
-            rescue_iou=float(cfg.get("rescue_iou", 0.02)))
+            rescue_iou=float(cfg.get("rescue_iou", 0.02)),
+            nsa=nsa)
         step.needs_embeddings = True  # engine computes per-det descriptors
         return step
     raise ValueError(f"unknown tracking backend: {name}")

@@ -310,18 +310,32 @@ def _kf_predict(mean, cov, dt):
     return new_mean, new_cov
 
 
-def _kf_update(mean, cov, z):
-    """Batched KF update, H = [I4 0], Joseph-form covariance (filterpy)."""
+def _kf_update(mean, cov, z, r_scale=None):
+    """Batched KF update, H = [I4 0], Joseph-form covariance (filterpy).
+
+    ``r_scale`` (T,) optionally scales the measurement noise per track —
+    the NSA Kalman of GIAOTracker/StrongSORT (Du et al.): R̃ = (1−conf)·R,
+    so confident detections correct the state harder. None = plain R."""
+    if r_scale is None:
+        r = jnp.broadcast_to(_R[None], (mean.shape[0],) + _R.shape)
+    else:
+        r = r_scale[:, None, None] * _R[None]
     ph = cov[:, :, :MEAS_DIM]                      # P Hᵀ (T,7,4)
-    s = cov[:, :MEAS_DIM, :MEAS_DIM] + _R[None]    # (T,4,4)
+    s = cov[:, :MEAS_DIM, :MEAS_DIM] + r           # (T,4,4)
     k = jnp.linalg.solve(s, ph.transpose(0, 2, 1)).transpose(0, 2, 1)  # (T,7,4)
     innov = z - mean[:, :MEAS_DIM]
     new_mean = mean + jnp.einsum("tij,tj->ti", k, innov)
     kh = jnp.zeros_like(cov).at[:, :, :MEAS_DIM].set(k)
     i_kh = _I7[None] - kh
     new_cov = jnp.einsum("tij,tjk,tlk->til", i_kh, cov, i_kh) \
-        + jnp.einsum("tij,jk,tlk->til", k, _R, k)
+        + jnp.einsum("tij,tjk,tlk->til", k, r, k)
     return new_mean, new_cov
+
+
+def nsa_r_scale(conf):
+    """NSA measurement-noise scale (1 − conf), floored for numerical
+    safety at conf → 1 (R must stay positive definite)."""
+    return jnp.maximum(1.0 - conf, 1e-3)
 
 
 def _history_append_and_window(state: SortState, sel, ts, gx, gy, window):
@@ -370,7 +384,8 @@ def _history_append_and_window(state: SortState, sel, ts, gx, gy, window):
 def make_sort_step(iou_threshold: float, max_staleness: float,
                    speed_window: float, min_hits: int = 3,
                    association: str = "greedy",
-                   associate_fn=None, new_track_fn=None, update_fn=None):
+                   associate_fn=None, new_track_fn=None, update_fn=None,
+                   nsa: bool = False):
     """Build the jit-traceable single-frame SORT step.
 
     Returned signature:
@@ -400,8 +415,9 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
       ``new_track_fn(dvalid, matched_d, conf) → (D,) bool`` replaces
       the new-track eligibility mask (default: every unmatched valid
       detection — the reference's immediate-ID behavior);
-      ``update_fn(state, boxes, det_idx (T,), matched_t (T,), ts)
-      → (mean (T,7), cov (T,7,7))`` replaces the measurement update
+      ``update_fn(state, boxes, det_idx (T,), matched_t (T,), ts,
+      conf (D,)) → (mean (T,7), cov (T,7,7))`` replaces the measurement
+      update
       (default: one batched Joseph-form KF update; ocsort.py's ORU
       re-runs virtual updates from the last-observation posterior).
       Callers mask the result by ``matched_t`` — rows of unmatched
@@ -425,11 +441,13 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
         def new_track_fn(dvalid, matched_d, conf):
             del conf
             return dvalid & ~matched_d
+    use_nsa = bool(nsa)
     if update_fn is None:
-        def update_fn(state, boxes, det_idx, matched_t, ts):
+        def update_fn(state, boxes, det_idx, matched_t, ts, conf):
             del matched_t, ts
             z = bbox_to_z(boxes)[det_idx]
-            return _kf_update(state.mean, state.cov, z)
+            scale = nsa_r_scale(conf[det_idx]) if use_nsa else None
+            return _kf_update(state.mean, state.cov, z, scale)
 
     from ..geometry.projector import project_boxes_device
 
@@ -480,7 +498,7 @@ def make_sort_step(iou_threshold: float, max_staleness: float,
         # 3. measurement update for matched tracks (:234-238) — default
         # one batched KF update; update_fn hook may substitute (ORU)
         det_idx = jnp.clip(trk2det, 0, num_d - 1)
-        umean, ucov = update_fn(state, boxes, det_idx, matched_t, ts)
+        umean, ucov = update_fn(state, boxes, det_idx, matched_t, ts, conf)
         sel_t = matched_t[:, None]
         state = state._replace(
             mean=jnp.where(sel_t, umean, state.mean),

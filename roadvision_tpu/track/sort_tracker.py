@@ -45,9 +45,11 @@ class SortTracker(Tracker):
         self.association = str(cfg.get("association", "greedy"))
         # one jitted step serves both paths: jax.jit specializes on the
         # proj pytree structure (None vs (H, origin, maxd))
+        self.nsa = bool(cfg.get("nsa", False))
         self._step = jax.jit(make_sort_step(
             self.iou_threshold, self.max_staleness, self.speed_window,
-            self.min_hits, association=self.association))
+            self.min_hits, association=self.association,
+            nsa=self.nsa))
         self._state: SortState = init_state(self.track_slots)
         self._t0: Optional[float] = None
 

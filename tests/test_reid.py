@@ -221,3 +221,30 @@ def test_engine_bad_reid_weights_soft_fails(tmp_path):
     }
     eng = PipelineEngine(cfg)
     assert eng._embed_fn is box_embeddings
+
+
+def test_shipped_reid_asset_separates():
+    """The committed checkpoint must actually work (guards against a
+    stale asset after embedder changes)."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from roadvision_tpu.track.reid import (identity_separation,
+                                           load_reid_params)
+    path = Path(__file__).resolve().parent.parent / "assets" / \
+        "reid_synthetic.npz"
+    params = load_reid_params(path)
+    assert identity_separation(params, np.arange(500, 512)) > 0.5
+
+
+def test_analytics_demo_config_drives_preview(tmp_path):
+    """The showcase config (learned re-id + analytics + trails) runs
+    end-to-end through the driver."""
+    import main_preview
+    out = tmp_path / "ana.avi"
+    rc = main_preview.main(["--config", "configs/analytics_demo.yaml",
+                            "--max-frames", "8", "--no-show",
+                            "--record", str(out)])
+    assert rc == 0
+    assert out.read_bytes().count(b"\xff\xd8\xff") == 8

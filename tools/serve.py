@@ -213,6 +213,8 @@ def _pipeline_loop(cfg, hub: FrameHub, max_frames, quality: int) -> None:
     try:
         for res in engine.stream(vs, max_frames=max_frames):
             proc = np.ascontiguousarray(res.proc)
+            if not proc.flags.writeable:     # jax-backed view → copy
+                proc = proc.copy()
             if draw_cfg.get("det", True) and res.detections:
                 draw_overlays(
                     proc, res.detections,
@@ -291,6 +293,8 @@ def _multi_pipeline_loop(cfg, hub: FrameHub, max_frames,
                 for s, stream_results in enumerate(batch):
                     res = stream_results[i]
                     frame = np.ascontiguousarray(res.proc)
+                    if not frame.flags.writeable:
+                        frame = frame.copy()
                     if draw_cfg.get("det", True) and res.detections:
                         draw_overlays(
                             frame, res.detections,

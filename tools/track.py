@@ -111,6 +111,8 @@ def main(argv=None) -> int:
             frame_rows.append(rows)
             if writer is not None:
                 proc = np.ascontiguousarray(res.proc)
+                if not proc.flags.writeable:  # jax-backed view → copy
+                    proc = proc.copy()
                 if res.detections:
                     draw_detections(proc, res.detections)
                 writer.write(proc)
