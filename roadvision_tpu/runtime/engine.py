@@ -173,8 +173,9 @@ class PipelineEngine:
         # correlation; the carried previous-frame thumbnail lives here
         # (the sharded multi-stream engine carries an (S, G, G) stack
         # per stream — parallel/inference.py)
+        backend_name = str(track_cfg.get("backend") or "sort").lower()
         self.gmc_enabled = self.track_enabled \
-            and bool(track_cfg.get("gmc", False))
+            and bool(track_cfg.get("gmc", backend_name == "strongsort"))
         self._gmc_prev = None
 
         geom_cfg = cfg.get("geometry", {}) or {}

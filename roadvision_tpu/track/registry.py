@@ -28,6 +28,11 @@ BACKENDS: Dict[str, Type[Tracker]] = {
     "bytetrack": ByteTracker,
     "ocsort": OcSortTracker,
     "deepsort": DeepSortTracker,
+    # strongsort = the StrongSORT recipe (Du et al.) composed from the
+    # framework's own parts: deepsort appearance association + NSA
+    # Kalman (default on) + camera-motion compensation (the engine
+    # defaults tracking.gmc on for this backend)
+    "strongsort": DeepSortTracker,
     "botsort": BotSortTracker,
 }
 
@@ -52,7 +57,7 @@ def build_device_step(cfg: Dict[str, Any]):
     name = str(cfg.get("backend") or "sort").lower()
     # NSA Kalman (StrongSORT/GIAOTracker): confidence-adaptive
     # measurement noise R~ = (1-conf)*R, available under every backend
-    nsa = bool(cfg.get("nsa", False))
+    nsa = bool(cfg.get("nsa", name == "strongsort"))
     if name == "sort":
         return make_sort_step(
             float(cfg.get("iou_threshold", 0.3)),
@@ -85,7 +90,7 @@ def build_device_step(cfg: Dict[str, Any]):
             oru_steps=int(cfg.get("oru_steps", 4)),
             new_track_thresh=float(cfg.get("new_track_thresh", 0.6)),
             nsa=nsa)
-    if name == "deepsort":
+    if name in ("deepsort", "strongsort"):
         step = make_deepsort_step(
             float(cfg.get("iou_threshold", 0.3)),
             float(cfg.get("max_staleness", 1.0)),

@@ -103,3 +103,56 @@ def test_nsa_off_is_bit_identical_to_before():
                                       np.asarray(out_b.track_id))
         np.testing.assert_array_equal(np.asarray(state_a.mean),
                                       np.asarray(state_b.mean))
+
+
+def test_strongsort_preset():
+    """strongsort = deepsort association + NSA default-on + GMC
+    default-on in the engine; explicit overrides win."""
+    import jax.numpy as jnp
+
+    from roadvision_tpu.runtime.engine import PipelineEngine
+    from roadvision_tpu.track.deepsort import DeepSortTracker
+    from roadvision_tpu.track.registry import (build_device_step,
+                                               build_tracker)
+
+    step = build_device_step({"backend": "strongsort",
+                              "new_track_thresh": 0.0})
+    assert getattr(step, "needs_embeddings", False)
+
+    # equals deepsort with nsa=True on a scripted sequence
+    ds = build_device_step({"backend": "deepsort", "nsa": True,
+                            "new_track_thresh": 0.0})
+    sa, sb = init_state(8), init_state(8)
+    for i, x in enumerate((10.0, 25.0, 45.0)):
+        boxes = jnp.asarray([[x, 10.0, x + 20.0, 30.0]], jnp.float32)
+        cls = jnp.zeros((1,), jnp.int32)
+        conf = jnp.asarray([0.7], jnp.float32)
+        v = jnp.asarray([True])
+        ts = jnp.float32(0.1 * (i + 1))
+        emb = jnp.zeros((1, 108), jnp.float32)
+        sa, oa = step(sa, boxes, cls, conf, v, ts, None, emb)
+        sb, ob = ds(sb, boxes, cls, conf, v, ts, None, emb)
+        np.testing.assert_array_equal(np.asarray(sa.mean),
+                                      np.asarray(sb.mean))
+
+    # host API maps to the deepsort tracker class
+    assert isinstance(build_tracker({"backend": "strongsort"}),
+                      DeepSortTracker)
+
+    # engine defaults gmc on for strongsort, off for deepsort;
+    # explicit gmc: false wins
+    base = {"tpu": {"batch_size": 1, "track_slots": 8},
+            "preprocess": {"enabled": False},
+            "detect": {"enabled": True, "model": "missing.pt",
+                       "max_det": 4, "conf_thres": 1e-4, "imgsz": 96,
+                       "classes_keep": [], "compute_dtype": "float32"},
+            "geometry": {"enabled": False}}
+    eng = PipelineEngine({**base, "tracking": {
+        "enabled": True, "backend": "strongsort"}})
+    assert eng.gmc_enabled
+    eng = PipelineEngine({**base, "tracking": {
+        "enabled": True, "backend": "strongsort", "gmc": False}})
+    assert not eng.gmc_enabled
+    eng = PipelineEngine({**base, "tracking": {
+        "enabled": True, "backend": "deepsort"}})
+    assert not eng.gmc_enabled

@@ -154,3 +154,30 @@ def test_events_endpoint_and_since_filter():
         assert len(evs3) == 3
     finally:
         server.shutdown()
+
+
+def test_metrics_endpoint_and_dashboard_index():
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    import tools.serve as serve
+
+    hub = serve.FrameHub()
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 serve._make_handler(hub))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        hub.publish(b"\xff\xd8\xff x", 29.5, 3,
+                    events=[{"event": "stopped", "track_id": 1, "ts": 1.0}])
+        text = urllib.request.urlopen(base + "/metrics",
+                                      timeout=5).read().decode()
+        assert "roadvision_frames_total 1" in text
+        assert "roadvision_fps 29.5" in text
+        assert "roadvision_analytics_events_total 1" in text
+        assert "# TYPE roadvision_fps gauge" in text
+        html = urllib.request.urlopen(base + "/", timeout=5).read()
+        assert b"/stream" in html and b"/events?since=" in html
+    finally:
+        server.shutdown()

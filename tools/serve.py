@@ -46,9 +46,34 @@ from roadvision_tpu.vis import draw_overlays, make_canvas, tile_streams  # noqa:
 
 log = get_logger("roadvision.serve")
 
-_INDEX = (b"<!doctype html><title>roadvision preview</title>"
-          b"<body style=\"margin:0;background:#111\">"
-          b"<img src=\"/stream\" style=\"max-width:100%\"></body>")
+_INDEX = b"""<!doctype html><title>roadvision preview</title>
+<body style="margin:0;background:#111;color:#ddd;font:13px monospace">
+<img src="/stream" style="max-width:100%;display:block">
+<div id=s style="padding:4px 8px"></div>
+<ul id=e style="margin:0;padding:2px 8px 8px 24px;max-height:10em;\
+overflow:auto"></ul>
+<script>
+let last=0;
+async function tick(){
+ try{
+  const st=await (await fetch('/stats')).json();
+  document.getElementById('s').textContent=
+   `frames ${st.frames}  fps ${st.fps}  tracks/frame `+
+   `${st.tracks_per_frame}  clients ${st.clients}`;
+  const ev=await (await fetch('/events?since='+last)).json();
+  const ul=document.getElementById('e');
+  for(const e of ev.events){
+   last=e.id;
+   const li=document.createElement('li');
+   li.textContent=JSON.stringify(e);
+   ul.prepend(li);
+  }
+  while(ul.children.length>50) ul.removeChild(ul.lastChild);
+ }catch(err){}
+ setTimeout(tick,1000);
+}
+tick();
+</script></body>"""
 
 
 class FrameHub:
@@ -143,6 +168,28 @@ def _make_handler(hub: FrameHub, boundary: bytes = b"roadvisionframe"):
                 body = json.dumps({"events": evs}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the live counters
+                st = hub.stats
+                lines = [
+                    "# TYPE roadvision_frames_total counter",
+                    f"roadvision_frames_total {st['frames']}",
+                    "# TYPE roadvision_fps gauge",
+                    f"roadvision_fps {st['fps']}",
+                    "# TYPE roadvision_tracks_per_frame gauge",
+                    f"roadvision_tracks_per_frame {st['tracks_per_frame']}",
+                    "# TYPE roadvision_stream_clients gauge",
+                    f"roadvision_stream_clients {hub.clients}",
+                    "# TYPE roadvision_analytics_events_total counter",
+                    f"roadvision_analytics_events_total {hub._event_id}",
+                ]
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
