@@ -210,6 +210,10 @@ def main(argv=None) -> int:
     ap.add_argument("--no-show", action="store_true")
     ap.add_argument("--profile", default=None,
                     help="capture a jax.profiler device trace to this dir")
+    ap.add_argument("--state", default=None, metavar="PATH",
+                    help="tracking-state checkpoint: loaded at start if "
+                         "the file exists, saved on exit — lets a "
+                         "long-running stream resume identities exactly")
     ap.add_argument("--watch-config", action="store_true",
                     help="hot-reload vis/preview sections when the config "
                          "file changes (other sections need a restart)")
@@ -238,6 +242,9 @@ def main(argv=None) -> int:
     )
     fpsm = FPSMeter(alpha=0.1)
     engine = PipelineEngine(cfg)
+    if args.state and Path(args.state).exists():
+        engine.load_state(args.state)
+        log.info("resumed tracking state from %s", args.state)
 
     writer = None
     gated = False
@@ -351,6 +358,9 @@ def main(argv=None) -> int:
     finally:
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)
+        if args.state:
+            engine.save_state(args.state)
+            log.info("saved tracking state to %s", args.state)
         if writer:
             writer.release()
         vs.release()

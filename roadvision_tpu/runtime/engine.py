@@ -565,3 +565,47 @@ class PipelineEngine:
             self.sort_state = init_state(self.track_slots)
         self._gmc_prev = None
         self._t0 = None
+
+    def save_state(self, path) -> None:
+        """Checkpoint the device-resident stream state — the full
+        SortState (identities, Kalman posteriors, histories, appearance
+        memory), the camera-motion thumbnail, and the stream's ts epoch
+        — so a long-running deployment can stop and resume EXACTLY
+        (beyond-reference: §5 checkpoint/resume for inference, the
+        analog of the training checkpoints in runtime/checkpoint.py).
+        Host-side analytics state (roadvision_tpu/analytics.py) is
+        driver-owned and not included."""
+        data = {}
+        if self.sort_state is not None:
+            for k, v in zip(SortState._fields, self.sort_state):
+                data[f"sort_{k}"] = np.asarray(v)
+        data["t0"] = np.asarray(
+            np.nan if self._t0 is None else self._t0, np.float64)
+        if self._gmc_prev is not None:
+            data["gmc_prev"] = np.asarray(self._gmc_prev)
+        np.savez(path, **data)
+
+    def load_state(self, path) -> None:
+        """Restore a :meth:`save_state` checkpoint. The tracker slot
+        count must match the current config."""
+        with np.load(path) as z:
+            if self.sort_state is not None:
+                missing = [k for k in SortState._fields
+                           if f"sort_{k}" not in z.files]
+                if missing:
+                    raise ValueError(
+                        f"state file {path}: missing tracker arrays "
+                        f"{missing} (saved without tracking?)")
+                saved_slots = z["sort_alive"].shape[0]
+                if saved_slots != self.track_slots:
+                    raise ValueError(
+                        f"state file {path}: {saved_slots} track slots, "
+                        f"engine has {self.track_slots} "
+                        f"(tpu.track_slots must match)")
+                self.sort_state = SortState(
+                    *[jnp.asarray(z[f"sort_{k}"])
+                      for k in SortState._fields])
+            t0 = float(z["t0"])
+            self._t0 = None if np.isnan(t0) else t0
+            self._gmc_prev = jnp.asarray(z["gmc_prev"]) \
+                if "gmc_prev" in z.files else None

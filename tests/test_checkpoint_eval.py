@@ -97,3 +97,80 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
         # at least one leaf is genuinely sharded across the model axis
         assert any(len(leaf.sharding.device_set) > 1
                    for leaf in jax.tree_util.tree_leaves(p2))
+
+
+def test_engine_state_checkpoint_resume_exact(tmp_path):
+    """save_state/load_state: a stream split across two engine processes
+    produces the SAME detections (ids, boxes, distances) as an
+    uninterrupted run — the inference analog of train --resume."""
+    import numpy as np
+
+    from roadvision_tpu.runtime.engine import PipelineEngine
+
+    cfg = {
+        "tpu": {"batch_size": 2, "track_slots": 16},
+        "preprocess": {"enabled": False},
+        "detect": {"enabled": True, "model": "missing.pt", "imgsz": 96,
+                   "max_det": 6, "conf_thres": 1e-4, "classes_keep": [],
+                   "compute_dtype": "float32"},
+        "tracking": {"enabled": True},
+        "geometry": {"enabled": False},
+    }
+    rng = np.random.default_rng(3)
+    frames = np.asarray(rng.integers(0, 255, (6, 72, 96, 3)), np.uint8)
+    ts = 100.0 + np.arange(6) / 30.0     # non-zero epoch: t0 must persist
+
+    ref = PipelineEngine(cfg)
+    ref_out = []
+    for i in range(3):
+        ref_out.append(ref.process_batch(frames[2 * i:2 * i + 2],
+                                         ts[2 * i:2 * i + 2]))
+
+    a = PipelineEngine(cfg)
+    a.process_batch(frames[0:2], ts[0:2])
+    a.process_batch(frames[2:4], ts[2:4])
+    state_path = tmp_path / "stream.npz"
+    a.save_state(state_path)
+
+    b = PipelineEngine(cfg)      # "new process"
+    b.load_state(state_path)
+    got = b.process_batch(frames[4:6], ts[4:6])
+
+    for r_ref, r_got in zip(ref_out[2], got):
+        ids_ref = [(d.track_id, round(d.x1, 4), round(d.y2, 4),
+                    round(d.conf, 5)) for d in r_ref.detections]
+        ids_got = [(d.track_id, round(d.x1, 4), round(d.y2, 4),
+                    round(d.conf, 5)) for d in r_got.detections]
+        assert ids_ref == ids_got and ids_ref
+
+
+def test_engine_state_slot_mismatch_rejected(tmp_path):
+    import numpy as np
+
+    from roadvision_tpu.runtime.engine import PipelineEngine
+
+    base = {
+        "preprocess": {"enabled": False},
+        "detect": {"enabled": True, "model": "missing.pt", "imgsz": 96,
+                   "max_det": 4, "conf_thres": 1e-4, "classes_keep": [],
+                   "compute_dtype": "float32"},
+        "tracking": {"enabled": True},
+        "geometry": {"enabled": False},
+    }
+    a = PipelineEngine({**base, "tpu": {"batch_size": 1,
+                                        "track_slots": 16}})
+    p = tmp_path / "s.npz"
+    a.save_state(p)
+    b = PipelineEngine({**base, "tpu": {"batch_size": 1,
+                                        "track_slots": 32}})
+    import pytest
+    with pytest.raises(ValueError, match="track slots"):
+        b.load_state(p)
+    # missing tracker arrays (saved with tracking off) also rejected
+    c = PipelineEngine({**base,
+                        "tracking": {"enabled": False},
+                        "tpu": {"batch_size": 1, "track_slots": 16}})
+    p2 = tmp_path / "notrack.npz"
+    c.save_state(p2)
+    with pytest.raises(ValueError, match="missing tracker"):
+        a.load_state(p2)
