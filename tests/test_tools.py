@@ -530,3 +530,21 @@ def test_analyze_parse_points_validation():
     assert name == "z" and pts == [(1.0, 2.0), (3.0, 4.0), (5.0, 6.0)]
     with pytest.raises(ValueError, match="bad geometry"):
         _parse_points("justname")
+
+
+def test_benchmark_trackers_cli(tmp_path, capsys):
+    import tools.benchmark_trackers as bt
+    out = tmp_path / "trk.json"
+    rc = bt.main(["--backends", "sort,bytetrack",
+                  "--scenarios", "clutter,occlusion",
+                  "--out", str(out)])
+    assert rc == 0
+    results = json.loads(out.read_text())
+    # the ByteTrack start policy ignores low-conf clutter; SORT births
+    # an id per blip (reference behavior) — the table must show it
+    assert results["bytetrack"]["clutter"]["hota"] > \
+        results["sort"]["clutter"]["hota"]
+    assert results["sort"]["clutter"]["false_positives"] >= 3
+    assert results["bytetrack"]["clutter"]["false_positives"] == 0
+    table = capsys.readouterr().out
+    assert "| backend |" in table and "| sort |" in table
