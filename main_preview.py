@@ -198,6 +198,8 @@ def run_multi(args, cfg) -> int:
             import json as _json
             log.info("analytics: %s", _json.dumps(
                 [a.summary() for a in analytics]))
+            for a in analytics:
+                a.close()
     return 0
 
 
@@ -373,6 +375,7 @@ def main(argv=None) -> int:
         if analytics is not None:
             import json as _json
             log.info("analytics: %s", _json.dumps(analytics.summary()))
+            analytics.close()
         if n_frames > 1 and t_first is not None:
             wall = _time.perf_counter() - t_first
             log.info("sustained %.2f fps end-to-end (%d frames after "

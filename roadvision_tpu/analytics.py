@@ -148,18 +148,23 @@ def _point_in_polygon(poly, x: float, y: float) -> bool:
 class Zone:
     def __init__(self, name: str, polygon,
                  classes: Optional[Iterable[int]] = None,
-                 stale_after: float = 5.0):
+                 stale_after: float = 5.0,
+                 speed_limit_kmh: Optional[float] = None):
         if len(polygon) < 3:
             raise ValueError(f"zone '{name}': polygon needs >= 3 points")
         self.name = str(name)
         self.polygon = [(float(x), float(y)) for (x, y) in polygon]
         self.classes = set(int(c) for c in classes) if classes else None
         self.stale_after = float(stale_after)
+        self.speed_limit_kmh = (float(speed_limit_kmh)
+                                if speed_limit_kmh is not None else None)
+        self.speeding_total = 0
         self.entered_total = 0
         self.dwell_s: List[float] = []     # completed visits
         self.speed_samples: List[float] = []   # km/h while inside
         self._inside: Dict[int, float] = {}    # id → entry ts
         self._seen: Dict[int, float] = {}      # id → last-seen ts
+        self._speeding: set = set()        # ids flagged this visit
 
     @property
     def occupancy(self) -> int:
@@ -182,6 +187,17 @@ class Zone:
             spd = getattr(d, "speed_kmh", None)
             if inside_now and spd is not None:
                 self.speed_samples.append(float(spd))
+                # speed enforcement: one event per identity per visit
+                if self.speed_limit_kmh is not None \
+                        and spd > self.speed_limit_kmh \
+                        and int(tid) not in self._speeding:
+                    self._speeding.add(int(tid))
+                    self.speeding_total += 1
+                    events.append({
+                        "zone": self.name, "event": "speeding",
+                        "track_id": int(tid), "ts": ts,
+                        "speed_kmh": float(spd),
+                        "limit_kmh": self.speed_limit_kmh})
         for tid, inside in present.items():
             was = tid in self._inside
             if inside and not was:
@@ -191,6 +207,7 @@ class Zone:
                                "event": "enter", "ts": ts})
             elif was and not inside:
                 dwell = ts - self._inside.pop(tid)
+                self._speeding.discard(tid)
                 self.dwell_s.append(dwell)
                 events.append({"zone": self.name, "track_id": tid,
                                "event": "exit", "ts": ts,
@@ -201,6 +218,7 @@ class Zone:
                     if ts - last > self.stale_after]:
             if tid in self._inside:
                 dwell = self._seen[tid] - self._inside.pop(tid)
+                self._speeding.discard(tid)
                 self.dwell_s.append(dwell)
                 events.append({"zone": self.name, "track_id": tid,
                                "event": "exit", "ts": self._seen[tid],
@@ -215,6 +233,8 @@ class Zone:
                "entered_total": self.entered_total,
                "completed_visits": len(self.dwell_s),
                "mean_dwell_s": mean}
+        if self.speed_limit_kmh is not None:
+            out["speeding_total"] = self.speeding_total
         if self.speed_samples:
             s = sorted(self.speed_samples)
             # p85: traffic engineering's operating-speed percentile
@@ -334,6 +354,14 @@ class Analytics:
 
     def __init__(self, cfg: Dict[str, Any]):
         stale = float(cfg.get("stale_after", 5.0))
+        # optional JSONL event sink (analytics.log_path): every event is
+        # appended as one JSON line — the machine-readable audit trail
+        self._log_fh = None
+        log_path = cfg.get("log_path")
+        if log_path:
+            from pathlib import Path as _P
+            _P(log_path).parent.mkdir(parents=True, exist_ok=True)
+            self._log_fh = open(log_path, "a", encoding="utf-8")
         self.lines = [CountingLine(ln.get("name", f"line{i}"),
                                    ln["p1"], ln["p2"],
                                    classes=ln.get("classes"),
@@ -341,7 +369,8 @@ class Analytics:
                                    wrong_way=ln.get("wrong_way"))
                       for i, ln in enumerate(cfg.get("lines") or [])]
         self.zones = [Zone(z.get("name", f"zone{i}"), z["polygon"],
-                           classes=z.get("classes"), stale_after=stale)
+                           classes=z.get("classes"), stale_after=stale,
+                           speed_limit_kmh=z.get("speed_limit_kmh"))
                       for i, z in enumerate(cfg.get("zones") or [])]
         stop_cfg = cfg.get("stopped") or {}
         self.stopped: Optional[StoppedMonitor] = None
@@ -363,7 +392,17 @@ class Analytics:
             events.extend(z.update(dets, timestamp))
         if self.stopped is not None:
             events.extend(self.stopped.update(dets, timestamp))
+        if self._log_fh is not None and events:
+            import json as _json
+            for ev in events:
+                self._log_fh.write(_json.dumps(ev) + "\n")
+            self._log_fh.flush()
         return events
+
+    def close(self) -> None:
+        if self._log_fh is not None:
+            self._log_fh.close()
+            self._log_fh = None
 
     def summary(self) -> Dict[str, Any]:
         out = {"lines": [ln.summary() for ln in self.lines],

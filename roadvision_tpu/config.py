@@ -82,6 +82,7 @@ DEFAULTS: Dict[str, Any] = {
     # additive: traffic analytics over tracked detections
     # (roadvision_tpu/analytics.py — line counting, zone occupancy)
     "analytics": dict(enabled=False, stale_after=5.0, lines=[], zones=[],
+                      log_path=None,
                       stopped=dict(enable=False, after_s=2.0,
                                    move_frac=0.08, min_speed_kmh=3.0,
                                    polygon=None, classes=None)),

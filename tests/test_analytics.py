@@ -219,3 +219,39 @@ def test_wrong_way_alerting():
     import pytest
     with pytest.raises(ValueError, match="wrong_way"):
         CountingLine("bad", (0, 0), (1, 0), wrong_way="up")
+
+
+def test_zone_speeding_events_once_per_visit():
+    from roadvision_tpu.analytics import Zone
+    z = Zone("j", [(0, 0), (100, 0), (100, 100), (0, 100)],
+             speed_limit_kmh=50.0)
+    evs = []
+    # inside, accelerating past the limit: one event at first violation
+    for i, spd in enumerate((30.0, 55.0, 80.0)):
+        evs += z.update([_sdet(50, 50, tid=1, speed=spd)], 0.1 * (i + 1))
+    sp = [e for e in evs if e.get("event") == "speeding"]
+    assert len(sp) == 1
+    assert sp[0]["speed_kmh"] == 55.0 and sp[0]["limit_kmh"] == 50.0
+    # exits and re-enters fast: a new visit can flag again
+    z.update([_sdet(500, 500, tid=1, speed=80.0)], 0.4)
+    evs = z.update([_sdet(50, 50, tid=1, speed=80.0)], 0.5)
+    assert sum(1 for e in evs if e.get("event") == "speeding") == 1
+    assert z.summary()["speeding_total"] == 2
+    # no limit configured → no speeding key
+    z2 = Zone("free", [(0, 0), (1, 0), (1, 1)])
+    assert "speeding_total" not in z2.summary()
+
+
+def test_analytics_jsonl_event_log(tmp_path):
+    import json
+    log_path = tmp_path / "events.jsonl"
+    ana = Analytics({
+        "log_path": str(log_path),
+        "lines": [{"name": "main", "p1": [0, 100], "p2": [200, 100]}],
+    })
+    ana.update([_det(50, 90, tid=1)], 0.1)
+    ana.update([_det(50, 110, tid=1)], 0.2)
+    ana.close()
+    rows = [json.loads(ln) for ln in log_path.read_text().splitlines()]
+    assert len(rows) == 1
+    assert rows[0]["line"] == "main" and rows[0]["track_id"] == 1
