@@ -684,3 +684,30 @@ def synthetic_pose_batches(batch: int, imgsz: int = 320,
             out.append((img, boxes, cls, valid, kpts))
             idx += 1
         yield tuple(np.stack([o[i] for o in out]) for i in range(5))
+
+
+def fog_augment_batch(images: np.ndarray, rng: np.random.RandomState,
+                      p: float = 0.5, level: str = "random") -> np.ndarray:
+    """Train-time weather augmentation: run the atmospheric-scattering
+    fog synthesizer (augment/fog.py — the subsystem the reference ships
+    for building fog datasets OFFLINE, tools/fog_batch.py:7-34) on a
+    random subset of the uint8 BGR batch, closing the loop so fog-robust
+    detectors train in one command (``tools/train.py --fog P``).
+
+    Photometric only — boxes / masks / keypoints are untouched, so it
+    composes with every task's objective. ``level`` is light / medium /
+    heavy, or "random" to sample per image.
+    """
+    from ..augment.fog import EnhancedFogSynthesizer
+
+    levels = ("light", "medium", "heavy")
+    out = np.array(images, copy=True)
+    for i in range(out.shape[0]):
+        if rng.rand() >= p:
+            continue
+        lvl = level if level in levels else levels[rng.randint(3)]
+        syn = EnhancedFogSynthesizer(level=lvl,
+                                     seed=int(rng.randint(2 ** 31)))
+        hazy, _meta = syn.synthesize(out[i])
+        out[i] = hazy
+    return out

@@ -207,3 +207,36 @@ def test_train_cli_seg_coco_json(tmp_path):
                      "--log-every", "1"])
     assert rc == 0
     assert out.with_suffix(".weights.npz").exists()
+
+
+def test_fog_augment_batch_photometric_only():
+    import numpy as np
+
+    from roadvision_tpu.detect.dataset import fog_augment_batch
+    rng = np.random.RandomState(0)
+    imgs = np.asarray(np.random.default_rng(1).integers(
+        0, 255, (3, 96, 96, 3)), np.uint8)
+    # p=0: bit-identical
+    np.testing.assert_array_equal(
+        fog_augment_batch(imgs, rng, p=0.0), imgs)
+    # p=1: every image changed, dtype/shape preserved, input untouched
+    before = imgs.copy()
+    out = fog_augment_batch(imgs, rng, p=1.0, level="heavy")
+    assert out.shape == imgs.shape and out.dtype == np.uint8
+    np.testing.assert_array_equal(imgs, before)
+    for i in range(3):
+        assert np.abs(out[i].astype(int) - imgs[i].astype(int)).mean() > 2
+    # heavy fog raises brightness toward the airlight on a dark scene
+    dark = np.full((1, 96, 96, 3), 20, np.uint8)
+    foggy = fog_augment_batch(dark, rng, p=1.0, level="heavy")
+    assert foggy.mean() > dark.mean() + 10
+
+
+def test_train_cli_fog_smoke(tmp_path):
+    import tools.train as train
+    rc = train.main(["--data", "synthetic", "--steps", "2", "--imgsz",
+                     "96", "--batch", "2", "--weights", "none.pt",
+                     "--fog", "1.0", "--fog-level", "medium",
+                     "--no-ema", "--out", str(tmp_path / "fog.npz")])
+    assert rc == 0
+    assert (tmp_path / "fog.weights.npz").exists()

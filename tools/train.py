@@ -69,6 +69,13 @@ def main(argv=None) -> int:
                     default=True,
                     help="train-time flip + HSV jitter (YOLO-dir data; "
                          "the synthetic generator already varies)")
+    ap.add_argument("--fog", type=float, default=0.0, metavar="P",
+                    help="train-time fog augmentation: probability per "
+                         "image of running the atmospheric-scattering "
+                         "synthesizer (augment/fog.py; photometric only "
+                         "so it works for every task; 0 disables)")
+    ap.add_argument("--fog-level", default="random",
+                    choices=["random", "light", "medium", "heavy"])
     ap.add_argument("--mosaic", type=float, default=1.0,
                     help="probability of 4-image mosaic composition per "
                          "batch (YOLO-dir data; 0 disables)")
@@ -284,9 +291,18 @@ def main(argv=None) -> int:
         log.info("eval @%d: %s", step_no,
                  " ".join(f"{k}={v:.3f}" for k, v in score.items()))
 
+    fog_rng = np.random.RandomState(77)
+    if args.fog > 0:
+        from roadvision_tpu.detect.dataset import fog_augment_batch
+        log.info("fog augmentation: p=%.2f level=%s", args.fog,
+                 args.fog_level)
+
     t0 = time.time()
     for it in range(1, args.steps + 1):
         images, *gts = next_batch()   # (+ gt instance masks for seg)
+        if args.fog > 0:
+            images = fog_augment_batch(np.asarray(images), fog_rng,
+                                       p=args.fog, level=args.fog_level)
         x = jnp.asarray(images, jnp.float32) / 255.0
         if bshard is not None:
             x = jax.device_put(x, bshard)
