@@ -1,6 +1,7 @@
 from .inference import make_sharded_stream_step
+from .pipeline import PipelinedYOLO
 from .sharding import (batch_sharding, make_mesh, param_shardings, replicated,
                        shard_pytree)
 
 __all__ = ["make_mesh", "batch_sharding", "replicated", "param_shardings",
-           "shard_pytree", "make_sharded_stream_step"]
+           "shard_pytree", "make_sharded_stream_step", "PipelinedYOLO"]
