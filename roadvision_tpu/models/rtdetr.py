@@ -1,0 +1,557 @@
+"""RT-DETR (Real-Time Detection Transformer) natively in JAX.
+
+Beyond-reference model family: the reference pins ``yolov8n.pt`` through
+the ultralytics wrapper (/root/reference/src/detect/yolo_ultralytics.py:16),
+and RT-DETR is the other detector family that wrapper's ecosystem ships —
+the NMS-free, set-prediction alternative (Lv et al. 2023,
+"DETRs Beat YOLOs on Real-time Object Detection").
+
+Structure (the "l" scale — HGNetv2-L backbone):
+
+  * **HGNetv2 backbone** — HGStem + 4 stages of HGBlocks (6 inner
+    Light/plain convs, squeeze/excite 1×1s, ReLU), DWConv downsamples;
+    taps at /8 (512ch), /16 (1024), /32 (2048).
+  * **Hybrid encoder** — AIFI (one post-norm transformer encoder layer
+    with 2D sincos positional embedding on the flattened /32 map; GELU
+    FFN) + CCFM cross-scale fusion (lateral 1×1s, nearest ×2 upsample,
+    RepC3 blocks — stored REP-FUSED as single 3×3 convs, the deploy
+    form — and stride-2 3×3 downsamples). All fusion at 256 channels.
+  * **Decoder** — 6 deformable-attention layers over the 3 flattened
+    level maps: 300 queries selected from the encoder memory by top
+    class score (IoU-aware query selection), iterative sigmoid-space
+    box refinement, per-layer score/bbox heads (training aux; the last
+    layer serves inference), MLP query-position embedding.
+
+TPU-first notes: everything is fixed-shape (300 queries, static level
+grids); attention and the deformable sampling reduce to einsums plus a
+4-corner `take_along_axis` bilinear gather (the grid_sample analog —
+gathers of (B,300,8,4) indices, not scatter); convs ride the same
+NHWC/HWIO MXU path as the YOLO families with optional bf16 compute.
+No NMS exists anywhere — suppression is learned, which also removes the
+one sequential-ish op of the YOLO post-process.
+
+Parity: an independent torch twin (tests/oracles/torch_rtdetr.py) runs
+the same param pytree through torch ops — including F.grid_sample for
+the deformable sampling — and must agree end to end
+(tests/test_rtdetr.py). Checkpoint import maps the ultralytics
+``rtdetr-l.pt`` state-dict layout (models/yolo/weights.py) with
+conv+BN and RepConv-branch fusing; the layout is written from the
+published model YAML and cannot be cross-checked against a real blob in
+this offline environment (documented in ROADMAP.md).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HD = 256          # hidden dim
+NQ = 300          # queries
+NH = 8            # attention heads
+NDP = 4           # deformable sampling points per level
+NDL = 6           # decoder layers
+D_FFN = 1024      # decoder FFN dim
+AIFI_FFN = 1024   # AIFI FFN dim
+NL = 3            # feature levels (/8, /16, /32)
+
+# HGNetv2-L stage table: (cm, c2, k, n_blocks, lightconv)
+_L_STAGES = (
+    (48, 128, 3, 1, False),
+    (96, 512, 3, 1, False),
+    (192, 1024, 5, 3, True),
+    (384, 2048, 5, 1, True),
+)
+_L_STEM = (32, 48)   # (cm, c2)
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def _conv(x, p, stride: int = 1, act: Optional[str] = "relu",
+          pad: Optional[int] = None, dtype=jnp.float32):
+    """Conv(+bias)+activation, NHWC/HWIO, groups inferred from kernel
+    input width (DWConv), autopad k//2."""
+    k = p["w"].shape[0]
+    pad = k // 2 if pad is None else pad
+    out = jax.lax.conv_general_dilated(
+        x.astype(dtype), p["w"].astype(dtype),
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1] // p["w"].shape[2],
+        preferred_element_type=jnp.float32)
+    out = out + p["b"]
+    if act == "relu":
+        out = jax.nn.relu(out)
+    elif act == "silu":
+        out = jax.nn.silu(out)
+    elif act == "gelu":
+        out = jax.nn.gelu(out)
+    return out.astype(dtype) if act else out.astype(jnp.float32)
+
+
+def _lin(x, p):
+    return x @ p["w"] + p["b"]
+
+
+def _ln(x, p, eps: float = 1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+
+
+def _mlp(x, layers: Sequence[Dict[str, Any]]):
+    """Linear stack with ReLU between (none after the last)."""
+    for i, p in enumerate(layers):
+        x = _lin(x, p)
+        if i + 1 < len(layers):
+            x = jax.nn.relu(x)
+    return x
+
+
+def _mha(q, k, v, p):
+    """Standard multi-head attention (B, N, HD) with separate q/k/v/out
+    projections; f32 math."""
+    b, nq_, _ = q.shape
+    dh = HD // NH
+
+    def split(t, pp):
+        return _lin(t, pp).reshape(b, -1, NH, dh)
+
+    qh = split(q, p["q"])
+    kh = split(k, p["k"])
+    vh = split(v, p["v"])
+    att = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(dh)
+    att = jax.nn.softmax(att, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", att, vh).reshape(b, nq_, HD)
+    return _lin(out, p["o"])
+
+
+def inverse_sigmoid(x, eps: float = 1e-5):
+    x = jnp.clip(x, 0.0, 1.0)
+    return jnp.log(jnp.clip(x, eps, None) / jnp.clip(1.0 - x, eps, None))
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _init_conv(key, cin, cout, k, groups: int = 1):
+    fan_in = (cin // groups) * k * k
+    std = math.sqrt(2.0 / fan_in)
+    w = jax.random.normal(key, (k, k, cin // groups, cout), jnp.float32) * std
+    return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def _init_lin(key, cin, cout, zero: bool = False):
+    if zero:
+        return {"w": jnp.zeros((cin, cout), jnp.float32),
+                "b": jnp.zeros((cout,), jnp.float32)}
+    bound = math.sqrt(1.0 / cin)
+    w = jax.random.uniform(key, (cin, cout), jnp.float32, -bound, bound)
+    return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def _init_ln(dim):
+    return {"g": jnp.ones((dim,), jnp.float32),
+            "b": jnp.zeros((dim,), jnp.float32)}
+
+
+def _init_hgblock(key, c1, cm, c2, k, n, light):
+    keys = jax.random.split(key, 2 * n + 2)
+    m = []
+    for i in range(n):
+        cin = c1 if i == 0 else cm
+        if light:
+            m.append({"cv1": _init_conv(keys[2 * i], cin, cm, 1),
+                      "cv2": _init_conv(keys[2 * i + 1], cm, cm, k,
+                                        groups=cm)})
+        else:
+            m.append({"cv": _init_conv(keys[2 * i], cin, cm, k)})
+    return {"m": m,
+            "sc": _init_conv(keys[-2], c1 + n * cm, c2 // 2, 1),
+            "ec": _init_conv(keys[-1], c2 // 2, c2, 1)}
+
+
+def _init_repc3(key, c1, c2, n=3):
+    keys = jax.random.split(key, n + 2)
+    return {"cv1": _init_conv(keys[0], c1, c2, 1),
+            "cv2": _init_conv(keys[1], c1, c2, 1),
+            "m": [_init_conv(keys[2 + i], c2, c2, 3) for i in range(n)]}
+
+
+def _init_mha(key, dim):
+    ks = jax.random.split(key, 4)
+    std = math.sqrt(1.0 / dim)
+    out = {}
+    for name, kk in zip(("q", "k", "v", "o"), ks):
+        out[name] = {"w": jax.random.normal(kk, (dim, dim)) * std,
+                     "b": jnp.zeros((dim,), jnp.float32)}
+    return out
+
+
+def _deform_offset_init() -> jnp.ndarray:
+    """The canonical MSDeformAttn bias: 8 unit directions, scaled per
+    point ring — gives each head a distinct initial looking direction."""
+    theta = jnp.arange(NH, dtype=jnp.float32) * (2.0 * math.pi / NH)
+    grid = jnp.stack([jnp.cos(theta), jnp.sin(theta)], -1)  # (NH, 2)
+    grid = grid / jnp.max(jnp.abs(grid), axis=-1, keepdims=True)
+    grid = jnp.tile(grid[:, None, None, :], (1, NL, NDP, 1))
+    scale = jnp.arange(1, NDP + 1, dtype=jnp.float32)[None, None, :, None]
+    return (grid * scale).reshape(-1)
+
+
+def init_params_rtdetr(key, nc: int = 80) -> Dict[str, Any]:
+    keys = iter(jax.random.split(key, 256))
+    nxt = lambda: next(keys)  # noqa: E731
+
+    cm, c2 = _L_STEM
+    bk: Dict[str, Any] = {"stem": {
+        "s1": _init_conv(nxt(), 3, cm, 3),
+        "s2a": _init_conv(nxt(), cm, cm // 2, 2),
+        "s2b": _init_conv(nxt(), cm // 2, cm, 2),
+        "s3": _init_conv(nxt(), cm * 2, cm, 3),
+        "s4": _init_conv(nxt(), cm, c2, 1),
+    }}
+    stages, downs = [], []
+    cin = c2
+    for si, (scm, sc2, k, n_blocks, light) in enumerate(_L_STAGES):
+        if si > 0:
+            downs.append(_init_conv(nxt(), cin, cin, 3, groups=cin))
+        blocks = []
+        for bi in range(n_blocks):
+            blocks.append(_init_hgblock(nxt(), cin if bi == 0 else sc2,
+                                        scm, sc2, k, 6, light))
+        stages.append(blocks)
+        cin = sc2
+    bk["stages"] = stages
+    bk["down"] = downs
+
+    c3ch, c4ch, c5ch = _L_STAGES[1][1], _L_STAGES[2][1], _L_STAGES[3][1]
+    enc = {
+        "proj5": _init_conv(nxt(), c5ch, HD, 1),
+        "proj4": _init_conv(nxt(), c4ch, HD, 1),
+        "proj3": _init_conv(nxt(), c3ch, HD, 1),
+        "aifi": {"mha": _init_mha(nxt(), HD),
+                 "ln1": _init_ln(HD), "ln2": _init_ln(HD),
+                 "fc1": _init_lin(nxt(), HD, AIFI_FFN),
+                 "fc2": _init_lin(nxt(), AIFI_FFN, HD)},
+        "lat0": _init_conv(nxt(), HD, HD, 1),
+        "fpn0": _init_repc3(nxt(), 2 * HD, HD),
+        "lat1": _init_conv(nxt(), HD, HD, 1),
+        "fpn1": _init_repc3(nxt(), 2 * HD, HD),
+        "down0": _init_conv(nxt(), HD, HD, 3),
+        "pan0": _init_repc3(nxt(), 2 * HD, HD),
+        "down1": _init_conv(nxt(), HD, HD, 3),
+        "pan1": _init_repc3(nxt(), 2 * HD, HD),
+    }
+
+    bias_cls = float(-math.log((1 - 0.01) / 0.01))
+    layers = []
+    for _ in range(NDL):
+        off = _init_lin(nxt(), HD, NH * NL * NDP * 2, zero=True)
+        off["b"] = _deform_offset_init()
+        layers.append({
+            "sa": _init_mha(nxt(), HD), "ln1": _init_ln(HD),
+            "ca": {"off": off,
+                   "attw": _init_lin(nxt(), HD, NH * NL * NDP, zero=True),
+                   "val": _init_lin(nxt(), HD, HD),
+                   "out": _init_lin(nxt(), HD, HD)},
+            "ln2": _init_ln(HD),
+            "ffn1": _init_lin(nxt(), HD, D_FFN),
+            "ffn2": _init_lin(nxt(), D_FFN, HD),
+            "ln3": _init_ln(HD),
+        })
+
+    def score_head():
+        p = _init_lin(nxt(), HD, nc)
+        p["b"] = jnp.full((nc,), bias_cls, jnp.float32)
+        return p
+
+    def bbox_head():
+        return [_init_lin(nxt(), HD, HD), _init_lin(nxt(), HD, HD),
+                _init_lin(nxt(), HD, 4, zero=True)]
+
+    dec = {
+        "input_proj": [_init_conv(nxt(), HD, HD, 1) for _ in range(NL)],
+        "layers": layers,
+        "enc_output": {"lin": _init_lin(nxt(), HD, HD), "ln": _init_ln(HD)},
+        "enc_score": score_head(),
+        "enc_bbox": bbox_head(),
+        "dec_score": [score_head() for _ in range(NDL)],
+        "dec_bbox": [bbox_head() for _ in range(NDL)],
+        "qpos": [_init_lin(nxt(), 4, 2 * HD), _init_lin(nxt(), 2 * HD, HD)],
+    }
+    return {"backbone": bk, "enc": enc, "dec": dec}
+
+
+# ---------------------------------------------------------------------------
+# backbone
+# ---------------------------------------------------------------------------
+
+def _hg_stem(p, x, dtype):
+    x = _conv(x, p["s1"], stride=2, dtype=dtype)
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    x2 = _conv(xp, p["s2a"], pad=0, dtype=dtype)
+    x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    x2 = _conv(x2, p["s2b"], pad=0, dtype=dtype)
+    x1 = jax.lax.reduce_window(xp, -jnp.inf, jax.lax.max,
+                               (1, 2, 2, 1), (1, 1, 1, 1),
+                               [(0, 0), (0, 0), (0, 0), (0, 0)])
+    x = jnp.concatenate([x1, x2], axis=-1)
+    x = _conv(x, p["s3"], stride=2, dtype=dtype)
+    return _conv(x, p["s4"], dtype=dtype)
+
+
+def _hg_block(p, x, light, shortcut, dtype):
+    ys = [x]
+    for mp in p["m"]:
+        if light:
+            h = _conv(ys[-1], mp["cv1"], act=None, dtype=dtype)
+            h = _conv(h, mp["cv2"], dtype=dtype)
+        else:
+            h = _conv(ys[-1], mp["cv"], dtype=dtype)
+        ys.append(h)
+    y = _conv(jnp.concatenate(ys, axis=-1), p["sc"], dtype=dtype)
+    y = _conv(y, p["ec"], dtype=dtype)
+    return y + x if shortcut else y
+
+
+def hgnet_forward(bk, x, dtype=jnp.float32) -> Tuple:
+    """(B, H, W, 3) [0,1] → (c3 /8, c4 /16, c5 /32) feature maps."""
+    y = _hg_stem(bk["stem"], x, dtype)
+    taps = []
+    for si, (scm, sc2, k, n_blocks, light) in enumerate(_L_STAGES):
+        if si > 0:
+            y = _conv(y, bk["down"][si - 1], stride=2, act=None, dtype=dtype)
+        for bi in range(n_blocks):
+            y = _hg_block(bk["stages"][si][bi], y, light, bi > 0, dtype)
+        taps.append(y)
+    return taps[1], taps[2], taps[3]
+
+
+# ---------------------------------------------------------------------------
+# hybrid encoder
+# ---------------------------------------------------------------------------
+
+def _sincos_pe(w: int, h: int, dim: int = HD, temp: float = 10000.0):
+    """2D sincos positional embedding — replicates the published
+    formulation verbatim, including its w-major flatten (the features
+    are h-major; on the square /32 grid of a square input the two
+    coincide)."""
+    gw = jnp.arange(w, dtype=jnp.float32)
+    gh = jnp.arange(h, dtype=jnp.float32)
+    grid_w, grid_h = jnp.meshgrid(gw, gh, indexing="ij")
+    pos_dim = dim // 4
+    omega = 1.0 / (temp ** (jnp.arange(pos_dim, dtype=jnp.float32) / pos_dim))
+    out_w = grid_w.reshape(-1)[:, None] * omega[None]
+    out_h = grid_h.reshape(-1)[:, None] * omega[None]
+    return jnp.concatenate([jnp.sin(out_w), jnp.cos(out_w),
+                            jnp.sin(out_h), jnp.cos(out_h)], axis=1)
+
+
+def _aifi(p, x):
+    """Post-norm transformer encoder layer on the flattened /32 map."""
+    b, h, w, c = x.shape
+    s = x.reshape(b, h * w, c).astype(jnp.float32)
+    pos = _sincos_pe(w, h, c)
+    q = k = s + pos[None]
+    s = _ln(s + _mha(q, k, s, p["mha"]), p["ln1"])
+    f = _lin(jax.nn.gelu(_lin(s, p["fc1"])), p["fc2"])
+    s = _ln(s + f, p["ln2"])
+    return s.reshape(b, h, w, c)
+
+
+def _repc3(p, x, dtype):
+    y = _conv(x, p["cv1"], act="silu", dtype=dtype)
+    for mp in p["m"]:
+        y = _conv(y, mp, act="silu", dtype=dtype)
+    return y + _conv(x, p["cv2"], act="silu", dtype=dtype)
+
+
+def _up2(x):
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def encoder_forward(enc, c3, c4, c5, dtype=jnp.float32) -> List:
+    """CCFM cross-scale fusion → [p3, p4, p5], each HD channels."""
+    f5 = _conv(c5, enc["proj5"], act=None, dtype=dtype)
+    f5 = _aifi(enc["aifi"], f5).astype(dtype)
+    y5 = _conv(f5, enc["lat0"], act="silu", dtype=dtype)
+    f4 = _conv(c4, enc["proj4"], act=None, dtype=dtype)
+    h4 = _repc3(enc["fpn0"], jnp.concatenate([_up2(y5), f4], -1), dtype)
+    y4 = _conv(h4, enc["lat1"], act="silu", dtype=dtype)
+    f3 = _conv(c3, enc["proj3"], act=None, dtype=dtype)
+    p3 = _repc3(enc["fpn1"], jnp.concatenate([_up2(y4), f3], -1), dtype)
+    d3 = _conv(p3, enc["down0"], stride=2, act="silu", dtype=dtype)
+    p4 = _repc3(enc["pan0"], jnp.concatenate([d3, y4], -1), dtype)
+    d4 = _conv(p4, enc["down1"], stride=2, act="silu", dtype=dtype)
+    p5 = _repc3(enc["pan1"], jnp.concatenate([d4, y5], -1), dtype)
+    return [p3, p4, p5]
+
+
+# ---------------------------------------------------------------------------
+# deformable decoder
+# ---------------------------------------------------------------------------
+
+def _deform_attn(p, query, refer_sig, values, shapes):
+    """Multi-scale deformable attention.
+
+    query (B, NQ, HD); refer_sig (B, NQ, 4) sigmoid-space cxcywh;
+    values: list per level of (B, Hl*Wl, NH, dh); shapes: [(Hl, Wl)].
+    Sampling = 4-corner bilinear gather with zero out-of-range padding
+    (grid_sample align_corners=False semantics).
+    """
+    b, nq_, _ = query.shape
+    dh = HD // NH
+    off = _lin(query, p["off"]).reshape(b, nq_, NH, NL, NDP, 2)
+    attw = _lin(query, p["attw"]).reshape(b, nq_, NH, NL * NDP)
+    attw = jax.nn.softmax(attw, axis=-1).reshape(b, nq_, NH, NL, NDP)
+    # sampling locations in [0,1] feature space
+    ctr = refer_sig[:, :, None, None, None, :2]
+    wh = refer_sig[:, :, None, None, None, 2:]
+    loc = ctr + off.transpose(0, 1, 2, 3, 4, 5) / NDP * wh * 0.5
+    out = jnp.zeros((b, nq_, NH, dh), jnp.float32)
+    for lvl, (hl, wl) in enumerate(shapes):
+        v = values[lvl]                      # (B, Hl*Wl, NH, dh)
+        l = loc[:, :, :, lvl]                # (B, NQ, NH, NDP, 2)
+        x = l[..., 0] * wl - 0.5
+        y = l[..., 1] * hl - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        acc = jnp.zeros((b, nq_, NH, NDP, dh), jnp.float32)
+        for dx, dy, wgt in ((0, 0, (1 - fx) * (1 - fy)),
+                            (1, 0, fx * (1 - fy)),
+                            (0, 1, (1 - fx) * fy),
+                            (1, 1, fx * fy)):
+            xi = x0 + dx
+            yi = y0 + dy
+            inb = (xi >= 0) & (xi < wl) & (yi >= 0) & (yi < hl)
+            idx = (jnp.clip(yi, 0, hl - 1) * wl +
+                   jnp.clip(xi, 0, wl - 1)).astype(jnp.int32)
+            # (B, NQ, NH, NDP) → gather on the flattened spatial axis
+            idxt = idx.transpose(0, 1, 3, 2).reshape(b, nq_ * NDP, NH)
+            g = jnp.take_along_axis(v, idxt[..., None], axis=1)
+            g = g.reshape(b, nq_, NDP, NH, dh).transpose(0, 1, 3, 2, 4)
+            acc = acc + g * (wgt * inb)[..., None]
+        out = out + jnp.einsum("bqhpd,bqhp->bqhd", acc,
+                               attw[:, :, :, lvl])
+    return _lin(out.reshape(b, nq_, HD), p["out"])
+
+
+def _anchors_for(shapes, grid_size: float = 0.05, eps: float = 1e-2):
+    """Logit-space anchor priors per level grid + validity mask."""
+    anchors = []
+    for lvl, (h, w) in enumerate(shapes):
+        gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                              jnp.arange(w, dtype=jnp.float32),
+                              indexing="ij")
+        xy = (jnp.stack([gx, gy], -1) + 0.5) / jnp.asarray(
+            [w, h], jnp.float32)
+        wh = jnp.full((h, w, 2), grid_size * (2.0 ** lvl), jnp.float32)
+        anchors.append(jnp.concatenate([xy, wh], -1).reshape(-1, 4))
+    a = jnp.concatenate(anchors, axis=0)
+    valid = jnp.all((a > eps) & (a < 1 - eps), axis=-1, keepdims=True)
+    a = jnp.log(a / (1 - a))
+    a = jnp.where(valid, a, jnp.inf)
+    return a, valid.astype(jnp.float32)
+
+
+def decoder_forward(dec, feats, nc: int, train: bool = False):
+    """[p3, p4, p5] (HD ch) → (boxes (B,NQ,4) sigmoid cxcywh, scores
+    (B,NQ,nc) logits[, aux]) — aux (train=True) carries the encoder
+    head outputs and every decoder layer's predictions for the
+    set-prediction loss."""
+    b = feats[0].shape[0]
+    shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    flat = []
+    for lvl, f in enumerate(feats):
+        f = _conv(f, dec["input_proj"][lvl], act=None)
+        flat.append(f.reshape(b, -1, HD))
+    memory = jnp.concatenate(flat, axis=1).astype(jnp.float32)
+
+    anchors, valid = _anchors_for(shapes)
+    feats_q = _ln(_lin(memory * valid[None], dec["enc_output"]["lin"]),
+                  dec["enc_output"]["ln"])
+    enc_scores = _lin(feats_q, dec["enc_score"])          # (B, sumHW, nc)
+    top_val = jnp.max(enc_scores, axis=-1)
+    _, topk = jax.lax.top_k(top_val, NQ)                  # (B, NQ)
+    top_feats = jnp.take_along_axis(feats_q, topk[..., None], axis=1)
+    top_anchor = jnp.take_along_axis(
+        jnp.broadcast_to(anchors[None], (b,) + anchors.shape),
+        topk[..., None], axis=1)
+    refer_logit = _mlp(top_feats, dec["enc_bbox"]) + top_anchor
+    enc_bboxes = jax.nn.sigmoid(refer_logit)
+    enc_topk_scores = jnp.take_along_axis(enc_scores, topk[..., None],
+                                          axis=1)
+
+    # per-head split of the shared memory for deformable attention
+    dh = HD // NH
+    sizes = [h * w for h, w in shapes]
+    offs = np.cumsum([0] + sizes)
+
+    output = top_feats
+    if train:
+        output = jax.lax.stop_gradient(output)
+        refer = jax.nn.sigmoid(jax.lax.stop_gradient(refer_logit))
+    else:
+        refer = enc_bboxes
+    aux_boxes, aux_scores = [], []
+    for i, lp in enumerate(dec["layers"]):
+        values = _lin(memory, lp["ca"]["val"]).reshape(b, -1, NH, dh)
+        vals = [values[:, offs[l]:offs[l + 1]] for l in range(NL)]
+        pos = _mlp(refer, dec["qpos"])
+        q = k = output + pos
+        output = _ln(output + _mha(q, k, output, lp["sa"]), lp["ln1"])
+        ca = _deform_attn(lp["ca"], output + pos, refer, vals, shapes)
+        output = _ln(output + ca, lp["ln2"])
+        f = _lin(jax.nn.relu(_lin(output, lp["ffn1"])), lp["ffn2"])
+        output = _ln(output + f, lp["ln3"])
+        delta = _mlp(output, dec["dec_bbox"][i])
+        refined = jax.nn.sigmoid(delta + inverse_sigmoid(refer))
+        if train:
+            aux_boxes.append(refined)
+            aux_scores.append(_lin(output, dec["dec_score"][i]))
+            refer = jax.lax.stop_gradient(refined)
+        else:
+            refer = refined
+    if train:
+        aux = {"enc_boxes": enc_bboxes, "enc_scores": enc_topk_scores,
+               "boxes": aux_boxes, "scores": aux_scores}
+        return aux_boxes[-1], aux_scores[-1], aux
+    scores = _lin(output, dec["dec_score"][-1])
+    return refer, scores
+
+
+# ---------------------------------------------------------------------------
+# full model
+# ---------------------------------------------------------------------------
+
+def forward_rtdetr_raw(params, x, nc: int = 80, dtype=jnp.float32):
+    """(B, H, W, 3) float [0,1] → (boxes_xyxy normalized [0,1] (B,NQ,4),
+    scores (B,NQ,nc) sigmoid probabilities). No NMS — suppression is
+    learned (set prediction)."""
+    c3, c4, c5 = hgnet_forward(params["backbone"], x, dtype)
+    feats = encoder_forward(params["enc"], c3, c4, c5, dtype)
+    boxes, logits = decoder_forward(params["dec"], feats, nc)
+    cxy, wh = boxes[..., :2], boxes[..., 2:]
+    xyxy = jnp.concatenate([cxy - wh / 2, cxy + wh / 2], axis=-1)
+    return xyxy, jax.nn.sigmoid(logits)
+
+
+forward_rtdetr = jax.jit(forward_rtdetr_raw, static_argnames=("nc", "dtype"))
+
+
+def forward_rtdetr_train(params, x, nc: int = 80, dtype=jnp.float32):
+    """Training forward: returns the aux dict (encoder head + all decoder
+    layers, boxes in sigmoid cxcywh) for models/rtdetr_train.py."""
+    c3, c4, c5 = hgnet_forward(params["backbone"], x, dtype)
+    feats = encoder_forward(params["enc"], c3, c4, c5, dtype)
+    _, _, aux = decoder_forward(params["dec"], feats, nc, train=True)
+    return aux
