@@ -35,6 +35,11 @@ def build_detector(cfg: Dict[str, Any]) -> Detector:
                 # rather than silently running random-init weights
                 raise FileNotFoundError(
                     f"detect.backend 'onnx': model file not found: {model}")
+        if "rtdetr" in str(cfg.get("model", "")).lower():
+            # the ultralytics wrapper's other detector family — model-name
+            # dispatch, same as `YOLO("rtdetr-l.pt")` resolving to RTDETR
+            from .rtdetr_jax import RTDETRJax
+            return RTDETRJax(cfg)
         return YOLOJax(cfg)
     if backend == "tensorrt":
         raise ValueError(

@@ -1,0 +1,148 @@
+"""Native JAX RT-DETR detector backend (NMS-free set prediction).
+
+Same ``Detector`` surface as the YOLO backend — the reference contract
+``infer(bgr) -> List[Detection]`` (src/detect/yolo_ultralytics.py:26-53)
+with the shared config keys (model/conf_thres/max_det/classes_keep) —
+but the RT-DETR predict conventions:
+
+  * preprocessing is an aspect-DISTORTING stretch resize to
+    (imgsz, imgsz) (ultralytics ``LetterBox(scaleFill=True)``), not a
+    letterbox — no ratio/pad bookkeeping anywhere;
+  * the model emits normalized [0,1] xyxy boxes + per-class sigmoid
+    probabilities for 300 queries; suppression is LEARNED, so
+    post-processing is only score threshold → classes_keep → top-k
+    (ops/nms.select_topk_batch) — ``iou_thres`` is accepted for config
+    surface parity and ignored;
+  * boxes map back to source pixels by multiplying with (w, h).
+
+The whole step — stretch resize → HGNetv2/hybrid-encoder/deformable-
+decoder forward → top-k select → pixel rescale — is ONE jitted function
+per input shape, same as the YOLO backend.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import rtdetr
+from ..ops.letterbox import resize_stretch_u8
+from ..ops.nms import select_topk_batch
+from .base import Detector
+from .types import COCO_NAMES, Detection, DetectionBatch
+
+
+class RTDETRJax(Detector):
+    nms_free = True      # engine dispatch marker (runtime/engine.py)
+    task = "detect"
+    tile_cfg = None      # tiling is YOLO-only (per-anchor merge semantics)
+    rect = False         # stretch resize — no letterbox geometry exists
+
+    def __init__(self, cfg: Dict[str, Any]):
+        self.conf = float(cfg.get("conf_thres", 0.25))
+        self.iou = float(cfg.get("iou_thres", 0.7))  # unused: no NMS
+        self.max_det = int(cfg.get("max_det", 100))
+        self.keep = tuple(sorted(int(x) for x in cfg.get("classes_keep", [])))
+        self.imgsz = int(cfg.get("imgsz", 640))
+        compute = str(cfg.get("compute_dtype", "bfloat16"))
+        if compute == "int8":
+            raise ValueError(
+                "detect.compute_dtype 'int8' is implemented for the YOLO "
+                "families only (models/yolo/quant.py); rtdetr supports "
+                "'bfloat16'/'float32'")
+        self.dtype = jnp.bfloat16 if compute == "bfloat16" else jnp.float32
+        if cfg.get("device", "auto") == "cpu":
+            self.dtype = jnp.float32
+        if (cfg.get("tiling") or {}).get("enable"):
+            raise ValueError("detect.tiling supports the YOLO detect task "
+                             "only (rtdetr queries have no defined "
+                             "cross-tile merge)")
+
+        model_ref = cfg.get("model", "rtdetr-l.pt")
+        if str(model_ref).endswith(".onnx"):
+            raise ValueError("the .onnx interchange is implemented for the "
+                             "YOLO families only (models/yolo/onnx_io.py); "
+                             "rtdetr loads .pt/.npz checkpoints")
+        self.params, self.nc, self.loaded = \
+            rtdetr.load_params_rtdetr(model_ref)
+        if not self.loaded:
+            print(f"[roadvision] weights '{model_ref}' not found — running "
+                  f"rtdetr-l with random init")
+        self.names = {i: n for i, n in enumerate(COCO_NAMES)} \
+            if self.nc == len(COCO_NAMES) \
+            else {i: str(i) for i in range(self.nc)}
+        self._jit_cache: Dict[Tuple[int, int, int], Any] = {}
+
+    # ------------------------------------------------------------------
+    # the engine step-builder interface (runtime/engine.py nms_free path)
+    def letterbox(self, frames_u8):
+        """(imgs, ratio, pad) like the YOLO backend — but a stretch
+        resize, so ratio/pad are identity values and the engine's final
+        ``scale_boxes`` reduces to the frame clip."""
+        return (resize_stretch_u8(frames_u8, size=self.imgsz),
+                jnp.float32(1.0), jnp.zeros((2,), jnp.float32))
+
+    def forward_fn(self, params, imgs):
+        """(B, S, S, 3) float RGB [0,1] → (boxes normalized xyxy
+        (B, 300, 4), scores (B, 300, nc) probabilities)."""
+        return rtdetr.forward_rtdetr_raw(params, imgs, nc=self.nc,
+                                         dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    def _build_fn(self, shape: Tuple[int, int, int]):
+        conf, max_det, keep = self.conf, self.max_det, self.keep
+        h, w = shape[1], shape[2]
+        fwd = self.forward_fn
+        size = self.imgsz
+
+        @jax.jit
+        def run(params, frames_u8):
+            imgs = resize_stretch_u8(frames_u8, size=size)
+            boxes_n, probs = fwd(params, imgs)
+            b, c, k, v = select_topk_batch(
+                boxes_n, probs, conf_thres=conf, max_det=max_det,
+                classes_keep=keep if keep else None)
+            b = b * jnp.asarray([w, h, w, h], jnp.float32)
+            b = jnp.stack([jnp.clip(b[..., 0], 0, w),
+                           jnp.clip(b[..., 1], 0, h),
+                           jnp.clip(b[..., 2], 0, w),
+                           jnp.clip(b[..., 3], 0, h)], axis=-1)
+            return b, c, k, v
+
+        return functools.partial(run, self.params)
+
+    def set_params(self, params) -> None:
+        """Swap the weight pytree; cached per-shape executables rebind
+        (params are a traced argument, same contract as the YOLO
+        backend's set_params)."""
+        self.params = params
+        self.nc = int(params["dec"]["enc_score"]["b"].shape[0])
+        self._jit_cache = {k: functools.partial(fn.func, params)
+                           for k, fn in self._jit_cache.items()}
+
+    def _fn_for(self, frames: np.ndarray):
+        key = tuple(frames.shape[:3])
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build_fn(frames.shape)
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------------
+    def infer_batch(self, frames_u8: np.ndarray) -> DetectionBatch:
+        """(B, H, W, 3) BGR uint8 → DetectionBatch with (B, max_det)
+        arrays."""
+        b, c, k, v = self._fn_for(frames_u8)(jnp.asarray(frames_u8))
+        return DetectionBatch(np.asarray(b), np.asarray(c),
+                              np.asarray(k), np.asarray(v))
+
+    def infer(self, bgr: np.ndarray) -> List[Detection]:
+        batch = self.infer_batch(bgr[None])
+        single = DetectionBatch(batch.boxes[0], batch.conf[0],
+                                batch.cls_id[0], batch.valid[0])
+        names = [self.names.get(i, str(i)) for i in range(self.nc)]
+        return single.to_detections(names)
+
+    def close(self) -> None:
+        self._jit_cache.clear()

@@ -481,7 +481,11 @@ def decoder_forward(dec, feats, nc: int, train: bool = False):
                   dec["enc_output"]["ln"])
     enc_scores = _lin(feats_q, dec["enc_score"])          # (B, sumHW, nc)
     top_val = jnp.max(enc_scores, axis=-1)
-    _, topk = jax.lax.top_k(top_val, NQ)                  # (B, NQ)
+    # static query count: 300, clamped to the anchor total so tiny
+    # inputs (tests, dryrun shapes) still trace — ultralytics asserts
+    # instead; identical at deploy sizes (640² → 8400 anchors)
+    nq = min(NQ, memory.shape[1])
+    _, topk = jax.lax.top_k(top_val, nq)                  # (B, nq)
     top_feats = jnp.take_along_axis(feats_q, topk[..., None], axis=1)
     top_anchor = jnp.take_along_axis(
         jnp.broadcast_to(anchors[None], (b,) + anchors.shape),
@@ -555,3 +559,205 @@ def forward_rtdetr_train(params, x, nc: int = 80, dtype=jnp.float32):
     feats = encoder_forward(params["enc"], c3, c4, c5, dtype)
     _, _, aux = decoder_forward(params["dec"], feats, nc, train=True)
     return aux
+
+
+# ---------------------------------------------------------------------------
+# checkpoint import (ultralytics ``rtdetr-l.pt`` state-dict layout)
+# ---------------------------------------------------------------------------
+# The ultralytics graph (rtdetr-l.yaml) is a flat layer list; state-dict
+# keys are ``model.<idx>.<submodule>...``. Index map (after the "model."
+# strip of weights._normalize_keys):
+#   0 HGStem · 1/3/5/6/7/9 HGBlocks · 2/4/8 DWConv downsamples
+#   10 input_proj /32 · 11 AIFI · 12 lateral Y5 · 14 input_proj /16
+#   16/21/24/27 RepC3 (fpn0/fpn1/pan0/pan1) · 17 lateral Y4
+#   19 input_proj /8 · 22/25 downsample convs · 28 RTDETRDecoder.
+# RepConv branches (3x3 conv+BN ∥ 1x1 conv+BN) are fused into the single
+# deploy-form 3x3 this module stores. BN eps: ultralytics ``Conv`` uses
+# 1e-3 (weights.BN_EPS, validated for the YOLO importers); the decoder's
+# raw ``nn.BatchNorm2d`` input_proj uses the torch default 1e-5.
+
+_SD_ENC_CONVS = (("10", "proj5", None), ("12", "lat0", "silu"),
+                 ("14", "proj4", None), ("17", "lat1", "silu"),
+                 ("19", "proj3", None), ("22", "down0", "silu"),
+                 ("25", "down1", "silu"))
+_SD_REPC3 = (("16", "fpn0"), ("21", "fpn1"), ("24", "pan0"), ("27", "pan1"))
+_SD_HGBLOCKS = (("1", 0, 0), ("3", 1, 0), ("5", 2, 0), ("6", 2, 1),
+                ("7", 2, 2), ("9", 3, 0))   # (sd idx, stage, block)
+
+
+def _lin_t(sd, prefix: str) -> Dict[str, jnp.ndarray]:
+    """torch nn.Linear (out, in) → our {"w": (in, out), "b"}."""
+    from .yolo.weights import _to_np
+    w = _to_np(sd[f"{prefix}.weight"]).astype(np.float32)
+    b = (_to_np(sd[f"{prefix}.bias"]).astype(np.float32)
+         if f"{prefix}.bias" in sd else np.zeros(w.shape[0], np.float32))
+    return {"w": jnp.asarray(w.T), "b": jnp.asarray(b)}
+
+
+def _ln_t(sd, prefix: str) -> Dict[str, jnp.ndarray]:
+    from .yolo.weights import _to_np
+    return {"g": jnp.asarray(_to_np(sd[f"{prefix}.weight"]), jnp.float32),
+            "b": jnp.asarray(_to_np(sd[f"{prefix}.bias"]), jnp.float32)}
+
+
+def _mha_t(sd, prefix: str) -> Dict[str, Any]:
+    """torch nn.MultiheadAttention → separate q/k/v/o projections."""
+    from .yolo.weights import _to_np
+    w = _to_np(sd[f"{prefix}.in_proj_weight"]).astype(np.float32)  # (3d, d)
+    b = _to_np(sd[f"{prefix}.in_proj_bias"]).astype(np.float32)
+    d = w.shape[1]
+    out: Dict[str, Any] = {}
+    for i, name in enumerate(("q", "k", "v")):
+        out[name] = {"w": jnp.asarray(w[i * d:(i + 1) * d].T),
+                     "b": jnp.asarray(b[i * d:(i + 1) * d])}
+    out["o"] = _lin_t(sd, f"{prefix}.out_proj")
+    return out
+
+
+def _convbn_t(sd, conv_prefix: str, bn_prefix: str,
+              eps: float) -> Dict[str, jnp.ndarray]:
+    """Fuse a raw Conv2d (no bias) + BatchNorm2d pair → HWIO weight+bias."""
+    from .yolo.weights import _to_np
+    w = _to_np(sd[f"{conv_prefix}.weight"]).astype(np.float64)  # OIHW
+    gamma = _to_np(sd[f"{bn_prefix}.weight"]).astype(np.float64)
+    beta = _to_np(sd[f"{bn_prefix}.bias"]).astype(np.float64)
+    mean = _to_np(sd[f"{bn_prefix}.running_mean"]).astype(np.float64)
+    var = _to_np(sd[f"{bn_prefix}.running_var"]).astype(np.float64)
+    scale = gamma / np.sqrt(var + eps)
+    return {"w": jnp.asarray((w * scale[:, None, None, None])
+                             .transpose(2, 3, 1, 0), jnp.float32),
+            "b": jnp.asarray(beta - mean * scale, jnp.float32)}
+
+
+def _rep_fuse(sd, prefix: str) -> Dict[str, jnp.ndarray]:
+    """RepConv deploy fusion: BN-fused 3x3 branch + zero-padded BN-fused
+    1x1 branch sum to one 3x3 conv (identical function — convolution is
+    linear; rtdetr-l's RepConv has no identity-BN branch)."""
+    from .yolo.weights import _fuse
+    c3 = _fuse(sd, f"{prefix}.conv1")
+    c1 = _fuse(sd, f"{prefix}.conv2")
+    return {"w": c3["w"] + jnp.pad(c1["w"],
+                                   ((1, 1), (1, 1), (0, 0), (0, 0))),
+            "b": c3["b"] + c1["b"]}
+
+
+def _repc3_t(sd, i: str) -> Dict[str, Any]:
+    from .yolo.weights import _fuse
+    out = {"cv1": _fuse(sd, f"{i}.cv1"), "cv2": _fuse(sd, f"{i}.cv2"),
+           "m": []}
+    j = 0
+    while f"{i}.m.{j}.conv1.conv.weight" in sd:
+        out["m"].append(_rep_fuse(sd, f"{i}.m.{j}"))
+        j += 1
+    return out
+
+
+def state_dict_to_params_rtdetr(sd) -> Dict[str, Any]:
+    """Ultralytics RT-DETR state dict → our param pytree (deploy form)."""
+    from .yolo.weights import _fuse, _normalize_keys
+    sd = _normalize_keys(sd)
+
+    bk: Dict[str, Any] = {"stem": {
+        "s1": _fuse(sd, "0.stem1"), "s2a": _fuse(sd, "0.stem2a"),
+        "s2b": _fuse(sd, "0.stem2b"), "s3": _fuse(sd, "0.stem3"),
+        "s4": _fuse(sd, "0.stem4")}}
+    stages: List[List] = [[] for _ in _L_STAGES]
+    for idx, si, bi in _SD_HGBLOCKS:
+        light = _L_STAGES[si][4]
+        m = []
+        j = 0
+        while (f"{idx}.m.{j}.conv.weight" in sd
+               or f"{idx}.m.{j}.conv1.conv.weight" in sd):
+            if light:
+                m.append({"cv1": _fuse(sd, f"{idx}.m.{j}.conv1"),
+                          "cv2": _fuse(sd, f"{idx}.m.{j}.conv2")})
+            else:
+                m.append({"cv": _fuse(sd, f"{idx}.m.{j}")})
+            j += 1
+        assert bi == len(stages[si]), "HGBlock import out of order"
+        stages[si].append({"m": m, "sc": _fuse(sd, f"{idx}.sc"),
+                           "ec": _fuse(sd, f"{idx}.ec")})
+    bk["stages"] = stages
+    bk["down"] = [_fuse(sd, i) for i in ("2", "4", "8")]
+
+    enc: Dict[str, Any] = {
+        "aifi": {"mha": _mha_t(sd, "11.ma"),
+                 "ln1": _ln_t(sd, "11.norm1"), "ln2": _ln_t(sd, "11.norm2"),
+                 "fc1": _lin_t(sd, "11.fc1"), "fc2": _lin_t(sd, "11.fc2")}}
+    for idx, name, _act in _SD_ENC_CONVS:
+        enc[name] = _fuse(sd, idx)
+    for idx, name in _SD_REPC3:
+        enc[name] = _repc3_t(sd, idx)
+
+    d = "28"
+    layers = []
+    for i in range(NDL):
+        li = f"{d}.decoder.layers.{i}"
+        layers.append({
+            "sa": _mha_t(sd, f"{li}.self_attn"),
+            "ln1": _ln_t(sd, f"{li}.norm1"),
+            "ca": {"off": _lin_t(sd, f"{li}.cross_attn.sampling_offsets"),
+                   "attw": _lin_t(sd, f"{li}.cross_attn.attention_weights"),
+                   "val": _lin_t(sd, f"{li}.cross_attn.value_proj"),
+                   "out": _lin_t(sd, f"{li}.cross_attn.output_proj")},
+            "ln2": _ln_t(sd, f"{li}.norm2"),
+            "ffn1": _lin_t(sd, f"{li}.linear1"),
+            "ffn2": _lin_t(sd, f"{li}.linear2"),
+            "ln3": _ln_t(sd, f"{li}.norm3"),
+        })
+    dec = {
+        "input_proj": [_convbn_t(sd, f"{d}.input_proj.{l}.0",
+                                 f"{d}.input_proj.{l}.1", eps=1e-5)
+                       for l in range(NL)],
+        "layers": layers,
+        "enc_output": {"lin": _lin_t(sd, f"{d}.enc_output.0"),
+                       "ln": _ln_t(sd, f"{d}.enc_output.1")},
+        "enc_score": _lin_t(sd, f"{d}.enc_score_head"),
+        "enc_bbox": [_lin_t(sd, f"{d}.enc_bbox_head.layers.{j}")
+                     for j in range(3)],
+        "dec_score": [_lin_t(sd, f"{d}.dec_score_head.{i}")
+                      for i in range(NDL)],
+        "dec_bbox": [[_lin_t(sd, f"{d}.dec_bbox_head.{i}.layers.{j}")
+                      for j in range(3)] for i in range(NDL)],
+        "qpos": [_lin_t(sd, f"{d}.query_pos_head.layers.{j}")
+                 for j in range(2)],
+    }
+    return {"backbone": bk, "enc": enc, "dec": dec}
+
+
+def load_params_rtdetr(path_or_sd, nc: int = 80):
+    """Load RT-DETR params from a checkpoint; fall back to random init.
+
+    Returns (params, nc, loaded: bool). Accepts a live state dict, an
+    ultralytics ``.pt``, a raw state-dict ``.npz``, or our own exported
+    pytree ``.npz`` (weights.export_npz). The checkpoint's class count
+    (enc_score head width) overrides the ``nc`` hint when present.
+    """
+    from pathlib import Path
+    from typing import Mapping
+    from .yolo import weights as yw
+    sd = None
+    if isinstance(path_or_sd, Mapping) and path_or_sd:
+        sd = path_or_sd
+    elif isinstance(path_or_sd, (str, Path)):
+        p = Path(path_or_sd)
+        if p.exists():
+            if p.suffix == ".npz":
+                raw = dict(np.load(p))
+                if raw and all(k.startswith("L") for k in raw):
+                    params = yw.import_npz(p)
+                    return (params,
+                            int(params["dec"]["enc_score"]["b"].shape[0]),
+                            True)
+                sd = raw
+            else:
+                sd = yw._load_torch(p)
+    if sd is not None:
+        try:
+            params = state_dict_to_params_rtdetr(sd)
+            return (params, int(params["dec"]["enc_score"]["b"].shape[0]),
+                    True)
+        except KeyError as exc:
+            print(f"[roadvision] rtdetr checkpoint key mismatch ({exc}); "
+                  f"using random init")
+    return init_params_rtdetr(jax.random.PRNGKey(0), nc=nc), nc, False

@@ -188,6 +188,21 @@ def finish_letterbox(resized_bgr: jnp.ndarray, orig_hw: Tuple[int, int],
     return x / 255.0, jnp.float32(r), jnp.array([left, top], jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
+def resize_stretch_u8(frames: jnp.ndarray, size: int = 640) -> jnp.ndarray:
+    """(B, H, W, 3) uint8 BGR → (B, size, size, 3) float32 RGB [0,1].
+
+    Plain aspect-distorting stretch resize (cv2 INTER_LINEAR semantics) —
+    the RT-DETR predict convention (``LetterBox(scaleFill=True)``): no
+    pad, no ratio; the model's normalized [0,1] outputs map back to the
+    source frame by multiplying with (w, h) directly.
+    """
+    if frames.ndim == 3:
+        frames = frames[None]
+    x = _bilinear_resize(frames[..., ::-1], size, size)  # BGR → RGB
+    return x / 255.0
+
+
 def scale_boxes(boxes: jnp.ndarray, ratio, pad,
                 orig_hw: Tuple[int, int]) -> jnp.ndarray:
     """Boxes in letterboxed space → original image space, clipped."""

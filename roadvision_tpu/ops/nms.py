@@ -122,3 +122,37 @@ def nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray, **kw):
     """vmapped NMS over a leading batch axis."""
     fn = lambda b, s: nms_single(b, s, **kw)  # noqa: E731
     return jax.vmap(fn)(boxes, scores)
+
+
+def select_topk_batch(boxes: jnp.ndarray, scores: jnp.ndarray,
+                      conf_thres: float = 0.25, max_det: int = 100,
+                      classes_keep: Optional[Tuple[int, ...]] = None):
+    """NMS-free selection for set-prediction detectors (RT-DETR).
+
+    boxes (B, N, 4), scores (B, N, nc) probabilities → fixed-shape
+    (boxes (B, max_det, 4), conf, cls i32, valid bool), score-descending.
+    The model already learned suppression, so post-processing is only the
+    score threshold, the classes_keep filter, and a top-k — the RT-DETR
+    predict convention (no IoU pass anywhere).
+    """
+    conf = jnp.max(scores, axis=-1)
+    cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    valid = conf > conf_thres
+    if classes_keep:
+        allowed = jnp.zeros((scores.shape[-1],), bool)
+        for c in classes_keep:
+            allowed = allowed.at[int(c)].set(True)
+        valid = valid & allowed[cls]
+    k = min(max_det, boxes.shape[1])
+    top_conf, top_idx = jax.lax.top_k(jnp.where(valid, conf, -1.0), k)
+    out_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+    out_cls = jnp.take_along_axis(cls, top_idx, axis=1)
+    out_valid = top_conf > 0.0
+    top_conf = jnp.where(out_valid, top_conf, 0.0)
+    if k < max_det:   # N < max_det: pad the fixed shape
+        pad = max_det - k
+        out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
+        top_conf = jnp.pad(top_conf, ((0, 0), (0, pad)))
+        out_cls = jnp.pad(out_cls, ((0, 0), (0, pad)))
+        out_valid = jnp.pad(out_valid, ((0, 0), (0, pad)))
+    return out_boxes, top_conf, out_cls, out_valid

@@ -25,8 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..detect.base import Detector
 from ..detect.types import COCO_NAMES, Detection
-from ..detect.yolo_jax import YOLOJax
 from ..geometry import HomographyProjector, build_projector
 from ..geometry.projector import distance_device, project_boxes_device
 from ..io_video.capture import VideoSource
@@ -114,9 +114,13 @@ class PipelineEngine:
         # tpu.compute_dtype governs the conv path unless detect overrides it
         det_cfg.setdefault("compute_dtype",
                            tpu_cfg.get("compute_dtype", "bfloat16"))
-        self.detector: Optional[YOLOJax] = None
+        # model-name dispatched backend: YOLOJax for the YOLO families,
+        # RTDETRJax for rtdetr-* (detect/registry.py) — both expose the
+        # step-builder surface (letterbox/forward_fn/params/max_det)
+        self.detector: Optional[Detector] = None
         if det_cfg.get("enabled", False):
-            self.detector = YOLOJax(det_cfg)
+            from ..detect.registry import build_detector
+            self.detector = build_detector(det_cfg)
         self.max_det = int(det_cfg.get("max_det", 100))
 
         # Fixed-capacity track slots. The reference grows its track list
@@ -225,6 +229,7 @@ class PipelineEngine:
         seg = task == "segment"
         pose = task == "pose"
         obb = task == "obb"
+        nms_free = getattr(det, "nms_free", False)  # rtdetr set prediction
 
         # sampled-preprocess path: when nothing consumes the full
         # processed frame (want_proc=False) and the letterbox resize is a
@@ -246,7 +251,7 @@ class PipelineEngine:
 
         sampled_fn = None
         if self._sampled_pre and det is not None and not want_proc \
-                and tiled is None \
+                and tiled is None and not nms_free \
                 and not pre.identity and pre.supports_sampled():
             r = min(det.imgsz / h, det.imgsz / w)
             new_h, new_w = round(h * r), round(w * r)
@@ -326,6 +331,19 @@ class PipelineEngine:
                                    jnp.clip(ab[..., 1], 0, h),
                                    jnp.clip(ab[..., 2], 0, w),
                                    jnp.clip(ab[..., 3], 0, h)], axis=-1)
+            elif nms_free:
+                # rtdetr: suppression is learned — score threshold →
+                # classes_keep → top-k, then normalized [0,1] boxes map
+                # to source pixels by (w, h) (stretch resize: the
+                # letterbox above returned identity ratio/pad, so the
+                # shared scale_boxes below is just the frame clip)
+                from ..ops.nms import select_topk_batch
+                boxes_n, probs = det.forward_fn(params, imgs)
+                boxes, conf, cls_id, valid = select_topk_batch(
+                    boxes_n, probs, conf_thres=det.conf,
+                    max_det=det.max_det,
+                    classes_keep=det.keep if det.keep else None)
+                boxes = boxes * jnp.asarray([w, h, w, h], jnp.float32)
             else:
                 boxes640, scores = det.forward_fn(params, imgs)
                 boxes, conf, cls_id, valid = nms_batch(
