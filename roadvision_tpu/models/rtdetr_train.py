@@ -1,0 +1,239 @@
+"""RT-DETR set-prediction training: Hungarian matching + VFL/L1/GIoU.
+
+The reference is inference-only (SURVEY.md §5: no training loop
+anywhere); like the YOLO families (models/yolo/train*.py), the RT-DETR
+family is trainable natively so the framework can fine-tune it (e.g. on
+fog-augmented data). This implements the RT-DETR objective (Lv et al.
+2023; the ultralytics RTDETRDetectionLoss conventions):
+
+  * **Bipartite (Hungarian) matching** per prediction set: cost =
+    2·focal-class + 5·L1(cxcywh) + 2·(1−GIoU) over (gt, query) pairs,
+    solved with a fixed-shape parallel ε-auction (the same algorithm as
+    the tracker's opt-in "hungarian" association, sort_tpu.py:221) —
+    within M·ε of the exact optimum, which is immaterial for training
+    gradients and verified against scipy in tests.
+  * **Losses** on the matched pairs: varifocal classification
+    (IoU-aware targets, α=0.75 γ=2), L1 on normalized cxcywh, and GIoU,
+    with the RT-DETR gains 1 / 5 / 2, each normalized by the batch gt
+    count.
+  * **Deep supervision**: every decoder layer plus the encoder head is
+    matched and scored independently (forward_rtdetr_train's aux dict).
+
+Documented divergence from ultralytics: no contrastive-denoising (CDN)
+query groups — the dynamic dn-group construction is host-side and
+shape-varying; the core objective trains without it (the original
+DETR/Deformable-DETR recipe). Everything here is fixed-shape: gt sets
+are (M,)-padded masked arrays, matching is a bounded while_loop.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .rtdetr import forward_rtdetr_train
+
+EPS = 1e-9
+
+# matcher cost gains (ultralytics HungarianMatcher cost_gain for RTDETR)
+COST_CLASS, COST_BBOX, COST_GIOU = 2.0, 5.0, 2.0
+# loss gains (DETRLoss loss_gain)
+GAIN_CLASS, GAIN_BBOX, GAIN_GIOU = 1.0, 5.0, 2.0
+VFL_ALPHA, VFL_GAMMA = 0.75, 2.0
+
+
+def giou_xyxy(box1: jnp.ndarray, box2: jnp.ndarray) -> jnp.ndarray:
+    """Generalized IoU between broadcastable (..., 4) xyxy boxes."""
+    x1 = jnp.maximum(box1[..., 0], box2[..., 0])
+    y1 = jnp.maximum(box1[..., 1], box2[..., 1])
+    x2 = jnp.minimum(box1[..., 2], box2[..., 2])
+    y2 = jnp.minimum(box1[..., 3], box2[..., 3])
+    inter = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+    a1 = jnp.clip(box1[..., 2] - box1[..., 0], 0) \
+        * jnp.clip(box1[..., 3] - box1[..., 1], 0)
+    a2 = jnp.clip(box2[..., 2] - box2[..., 0], 0) \
+        * jnp.clip(box2[..., 3] - box2[..., 1], 0)
+    union = a1 + a2 - inter
+    iou = inter / (union + EPS)
+    cw = jnp.maximum(box1[..., 2], box2[..., 2]) \
+        - jnp.minimum(box1[..., 0], box2[..., 0])
+    ch = jnp.maximum(box1[..., 3], box2[..., 3]) \
+        - jnp.minimum(box1[..., 1], box2[..., 1])
+    carea = cw * ch + EPS
+    return iou - (carea - union) / carea
+
+
+def hungarian_match(cost: jnp.ndarray, gt_mask: jnp.ndarray,
+                    eps: float = 1e-3, max_iters: int = 1024
+                    ) -> jnp.ndarray:
+    """Assign each valid gt (row) a distinct query (column), minimizing
+    total cost — parallel ε-auction on value = −cost.
+
+    cost (M, NQ) with M ≤ NQ; gt_mask (M,) bool. Returns (M,) int32
+    query index per gt, −1 for masked rows. Total cost is within M·eps
+    of the exact optimum (tests compare against scipy)."""
+    m, nq = cost.shape
+    neg = jnp.float32(-1e9)
+    w = jnp.where(gt_mask[:, None], -cost, neg)   # (M, NQ) value
+    row_ids = jnp.arange(m)
+    col_ids = jnp.arange(nq)
+
+    def body(carry):
+        it, prices, assigned = carry
+        values = w - prices[None, :]
+        best_c = jnp.argmax(values, axis=1)
+        v1 = jnp.max(values, axis=1)
+        rest = values.at[row_ids, best_c].set(neg)
+        v2 = jnp.max(rest, axis=1)
+        bidding = (assigned < 0) & gt_mask
+        incr = v1 - v2 + eps
+        bid_mat = jnp.where(
+            bidding[:, None] & (best_c[:, None] == col_ids[None, :]),
+            incr[:, None], -jnp.inf)
+        top_bid = jnp.max(bid_mat, axis=0)
+        winner = jnp.argmax(bid_mat, axis=0).astype(jnp.int32)
+        has_bid = top_bid > -jnp.inf
+        prices = jnp.where(has_bid, prices + top_bid, prices)
+        own_c = jnp.clip(assigned, 0, nq - 1)
+        evicted = (assigned >= 0) & has_bid[own_c] \
+            & (winner[own_c] != row_ids)
+        assigned = jnp.where(evicted, -1, assigned)
+        won = bidding & has_bid[best_c] & (winner[best_c] == row_ids)
+        assigned = jnp.where(won, best_c.astype(jnp.int32), assigned)
+        return it + 1, prices, assigned
+
+    def cond(carry):
+        it, _, assigned = carry
+        return (it < max_iters) & jnp.any(gt_mask & (assigned < 0))
+
+    _, _, assigned = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((nq,), jnp.float32),
+                     jnp.full((m,), -1, jnp.int32)))
+    return jnp.where(gt_mask, assigned, -1)
+
+
+def _cxcywh(xyxy: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([(xyxy[..., :2] + xyxy[..., 2:]) * 0.5,
+                            xyxy[..., 2:] - xyxy[..., :2]], axis=-1)
+
+
+def _set_loss(pred_xyxy, pred_logits, gt_xyxy, gt_cls, gt_mask, nc: int
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One prediction set vs the gt set: match, then (cls, l1, giou)
+    sums (normalized by the caller over the batch gt count).
+
+    pred_xyxy (B, NQ, 4) normalized; pred_logits (B, NQ, nc);
+    gt_xyxy (B, M, 4) normalized; gt_cls (B, M) i32; gt_mask (B, M).
+    """
+    b, num_q, _ = pred_xyxy.shape
+    prob = jax.nn.sigmoid(pred_logits)
+
+    def one(pb, pl, pp, gb, gc, gm):
+        # ---- matching cost (stop-grad: the assignment is data) ------
+        p_cls = pp[:, gc].T                              # (M, NQ)
+        neg_cost = (1 - VFL_ALPHA) * (p_cls ** VFL_GAMMA) \
+            * (-jnp.log(1 - p_cls + EPS))
+        pos_cost = VFL_ALPHA * ((1 - p_cls) ** VFL_GAMMA) \
+            * (-jnp.log(p_cls + EPS))
+        cost_cls = pos_cost - neg_cost
+        l1 = jnp.abs(_cxcywh(gb)[:, None] - _cxcywh(pb)[None]).sum(-1)
+        gi = giou_xyxy(gb[:, None], pb[None])            # (M, NQ)
+        cost = COST_CLASS * cost_cls + COST_BBOX * l1 \
+            + COST_GIOU * (1.0 - gi)
+        q_idx = hungarian_match(jax.lax.stop_gradient(cost), gm)
+
+        # ---- matched-pair box losses -------------------------------
+        qc = jnp.clip(q_idx, 0, num_q - 1)
+        mb = pb[qc]                                      # (M, 4)
+        l1_loss = jnp.where(gm, jnp.abs(_cxcywh(mb)
+                                        - _cxcywh(gb)).sum(-1), 0.0).sum()
+        g = giou_xyxy(mb, gb)
+        giou_loss = jnp.where(gm, 1.0 - g, 0.0).sum()
+
+        # ---- varifocal class loss over ALL queries -----------------
+        # target: matched queries get one-hot(gt class) · IoU(pred, gt)
+        iou_w = jnp.clip(jnp.where(gm, giou_xyxy(
+            jax.lax.stop_gradient(mb), gb), 0.0), 0.0, 1.0)
+        scat = jnp.where(gm, q_idx, num_q)               # OOB rows drop
+        t_iou = jnp.zeros((num_q,)).at[scat].set(iou_w, mode="drop")
+        t_cls = jnp.full((num_q,), nc, jnp.int32) \
+            .at[scat].set(gc, mode="drop")
+        one_hot = jax.nn.one_hot(t_cls, nc + 1)[:, :nc]  # (NQ, nc)
+        target = one_hot * t_iou[:, None]
+        pw = jax.lax.stop_gradient(pp)
+        weight = VFL_ALPHA * (pw ** VFL_GAMMA) * (1.0 - one_hot) + target
+        bce = jnp.maximum(pl, 0) - pl * target \
+            + jnp.log1p(jnp.exp(-jnp.abs(pl)))
+        cls_loss = (bce * weight).sum()
+        return cls_loss, l1_loss, giou_loss
+
+    cl, l1l, gil = jax.vmap(one)(pred_xyxy, pred_logits, prob,
+                                 gt_xyxy, gt_cls, gt_mask)
+    return cl.sum(), l1l.sum(), gil.sum()
+
+
+def rtdetr_loss(params, images, gt_boxes, gt_cls, gt_mask,
+                nc: int = 80, dtype=jnp.float32
+                ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Full deep-supervised objective.
+
+    images (B, S, S, 3) float [0,1] RGB; gt_boxes (B, M, 4) PIXEL xyxy
+    (the shared trainer batch contract, models/yolo/train.py);
+    gt_cls (B, M) i32; gt_mask (B, M) bool.
+    """
+    s = images.shape[1]
+    gt_n = gt_boxes / jnp.float32(s)                     # → [0,1] xyxy
+    aux = forward_rtdetr_train(params, images, nc=nc, dtype=dtype)
+    num_gt = jnp.maximum(gt_mask.sum(), 1).astype(jnp.float32)
+
+    def xyxy(sig_cxcywh):
+        c, wh = sig_cxcywh[..., :2], sig_cxcywh[..., 2:]
+        return jnp.concatenate([c - wh / 2, c + wh / 2], axis=-1)
+
+    sets = [(aux["enc_boxes"], aux["enc_scores"])] \
+        + list(zip(aux["boxes"], aux["scores"]))
+    cls_t = l1_t = giou_t = 0.0
+    for boxes_sig, logits in sets:
+        cl, l1l, gil = _set_loss(xyxy(boxes_sig), logits, gt_n,
+                                 gt_cls, gt_mask, nc)
+        cls_t = cls_t + cl
+        l1_t = l1_t + l1l
+        giou_t = giou_t + gil
+    cls_t = GAIN_CLASS * cls_t / num_gt
+    l1_t = GAIN_BBOX * l1_t / num_gt
+    giou_t = GAIN_GIOU * giou_t / num_gt
+    total = cls_t + l1_t + giou_t
+    return total, {"cls": cls_t, "l1": l1_t, "giou": giou_t,
+                   "num_fg": gt_mask.sum()}
+
+
+def make_train_step_rtdetr(nc: int = 80, lr: float = 1e-4,
+                           dtype=jnp.float32, clip_norm: float = 10.0):
+    """Same contract as models/yolo/train.make_train_step: SGD momentum,
+    global-norm clip, non-finite batch guard. Returns
+    step(params, momentum, images, gt_boxes, gt_cls, gt_mask, lr_scale).
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, momentum, images, gt_boxes, gt_cls, gt_mask,
+             lr_scale=1.0):
+        def loss_fn(p):
+            return rtdetr_loss(p, images, gt_boxes, gt_cls, gt_mask,
+                               nc=nc, dtype=dtype)
+        (loss, aux), grads = jax.value_and_grad(loss_fn,
+                                                has_aux=True)(params)
+        gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                             for g in jax.tree_util.tree_leaves(grads)))
+        ok = jnp.isfinite(gnorm) & jnp.isfinite(loss)
+        scale = jnp.where(ok, jnp.minimum(1.0, clip_norm / (gnorm + 1e-9)),
+                          0.0)
+        new_mom = jax.tree_util.tree_map(
+            lambda m, g: 0.9 * m + scale * g, momentum, grads)
+        new_params = jax.tree_util.tree_map(
+            lambda p, m: p - (lr * lr_scale) * m, params, new_mom)
+        aux = dict(aux, grad_norm=gnorm)
+        return new_params, new_mom, loss, aux
+
+    return step

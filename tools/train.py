@@ -97,38 +97,53 @@ def main(argv=None) -> int:
 
     size_hint = args.size or "n"
     name = str(args.weights).lower()
+    rtdetr_task = "rtdetr" in name
     arch_hint = "v5" if "yolov5" in name \
         else "11" if "yolo11" in name else "v8"
     task = "segment" if "-seg" in name \
         else "pose" if "-pose" in name \
         else "obb" if "-obb" in name else "detect"
-    params, arch, size, loaded = yolo_weights.load_params(
-        args.weights, size=size_hint, nc=args.nc, arch=arch_hint,
-        task=task)
-    head = "23" if arch == "11" else "22"
-    if arch != "v5" and "cv4" in params.get(head, {}):
-        # checkpoint head wins over the name hint (cv4 final width: 1 =
-        # angle branch, else keypoints — weights.detect_task logic)
-        if "proto" in params[head]:
-            task = "segment"
-        elif params[head]["cv4"][0][2]["b"].shape[0] == 1:
-            task = "obb"
-        else:
-            task = "pose"
-    if arch != "v5":
-        # the actual head width wins over --nc (pose random init is 1,
-        # obb is 15)
-        args.nc = int(params[head]["cv3"][0][2]["b"].shape[0])
+    if rtdetr_task:
+        # set-prediction family: plain detect gt (boxes/cls/mask), its
+        # own objective (models/rtdetr_train.py), no size/head variants
+        from roadvision_tpu.models.rtdetr import load_params_rtdetr
+        params, args.nc, loaded = load_params_rtdetr(args.weights,
+                                                     nc=args.nc)
+        arch, size, task = "rtdetr", "l", "detect"
+        log.info("model rtdetr-l (%s weights, nc=%d)",
+                 "pretrained" if loaded else "random", args.nc)
+    else:
+        params, arch, size, loaded = yolo_weights.load_params(
+            args.weights, size=size_hint, nc=args.nc, arch=arch_hint,
+            task=task)
+        head = "23" if arch == "11" else "22"
+        if arch != "v5" and "cv4" in params.get(head, {}):
+            # checkpoint head wins over the name hint (cv4 final width:
+            # 1 = angle branch, else keypoints — weights.detect_task)
+            if "proto" in params[head]:
+                task = "segment"
+            elif params[head]["cv4"][0][2]["b"].shape[0] == 1:
+                task = "obb"
+            else:
+                task = "pose"
+        if arch != "v5":
+            # the actual head width wins over --nc (pose random init is
+            # 1, obb is 15)
+            args.nc = int(params[head]["cv3"][0][2]["b"].shape[0])
+        log.info("model yolo%s%s%s (%s weights, nc=%d)", arch, size,
+                 {"segment": "-seg", "pose": "-pose", "obb": "-obb"}
+                 .get(task, ""),
+                 "pretrained" if loaded else "random", args.nc)
     seg_task = task == "segment"
     pose_task = task == "pose"
     obb_task = task == "obb"
-    log.info("model yolo%s%s%s (%s weights, nc=%d)", arch, size,
-             {"segment": "-seg", "pose": "-pose", "obb": "-obb"}
-             .get(task, ""),
-             "pretrained" if loaded else "random", args.nc)
 
     momentum = init_momentum(params)
-    if arch == "v5":
+    if rtdetr_task:
+        from roadvision_tpu.models.rtdetr_train import \
+            make_train_step_rtdetr
+        step = make_train_step_rtdetr(args.nc, lr=args.lr)
+    elif arch == "v5":
         from roadvision_tpu.models.yolo.train_v5 import make_train_step_v5
         step = make_train_step_v5(size, args.nc, lr=args.lr)
     elif seg_task:
@@ -268,15 +283,22 @@ def main(argv=None) -> int:
         nonlocal eval_det
         from roadvision_tpu.detect.eval import evaluate_detector
         if eval_det is None:
-            from roadvision_tpu.detect.yolo_jax import YOLOJax
             # random-init detector of the SAME arch/size, then rebind to
             # the live weights (compiled steps take params as an arg)
-            suffix = {"segment": "-seg", "pose": "-pose",
-                      "obb": "-obb"}.get(task, "")
-            eval_det = YOLOJax({"model": f"yolo{arch}{size}{suffix}.eval",
-                                "imgsz": args.imgsz, "conf_thres": 0.25,
-                                "max_det": 50, "classes_keep": [],
-                                "rect": False})
+            if rtdetr_task:
+                from roadvision_tpu.detect.rtdetr_jax import RTDETRJax
+                eval_det = RTDETRJax({"model": "rtdetr-l.eval",
+                                      "imgsz": args.imgsz,
+                                      "conf_thres": 0.25, "max_det": 50,
+                                      "classes_keep": []})
+            else:
+                from roadvision_tpu.detect.yolo_jax import YOLOJax
+                suffix = {"segment": "-seg", "pose": "-pose",
+                          "obb": "-obb"}.get(task, "")
+                eval_det = YOLOJax(
+                    {"model": f"yolo{arch}{size}{suffix}.eval",
+                     "imgsz": args.imgsz, "conf_thres": 0.25,
+                     "max_det": 50, "classes_keep": [], "rect": False})
         eval_det.set_params(weights_tree)
         if pose_task:
             from roadvision_tpu.detect.eval import evaluate_pose
