@@ -35,7 +35,22 @@ def build_detector(cfg: Dict[str, Any]) -> Detector:
                 # rather than silently running random-init weights
                 raise FileNotFoundError(
                     f"detect.backend 'onnx': model file not found: {model}")
-        if "rtdetr" in str(cfg.get("model", "")).lower():
+        model = str(cfg.get("model", ""))
+        is_rtdetr = "rtdetr" in model.lower()
+        if not is_rtdetr and model.endswith(".npz"):
+            # content sniff: an exported rtdetr pytree has Lbackbone/Ldec
+            # top keys whatever the file is named — otherwise it would
+            # silently fall through to YOLO random-init
+            from pathlib import Path
+            if Path(model).exists():
+                import numpy as np
+                try:
+                    with np.load(model) as z:
+                        is_rtdetr = any(k.startswith("Lbackbone")
+                                        for k in z.files)
+                except Exception:
+                    pass
+        if is_rtdetr:
             # the ultralytics wrapper's other detector family — model-name
             # dispatch, same as `YOLO("rtdetr-l.pt")` resolving to RTDETR
             from .rtdetr_jax import RTDETRJax

@@ -243,6 +243,20 @@ def test_mha_import_matches_torch():
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
 
 
+def test_export_tool_rtdetr(tmp_path, ref_tree):
+    from tools.export import main as export_main
+    src = tmp_path / "rtdetr-l.src.npz"
+    weights.export_npz(ref_tree, src)
+    out = tmp_path / "rtdetr-l.out.npz"
+    assert export_main(["--weights", str(src), "--format", "npz",
+                        "--out", str(out)]) == 0
+    params, nc, loaded = rtdetr.load_params_rtdetr(str(out))
+    assert loaded and nc == 80
+    # onnx has no rtdetr weight-carrier scheme: explicit refusal
+    assert export_main(["--weights", str(src), "--format", "onnx",
+                        "--out", str(tmp_path / "x.onnx")]) == 2
+
+
 def test_npz_roundtrip(tmp_path, ref_tree):
     path = tmp_path / "rtdetr.npz"
     weights.export_npz(ref_tree, path)
@@ -271,6 +285,18 @@ def test_registry_dispatches_rtdetr(detector):
     from roadvision_tpu.detect.rtdetr_jax import RTDETRJax
     assert isinstance(detector, RTDETRJax)
     assert detector.nms_free and detector.task == "detect"
+
+
+def test_registry_sniffs_renamed_npz(tmp_path, ref_tree):
+    """An exported rtdetr pytree dispatches by CONTENT even when the
+    filename doesn't say rtdetr (otherwise it would silently fall
+    through to YOLO random-init)."""
+    from roadvision_tpu.detect.registry import build_detector
+    from roadvision_tpu.detect.rtdetr_jax import RTDETRJax
+    p = tmp_path / "mystery.npz"
+    weights.export_npz(ref_tree, p)
+    det = build_detector({"model": str(p), "conf_thres": 0.5})
+    assert isinstance(det, RTDETRJax) and det.loaded and det.nc == 80
 
 
 def test_infer_contract(detector):

@@ -32,6 +32,42 @@ def main(argv=None) -> int:
 
     from roadvision_tpu.models.yolo import onnx_io, weights
 
+    is_rtdetr = "rtdetr" in str(args.weights).lower()
+    if not is_rtdetr and str(args.weights).endswith(".npz"):
+        # content sniff: our exported rtdetr pytree has Lbackbone/Ldec
+        # top keys regardless of what the user renamed the file to
+        import numpy as np
+        try:
+            with np.load(args.weights) as z:
+                is_rtdetr = any(k.startswith("Lbackbone") for k in z.files)
+        except Exception:
+            pass
+    if is_rtdetr:
+        # set-prediction family: .pt/.npz → .npz (no ONNX weight-carrier
+        # name scheme exists for the decoder — models/rtdetr.py)
+        if args.format == "onnx":
+            print("[roadvision] rtdetr supports --format npz only",
+                  file=sys.stderr)
+            return 2
+        from roadvision_tpu.models.rtdetr import load_params_rtdetr
+        params, nc, loaded = load_params_rtdetr(args.weights)
+        if not loaded:
+            print(f"[roadvision] cannot load weights from {args.weights}",
+                  file=sys.stderr)
+            return 2
+        out = Path(args.out) if args.out else \
+            Path(args.weights).with_suffix(".npz")
+        if out.resolve() == Path(args.weights).resolve():
+            print(f"[roadvision] refusing to overwrite the input {out} — "
+                  f"pass --out for an in-place-style rewrite",
+                  file=sys.stderr)
+            return 2
+        weights.export_npz(params, out)
+        n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        print(f"[roadvision] exported rtdetr-l ({n:,} params, nc={nc}) "
+              f"-> {out}")
+        return 0
+
     params, arch, size, loaded = weights.load_params(
         args.weights, allow_random=False)
     out = Path(args.out) if args.out else \
