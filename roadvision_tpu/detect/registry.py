@@ -38,18 +38,8 @@ def build_detector(cfg: Dict[str, Any]) -> Detector:
         model = str(cfg.get("model", ""))
         is_rtdetr = "rtdetr" in model.lower()
         if not is_rtdetr and model.endswith(".npz"):
-            # content sniff: an exported rtdetr pytree has Lbackbone/Ldec
-            # top keys whatever the file is named — otherwise it would
-            # silently fall through to YOLO random-init
-            from pathlib import Path
-            if Path(model).exists():
-                import numpy as np
-                try:
-                    with np.load(model) as z:
-                        is_rtdetr = any(k.startswith("Lbackbone")
-                                        for k in z.files)
-                except Exception:
-                    pass
+            from ..models.rtdetr import is_rtdetr_npz
+            is_rtdetr = is_rtdetr_npz(model)
         if is_rtdetr:
             # the ultralytics wrapper's other detector family — model-name
             # dispatch, same as `YOLO("rtdetr-l.pt")` resolving to RTDETR

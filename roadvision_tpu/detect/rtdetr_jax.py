@@ -120,6 +120,9 @@ class RTDETRJax(Detector):
         backend's set_params)."""
         self.params = params
         self.nc = int(params["dec"]["enc_score"]["b"].shape[0])
+        self.names = {i: n for i, n in enumerate(COCO_NAMES)} \
+            if self.nc == len(COCO_NAMES) \
+            else {i: str(i) for i in range(self.nc)}
         self._jit_cache = {k: functools.partial(fn.func, params)
                            for k, fn in self._jit_cache.items()}
 

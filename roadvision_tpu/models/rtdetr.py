@@ -646,9 +646,20 @@ def _repc3_t(sd, i: str) -> Dict[str, Any]:
     out = {"cv1": _fuse(sd, f"{i}.cv1"), "cv2": _fuse(sd, f"{i}.cv2"),
            "m": []}
     j = 0
-    while f"{i}.m.{j}.conv1.conv.weight" in sd:
-        out["m"].append(_rep_fuse(sd, f"{i}.m.{j}"))
+    while True:
+        if f"{i}.m.{j}.conv1.conv.weight" in sd:        # training form
+            out["m"].append(_rep_fuse(sd, f"{i}.m.{j}"))
+        elif f"{i}.m.{j}.conv.weight" in sd:            # already fused
+            # a checkpoint saved after ultralytics fuse(): RepConv is
+            # one plain conv+bias (fuse_convs deletes the branches)
+            out["m"].append(_fuse(sd, f"{i}.m.{j}"))
+        else:
+            break
         j += 1
+    if not out["m"]:
+        # cv1/cv2 imported but no inner blocks found: this would run and
+        # produce silently wrong outputs — fail the import instead
+        raise KeyError(f"{i}.m.0.conv1.conv.weight")
     return out
 
 
@@ -725,6 +736,22 @@ def state_dict_to_params_rtdetr(sd) -> Dict[str, Any]:
     return {"backbone": bk, "enc": enc, "dec": dec}
 
 
+def is_rtdetr_npz(path) -> bool:
+    """True when ``path`` is an exported RT-DETR pytree .npz (top keys
+    Lbackbone/Lenc/Ldec from weights.export_npz) — the content sniff the
+    registry and tools use so a renamed weights file still dispatches
+    here instead of silently falling through to YOLO random-init."""
+    from pathlib import Path
+    p = Path(path)
+    if p.suffix != ".npz" or not p.exists():
+        return False
+    try:
+        with np.load(p) as z:
+            return any(k.startswith("Lbackbone") for k in z.files)
+    except Exception:
+        return False
+
+
 def load_params_rtdetr(path_or_sd, nc: int = 80):
     """Load RT-DETR params from a checkpoint; fall back to random init.
 
@@ -746,10 +773,20 @@ def load_params_rtdetr(path_or_sd, nc: int = 80):
                 raw = dict(np.load(p))
                 if raw and all(k.startswith("L") for k in raw):
                     params = yw.import_npz(p)
-                    return (params,
-                            int(params["dec"]["enc_score"]["b"].shape[0]),
-                            True)
-                sd = raw
+                    try:
+                        return (params,
+                                int(params["dec"]["enc_score"]["b"]
+                                    .shape[0]), True)
+                    except KeyError as exc:
+                        # an exported pytree of a DIFFERENT family (e.g.
+                        # a YOLO tree in an rtdetr-named file): same
+                        # degradation contract as a key mismatch below
+                        print(f"[roadvision] .npz is not an rtdetr "
+                              f"pytree ({exc}); using random init")
+                        sd = None
+                        raw = None
+                else:
+                    sd = raw
             else:
                 sd = yw._load_torch(p)
     if sd is not None:

@@ -44,6 +44,20 @@ GAIN_CLASS, GAIN_BBOX, GAIN_GIOU = 1.0, 5.0, 2.0
 VFL_ALPHA, VFL_GAMMA = 0.75, 2.0
 
 
+def iou_xyxy(box1: jnp.ndarray, box2: jnp.ndarray) -> jnp.ndarray:
+    """Plain IoU between broadcastable (..., 4) xyxy boxes."""
+    x1 = jnp.maximum(box1[..., 0], box2[..., 0])
+    y1 = jnp.maximum(box1[..., 1], box2[..., 1])
+    x2 = jnp.minimum(box1[..., 2], box2[..., 2])
+    y2 = jnp.minimum(box1[..., 3], box2[..., 3])
+    inter = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+    a1 = jnp.clip(box1[..., 2] - box1[..., 0], 0) \
+        * jnp.clip(box1[..., 3] - box1[..., 1], 0)
+    a2 = jnp.clip(box2[..., 2] - box2[..., 0], 0) \
+        * jnp.clip(box2[..., 3] - box2[..., 1], 0)
+    return inter / (a1 + a2 - inter + EPS)
+
+
 def giou_xyxy(box1: jnp.ndarray, box2: jnp.ndarray) -> jnp.ndarray:
     """Generalized IoU between broadcastable (..., 4) xyxy boxes."""
     x1 = jnp.maximum(box1[..., 0], box2[..., 0])
@@ -145,18 +159,24 @@ def _set_loss(pred_xyxy, pred_logits, gt_xyxy, gt_cls, gt_mask, nc: int
         q_idx = hungarian_match(jax.lax.stop_gradient(cost), gm)
 
         # ---- matched-pair box losses -------------------------------
+        # gm_a additionally masks auction-unassigned rows (q_idx = -1:
+        # more valid gts than queries, or max_iters hit) — clip would
+        # otherwise charge their box losses to query 0
+        gm_a = gm & (q_idx >= 0)
         qc = jnp.clip(q_idx, 0, num_q - 1)
         mb = pb[qc]                                      # (M, 4)
-        l1_loss = jnp.where(gm, jnp.abs(_cxcywh(mb)
-                                        - _cxcywh(gb)).sum(-1), 0.0).sum()
+        l1_loss = jnp.where(gm_a, jnp.abs(_cxcywh(mb)
+                                          - _cxcywh(gb)).sum(-1), 0.0).sum()
         g = giou_xyxy(mb, gb)
-        giou_loss = jnp.where(gm, 1.0 - g, 0.0).sum()
+        giou_loss = jnp.where(gm_a, 1.0 - g, 0.0).sum()
 
         # ---- varifocal class loss over ALL queries -----------------
         # target: matched queries get one-hot(gt class) · IoU(pred, gt)
-        iou_w = jnp.clip(jnp.where(gm, giou_xyxy(
+        # (plain IoU, the VFL convention — GIoU can be ≤ 0 for a valid
+        # match, which would train it as background)
+        iou_w = jnp.clip(jnp.where(gm_a, iou_xyxy(
             jax.lax.stop_gradient(mb), gb), 0.0), 0.0, 1.0)
-        scat = jnp.where(gm, q_idx, num_q)               # OOB rows drop
+        scat = jnp.where(gm_a, q_idx, num_q)             # OOB rows drop
         t_iou = jnp.zeros((num_q,)).at[scat].set(iou_w, mode="drop")
         t_cls = jnp.full((num_q,), nc, jnp.int32) \
             .at[scat].set(gc, mode="drop")
@@ -230,7 +250,10 @@ def make_train_step_rtdetr(nc: int = 80, lr: float = 1e-4,
         scale = jnp.where(ok, jnp.minimum(1.0, clip_norm / (gnorm + 1e-9)),
                           0.0)
         new_mom = jax.tree_util.tree_map(
-            lambda m, g: 0.9 * m + scale * g, momentum, grads)
+            # jnp.where (not scale*g): 0*NaN is NaN, which would
+            # poison the momentum forever on a skipped batch
+            lambda m, g: 0.9 * m + jnp.where(ok, scale * g, 0.0),
+            momentum, grads)
         new_params = jax.tree_util.tree_map(
             lambda p, m: p - (lr * lr_scale) * m, params, new_mom)
         aux = dict(aux, grad_norm=gnorm)

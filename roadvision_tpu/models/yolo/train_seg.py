@@ -154,7 +154,10 @@ def make_train_step_seg(size: str = "n", nc: int = 80, lr: float = 1e-3,
         scale = jnp.where(ok, jnp.minimum(1.0, clip_norm / (gnorm + 1e-9)),
                           0.0)
         new_mom = jax.tree_util.tree_map(
-            lambda m, g: 0.9 * m + scale * g, momentum, grads)
+            # jnp.where (not scale*g): 0*NaN is NaN, which would
+            # poison the momentum forever on a skipped batch
+            lambda m, g: 0.9 * m + jnp.where(ok, scale * g, 0.0),
+            momentum, grads)
         new_params = jax.tree_util.tree_map(
             lambda p, m: p - (lr * lr_scale) * m, params, new_mom)
         return new_params, new_mom, loss, dict(aux, grad_norm=gnorm)

@@ -200,6 +200,39 @@ def test_state_dict_import_layout(ref_tree):
     assert loaded and nc == 80
 
 
+def test_repc3_import_fused_form_and_empty_guard():
+    """RepC3 import handles a fuse()-saved checkpoint (RepConv collapsed
+    to one conv+bias) and REFUSES a block-less RepC3 instead of silently
+    importing a wrong model."""
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(5)
+    sd = {}
+    for cv in ("cv1", "cv2"):
+        sd[f"r.{cv}.conv.weight"] = torch.randn(4, 4, 1, 1)
+        sd[f"r.{cv}.conv.bias"] = torch.randn(4)
+    sd["r.m.0.conv.weight"] = torch.randn(4, 4, 3, 3)
+    sd["r.m.0.conv.bias"] = torch.randn(4)
+    out = rtdetr._repc3_t(sd, "r")
+    assert len(out["m"]) == 1 and out["m"][0]["w"].shape == (3, 3, 4, 4)
+    np.testing.assert_allclose(np.asarray(out["m"][0]["b"]),
+                               sd["r.m.0.conv.bias"].numpy(), atol=1e-6)
+    for k in ("r.m.0.conv.weight", "r.m.0.conv.bias"):
+        del sd[k]
+    with pytest.raises(KeyError):
+        rtdetr._repc3_t(sd, "r")
+
+
+def test_load_rejects_foreign_npz_pytree(tmp_path):
+    """A YOLO-exported pytree in an rtdetr-named file degrades to random
+    init (with a notice) instead of an uncaught KeyError."""
+    from roadvision_tpu.models.yolo.yolov8 import init_params
+    p = tmp_path / "rtdetr-actually-yolo.npz"
+    weights.export_npz(init_params(jax.random.PRNGKey(0), "n"), p)
+    params, nc, loaded = rtdetr.load_params_rtdetr(str(p), nc=7)
+    assert not loaded and nc == 7
+    assert "backbone" in params   # a usable random-init rtdetr tree
+
+
 def test_rep_fusion_is_branch_sum():
     """Deploy-form RepConv: fused 3x3 ≡ 3x3 branch + 1x1 branch outputs."""
     torch = pytest.importorskip("torch")
@@ -309,6 +342,16 @@ def test_infer_contract(detector):
         assert d.cls_id in (0, 2)
         assert d.conf > 1e-6
         assert d.cls_name in ("person", "car")
+
+
+def test_set_params_refreshes_names_and_nc(tmp_path):
+    """set_params with a different-width score head updates nc AND the
+    class-name table (stale COCO names would mislabel Detections)."""
+    from roadvision_tpu.detect.rtdetr_jax import RTDETRJax
+    det = RTDETRJax({"model": "rtdetr-l.absent.pt", "conf_thres": 0.5})
+    assert det.nc == 80 and det.names[2] == "car"
+    det.set_params(rtdetr.init_params_rtdetr(jax.random.PRNGKey(7), nc=5))
+    assert det.nc == 5 and det.names[2] == "2"
 
 
 def test_engine_nms_free_step(detector):

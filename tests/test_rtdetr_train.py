@@ -100,17 +100,39 @@ def test_loss_finite_components_and_grads_flow(tiny_setup):
     assert norm(grads["backbone"]["stem"]) > 0
 
 
-def test_train_step_reduces_loss(tiny_setup):
+@pytest.fixture(scope="module")
+def step5():
+    return make_train_step_rtdetr(nc=5, lr=2e-4)
+
+
+def test_train_step_reduces_loss(tiny_setup, step5):
     params, batch = tiny_setup
     params = jax.tree_util.tree_map(jnp.array, params)  # donated below
-    step = make_train_step_rtdetr(nc=5, lr=2e-4)
     mom = init_momentum(params)
     losses = []
     for _ in range(6):
-        params, mom, loss, aux = step(params, mom, *batch)
+        params, mom, loss, aux = step5(params, mom, *batch)
         losses.append(float(loss))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0]
+
+
+def test_nan_batch_does_not_poison_momentum(tiny_setup, step5):
+    """A NaN batch must be SKIPPED: params/momentum stay finite and the
+    next good batch still trains (0·NaN = NaN would otherwise stick in
+    the momentum forever)."""
+    params, batch = tiny_setup
+    params = jax.tree_util.tree_map(jnp.array, params)
+    mom = init_momentum(params)
+    bad = (jnp.full_like(batch[0], jnp.nan),) + batch[1:]
+    params, mom, loss, _ = step5(params, mom, *bad)
+    assert not np.isfinite(float(loss))          # the batch WAS bad
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert bool(jnp.isfinite(leaf).all())
+    for leaf in jax.tree_util.tree_leaves(mom):
+        assert bool(jnp.isfinite(leaf).all())
+    params, mom, loss, _ = step5(params, mom, *batch)
+    assert np.isfinite(float(loss))              # training continues
 
 
 def test_train_cli_smoke(tmp_path):

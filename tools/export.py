@@ -32,17 +32,8 @@ def main(argv=None) -> int:
 
     from roadvision_tpu.models.yolo import onnx_io, weights
 
-    is_rtdetr = "rtdetr" in str(args.weights).lower()
-    if not is_rtdetr and str(args.weights).endswith(".npz"):
-        # content sniff: our exported rtdetr pytree has Lbackbone/Ldec
-        # top keys regardless of what the user renamed the file to
-        import numpy as np
-        try:
-            with np.load(args.weights) as z:
-                is_rtdetr = any(k.startswith("Lbackbone") for k in z.files)
-        except Exception:
-            pass
-    if is_rtdetr:
+    from roadvision_tpu.models.rtdetr import is_rtdetr_npz
+    if "rtdetr" in str(args.weights).lower() or is_rtdetr_npz(args.weights):
         # set-prediction family: .pt/.npz → .npz (no ONNX weight-carrier
         # name scheme exists for the decoder — models/rtdetr.py)
         if args.format == "onnx":
