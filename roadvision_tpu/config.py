@@ -58,6 +58,12 @@ DEFAULTS: Dict[str, Any] = {
                    # int8 mode only: auto-calibrate static activation
                    # scales from the first N stream frames (0 = dynamic)
                    int8_calibration=0,
+                   # motion-adaptive inference: on near-static scenes
+                   # skip the detector forward and coast the tracker
+                   # with the last detections (runtime/engine.py
+                   # build_coast_step; thresh in u8 thumbnail levels)
+                   temporal_gate=dict(enable=False, thresh=1.5,
+                                      max_skip_batches=3),
                    # tiled (sliced) small-object inference (ops/tiling.py):
                    # overlapping native-res crops + optional full-frame
                    # pass, merged by one global NMS; detect task only

@@ -208,6 +208,38 @@ class PipelineEngine:
         self._warmed: set = set()
         self.watchdog_fired = threading.Event()
 
+        # temporal gating (detect.temporal_gate): on near-static scenes
+        # skip the detector forward entirely and coast the tracker with
+        # the last full batch's final detections — the "Fast YOLO"
+        # motion-adaptive inference pattern. Policy runs on the HOST
+        # with a one-batch lag (the motion probe result of batch i
+        # gates batch i+2 in the pipelined stream), so no sync is ever
+        # inserted into the dispatch path.
+        gcfg = (det_cfg.get("temporal_gate") or {}) \
+            if self.detector is not None else {}
+        self._gate_cfg: Optional[Dict[str, float]] = None
+        if gcfg.get("enable"):
+            if getattr(self.detector, "task", "detect") != "detect" \
+                    or getattr(self.detector, "tile_cfg", None):
+                raise ValueError(
+                    "detect.temporal_gate supports the plain detect task "
+                    "without tiling (coasting has no defined semantics "
+                    "for masks/keypoints/rboxes or tiled candidates)")
+            if self.gmc_enabled:
+                raise ValueError(
+                    "detect.temporal_gate and tracking.gmc are mutually "
+                    "exclusive (camera motion raises the gate's motion "
+                    "score, so the scene never qualifies as static)")
+            self._gate_cfg = dict(
+                thresh=float(gcfg.get("thresh", 1.5)),
+                max_skip=int(gcfg.get("max_skip_batches", 3)))
+        self._gate_score: Optional[float] = None
+        self._gate_skips = 0
+        self._gate_dets = None          # device (boxes, conf, cls, valid)
+        self.gate_frames_coasted = 0    # observability + tests
+        self._probe_cache: Dict[Tuple[int, int, int], Any] = {}
+        self._coast_cache: Dict[Tuple[Tuple[int, int, int], bool], Any] = {}
+
     # ------------------------------------------------------------------
     def _build_step(self, shape: Tuple[int, int, int],
                     want_proc: bool = True):
@@ -429,6 +461,89 @@ class PipelineEngine:
         return self._jit_cache[key]
 
     # ------------------------------------------------------------------
+    # temporal gating (detect.temporal_gate)
+    def _probe_for(self, shape: Tuple[int, int, int]):
+        """Motion probe: max mean-abs consecutive gray-thumbnail diff
+        within the batch (u8 levels). Batches of 1 probe as +inf (no
+        pair to compare), so they never gate."""
+        if shape not in self._probe_cache:
+            from ..track.gmc import gray_thumbnail
+
+            @jax.jit
+            def probe(frames_u8):
+                if frames_u8.shape[0] < 2:
+                    return jnp.float32(jnp.inf)
+                g = jax.vmap(gray_thumbnail)(frames_u8)
+                return jnp.max(jnp.mean(jnp.abs(g[1:] - g[:-1]),
+                                        axis=(1, 2)))
+
+            self._probe_cache[shape] = probe
+        return self._probe_cache[shape]
+
+    def _coast_for(self, shape, want_proc: bool = True):
+        key = (shape, want_proc)
+        if key not in self._coast_cache:
+            self._coast_cache[key] = jax.jit(
+                self.build_coast_step(shape, want_proc),
+                donate_argnums=(1,))
+        return self._coast_cache[key]
+
+    def build_coast_step(self, shape: Tuple[int, int, int],
+                         want_proc: bool = True):
+        """The gated step: preprocess runs (display/record need it), the
+        detector forward is SKIPPED, and the tracker/geometry tail runs
+        on reused detections — one (max_det,)-set replicated across the
+        batch's frames. Timestamps still advance, so KF updates against
+        the unchanged boxes decay the speed estimates toward zero —
+        exactly right for the static scene the gate certified."""
+        b, h, w = shape
+        pre = self.pipeline
+        det = self.detector
+        sort_step = self._sort_step
+        proj = self.projector.device_params() if self.projector else None
+        track = self.track_enabled
+        max_det = det.max_det
+
+        def step(params, sort_state, frames_u8, ts,
+                 boxes1, conf1, cls1, valid1):
+            proc = frames_u8 if pre.identity else pre._batch_fn(frames_u8)
+            boxes = jnp.broadcast_to(boxes1[None], (b, max_det, 4))
+            conf = jnp.broadcast_to(conf1[None], (b, max_det))
+            cls_id = jnp.broadcast_to(cls1[None], (b, max_det))
+            valid = jnp.broadcast_to(valid1[None], (b, max_det))
+            if track:
+                feed = [boxes, cls_id, conf, valid, ts]
+                needs_emb = getattr(sort_step, "needs_embeddings", False)
+                if needs_emb:
+                    feed.append(jax.vmap(self._embed_fn)(frames_u8,
+                                                         boxes, valid))
+
+                def body(st, frame):
+                    fb, fc, fcf, fv, ft, *rest = frame
+                    fe = rest[0] if needs_emb else None
+                    return sort_step(st, fb, fc, fcf, fv, ft, proj,
+                                     fe, None)
+                sort_state, outs = jax.lax.scan(body, sort_state,
+                                                tuple(feed))
+                ids, dist, speed = (outs.track_id, outs.distance_m,
+                                    outs.speed_kmh)
+            else:
+                ids = jnp.zeros((b, max_det), jnp.int32)
+                if proj is not None:
+                    h_mat, origin, maxd = proj
+                    ground, gvalid = project_boxes_device(h_mat, boxes)
+                    dist = distance_device(ground, gvalid & valid,
+                                           origin, maxd)
+                else:
+                    dist = jnp.full((b, max_det), jnp.nan)
+                speed = jnp.full((b, max_det), jnp.nan)
+            out_frames = proc if want_proc else jnp.zeros((), jnp.uint8)
+            return out_frames, (boxes, conf, cls_id, valid, ids, dist,
+                                speed), sort_state
+
+        return step
+
+    # ------------------------------------------------------------------
     def dispatch_batch(self, frames: np.ndarray, timestamps: np.ndarray,
                        want_proc: bool = True, device_frames=None):
         """Enqueue one batch on the device WITHOUT waiting for results.
@@ -443,12 +558,23 @@ class PipelineEngine:
         if self._t0 is None:
             self._t0 = float(timestamps[0])
         ts_rel = (timestamps - self._t0).astype(np.float32)
-        step = self._step_for((b, h, w), want_proc)
         params = self.detector.params if self.detector else {}
         dev = device_frames if device_frames is not None \
             else jnp.asarray(frames)
-        if self.gmc_enabled:
+        gate = self._gate_cfg
+        coasted = gate is not None \
+            and self._gate_score is not None \
+            and self._gate_score < gate["thresh"] \
+            and self._gate_skips < gate["max_skip"] \
+            and self._gate_dets is not None
+        if coasted:
+            step = self._coast_for((b, h, w), want_proc)
+            proc, det_arrays, self.sort_state = step(
+                params, self.sort_state, dev, jnp.asarray(ts_rel),
+                *self._gate_dets)
+        elif self.gmc_enabled:
             from ..track.gmc import GMC_SIZE
+            step = self._step_for((b, h, w), want_proc)
             prev = self._gmc_prev if self._gmc_prev is not None \
                 else jnp.zeros((GMC_SIZE, GMC_SIZE), jnp.float32)
             valid = jnp.float32(0.0 if self._gmc_prev is None else 1.0)
@@ -456,14 +582,18 @@ class PipelineEngine:
                 params, self.sort_state, dev, jnp.asarray(ts_rel),
                 prev, valid)
         else:
+            step = self._step_for((b, h, w), want_proc)
             proc, det_arrays, self.sort_state = step(
                 params, self.sort_state, dev, jnp.asarray(ts_rel))
+        score_dev = self._probe_for((b, h, w))(dev) \
+            if gate is not None else None
         return (frames, timestamps, proc, det_arrays, want_proc,
-                ((b, h, w), want_proc))
+                ((b, h, w), want_proc), score_dev, coasted)
 
     def collect_batch(self, inflight) -> List[FrameResult]:
         """Block until an in-flight batch completes; unpack results."""
-        frames, timestamps, proc_dev, det_arrays, want_proc, key = inflight
+        (frames, timestamps, proc_dev, det_arrays, want_proc, key,
+         score_dev, coasted) = inflight
         b = frames.shape[0]
         dog = None
         if self._watchdog_s > 0 and key in self._warmed:
@@ -484,6 +614,19 @@ class PipelineEngine:
             if dog is not None:
                 dog.cancel()
             self._warmed.add(key)
+
+        if score_dev is not None:
+            # gate bookkeeping: the score of THIS batch gates a later
+            # dispatch; a full batch refreshes the reusable detections
+            # (final frame's set, kept on device for the coast step)
+            self._gate_score = float(np.asarray(score_dev))
+            if coasted:
+                self._gate_skips += 1
+                self.gate_frames_coasted += b
+            else:
+                self._gate_skips = 0
+                self._gate_dets = tuple(jnp.asarray(a[b - 1])
+                                        for a in arrays[:4])
 
         if self.detector is not None:
             names = [self.detector.names.get(i, str(i))
