@@ -47,6 +47,19 @@ class FrameResult(NamedTuple):
     ts: float
 
 
+def _motion_score(frames_u8: jnp.ndarray) -> jnp.ndarray:
+    """Temporal-gate motion probe: max mean-abs consecutive
+    gray-thumbnail diff within the batch (u8 levels). Rides the fused
+    step's outputs — a separate probe dispatch costs a full tunnel
+    round trip per batch (measured net-negative on a high-latency
+    attach). Batches of 1 score +inf (no pair), so they never gate."""
+    from ..track.gmc import gray_thumbnail
+    if frames_u8.shape[0] < 2:
+        return jnp.float32(jnp.inf)
+    g = jax.vmap(gray_thumbnail)(frames_u8)
+    return jnp.max(jnp.mean(jnp.abs(g[1:] - g[:-1]), axis=(1, 2)))
+
+
 def unpack_detections(arrays, names: List[str], b: int,
                       extra_kind: str = "masks") -> List[List[Detection]]:
     """Masked fixed-shape device arrays → per-frame Detection lists.
@@ -237,7 +250,6 @@ class PipelineEngine:
         self._gate_skips = 0
         self._gate_dets = None          # device (boxes, conf, cls, valid)
         self.gate_frames_coasted = 0    # observability + tests
-        self._probe_cache: Dict[Tuple[int, int, int], Any] = {}
         self._coast_cache: Dict[Tuple[Tuple[int, int, int], bool], Any] = {}
 
     # ------------------------------------------------------------------
@@ -439,6 +451,12 @@ class PipelineEngine:
                 outs = outs + (extra,)
             if last_gray is not None:   # GMC thumbnail carry
                 return out_frames, outs, sort_state, last_gray
+            if self._gate_cfg is not None:
+                # motion score rides the step (a separate probe dispatch
+                # costs a full tunnel round trip per batch — measured
+                # net-negative on a high-latency attach)
+                return out_frames, outs, sort_state, \
+                    _motion_score(frames_u8)
             return out_frames, outs, sort_state
 
         return step
@@ -462,24 +480,6 @@ class PipelineEngine:
 
     # ------------------------------------------------------------------
     # temporal gating (detect.temporal_gate)
-    def _probe_for(self, shape: Tuple[int, int, int]):
-        """Motion probe: max mean-abs consecutive gray-thumbnail diff
-        within the batch (u8 levels). Batches of 1 probe as +inf (no
-        pair to compare), so they never gate."""
-        if shape not in self._probe_cache:
-            from ..track.gmc import gray_thumbnail
-
-            @jax.jit
-            def probe(frames_u8):
-                if frames_u8.shape[0] < 2:
-                    return jnp.float32(jnp.inf)
-                g = jax.vmap(gray_thumbnail)(frames_u8)
-                return jnp.max(jnp.mean(jnp.abs(g[1:] - g[:-1]),
-                                        axis=(1, 2)))
-
-            self._probe_cache[shape] = probe
-        return self._probe_cache[shape]
-
     def _coast_for(self, shape, want_proc: bool = True):
         key = (shape, want_proc)
         if key not in self._coast_cache:
@@ -539,7 +539,7 @@ class PipelineEngine:
                 speed = jnp.full((b, max_det), jnp.nan)
             out_frames = proc if want_proc else jnp.zeros((), jnp.uint8)
             return out_frames, (boxes, conf, cls_id, valid, ids, dist,
-                                speed), sort_state
+                                speed), sort_state, _motion_score(frames_u8)
 
         return step
 
@@ -562,6 +562,7 @@ class PipelineEngine:
         dev = device_frames if device_frames is not None \
             else jnp.asarray(frames)
         gate = self._gate_cfg
+        score_dev = None
         coasted = gate is not None \
             and self._gate_score is not None \
             and self._gate_score < gate["thresh"] \
@@ -569,7 +570,7 @@ class PipelineEngine:
             and self._gate_dets is not None
         if coasted:
             step = self._coast_for((b, h, w), want_proc)
-            proc, det_arrays, self.sort_state = step(
+            proc, det_arrays, self.sort_state, score_dev = step(
                 params, self.sort_state, dev, jnp.asarray(ts_rel),
                 *self._gate_dets)
         elif self.gmc_enabled:
@@ -581,12 +582,14 @@ class PipelineEngine:
             proc, det_arrays, self.sort_state, self._gmc_prev = step(
                 params, self.sort_state, dev, jnp.asarray(ts_rel),
                 prev, valid)
+        elif gate is not None:
+            step = self._step_for((b, h, w), want_proc)
+            proc, det_arrays, self.sort_state, score_dev = step(
+                params, self.sort_state, dev, jnp.asarray(ts_rel))
         else:
             step = self._step_for((b, h, w), want_proc)
             proc, det_arrays, self.sort_state = step(
                 params, self.sort_state, dev, jnp.asarray(ts_rel))
-        score_dev = self._probe_for((b, h, w))(dev) \
-            if gate is not None else None
         return (frames, timestamps, proc, det_arrays, want_proc,
                 ((b, h, w), want_proc), score_dev, coasted)
 
@@ -726,6 +729,11 @@ class PipelineEngine:
             self.sort_state = init_state(self.track_slots)
         self._gmc_prev = None
         self._t0 = None
+        # a new stream must not coast on the previous stream's
+        # detections or motion score
+        self._gate_score = None
+        self._gate_skips = 0
+        self._gate_dets = None
 
     def save_state(self, path) -> None:
         """Checkpoint the device-resident stream state — the full

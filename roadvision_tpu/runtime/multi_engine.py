@@ -89,6 +89,11 @@ class MultiStreamEngine:
         if num_streams < 1:
             raise ValueError("need at least one stream")
         self.engine = PipelineEngine(cfg)
+        if self.engine._gate_cfg is not None:
+            raise ValueError(
+                "detect.temporal_gate is a single-stream host policy — "
+                "disable it under tpu.mesh multi-stream (per-stream "
+                "gating would desynchronize the lockstep shards)")
         self.num_streams = num_streams
         tpu_cfg = cfg.get("tpu", {}) or {}
         self.mesh, self.axis = mesh_from_config(tpu_cfg)

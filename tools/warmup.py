@@ -46,6 +46,13 @@ def warm_shape(engine: PipelineEngine, height: int, width: int,
         t0 = time.perf_counter()
         engine.reset()
         engine.process_batch(frames, ts, want_proc=want_proc)
+        if engine._gate_cfg is not None and batch >= 2:
+            # zero frames score as static, so a second batch exercises
+            # (and therefore compiles) the coast step + motion probe —
+            # otherwise the first real static stretch stalls mid-stream
+            engine.process_batch(frames, ts + batch / 30.0,
+                                 want_proc=want_proc)
+            assert engine.gate_frames_coasted > 0
         log.info("warmed (%d, %d, %d) want_proc=%s in %.1fs",
                  batch, height, width, want_proc,
                  time.perf_counter() - t0)
