@@ -370,6 +370,10 @@ def main(argv=None) -> int:
             cv2.destroyAllWindows()
         log.info("processed %d frames; stage times: %s",
                  n_frames, engine.timer.summary())
+        if engine._gate_cfg is not None:
+            log.info("temporal gate: %d/%d frames coasted (detector "
+                     "forward skipped)", engine.gate_frames_coasted,
+                     n_frames)
         if gated and writer is not None:
             log.info("event-gated recording: %s", writer.summary())
         if analytics is not None:

@@ -297,6 +297,9 @@ def _pipeline_loop(cfg, hub: FrameHub, max_frames, quality: int) -> None:
                 **({"keypoints": np.asarray(d.keypoints).tolist()}
                    if d.keypoints is not None else {}),
             ) for d in res.detections]
+            if engine._gate_cfg is not None:
+                # temporal-gate observability (detect.temporal_gate)
+                hub.stats["frames_coasted"] = engine.gate_frames_coasted
             hub.publish(encode_jpeg_bgr(canvas, quality), fps, n_tracks,
                         detections=dets, ts=res.ts,
                         analytics=(analytics.summary()
