@@ -47,17 +47,40 @@ class FrameResult(NamedTuple):
     ts: float
 
 
-def _motion_score(frames_u8: jnp.ndarray) -> jnp.ndarray:
-    """Temporal-gate motion probe: max mean-abs consecutive
-    gray-thumbnail diff within the batch (u8 levels). Rides the fused
-    step's outputs — a separate probe dispatch costs a full tunnel
-    round trip per batch (measured net-negative on a high-latency
-    attach). Batches of 1 score +inf (no pair), so they never gate."""
-    from ..track.gmc import gray_thumbnail
-    if frames_u8.shape[0] < 2:
-        return jnp.float32(jnp.inf)
-    g = jax.vmap(gray_thumbnail)(frames_u8)
-    return jnp.max(jnp.mean(jnp.abs(g[1:] - g[:-1]), axis=(1, 2)))
+GATE_BLOCK = 8   # motion-probe pooling block (thumbnail px per side)
+
+
+def _motion_score(frames_u8: jnp.ndarray, prev_thumb: jnp.ndarray,
+                  prev_valid: jnp.ndarray):
+    """Temporal-gate motion probe → (score, last_thumbnail).
+
+    Score = max over consecutive gray-thumbnail pairs (including the
+    carried previous batch's last frame, so batch-boundary motion is
+    never invisible) of the max BLOCKWISE mean abs diff (u8 levels).
+    Blockwise, not global: a distant moving vehicle covers a handful of
+    thumbnail pixels, and a whole-frame mean would dilute it ~16000×
+    below any usable threshold; an 8×8-px block dilutes it at most
+    ~64× while the thumbnail's area averaging keeps sensor noise well
+    under 1 level. The first pair scores +inf when no previous batch
+    exists (prev_valid 0) — an unknown past never gates.
+
+    Rides the fused step's outputs — a separate probe dispatch costs a
+    full tunnel round trip per batch (measured net-negative on a
+    high-latency attach)."""
+    from ..track.gmc import GMC_SIZE, gray_thumbnail
+    g = jax.vmap(gray_thumbnail)(frames_u8)            # (B, G, G)
+    prev = jnp.concatenate([prev_thumb[None], g[:-1]], axis=0)
+    d = jnp.abs(g - prev)                              # (B, G, G)
+    nb = GMC_SIZE // GATE_BLOCK
+    b = d.shape[0]
+    blocks = d.reshape(b, nb, GATE_BLOCK, nb, GATE_BLOCK).mean((2, 4))
+    per_pair = blocks.max((1, 2))                      # (B,)
+    first = jnp.where(prev_valid > 0, per_pair[0], -jnp.inf)
+    score = jnp.maximum(first, jnp.max(per_pair[1:], initial=-jnp.inf))
+    # no observable pair at all (batch of 1, no carried thumbnail):
+    # an unknown past must never gate
+    score = jnp.where(jnp.isinf(score), jnp.inf, score)
+    return score, g[-1]
 
 
 def unpack_detections(arrays, names: List[str], b: int,
@@ -249,6 +272,7 @@ class PipelineEngine:
         self._gate_score: Optional[float] = None
         self._gate_skips = 0
         self._gate_dets = None          # device (boxes, conf, cls, valid)
+        self._gate_thumb = None         # device (G, G) thumbnail carry
         self.gate_frames_coasted = 0    # observability + tests
         self._coast_cache: Dict[Tuple[Tuple[int, int, int], bool], Any] = {}
 
@@ -257,6 +281,59 @@ class PipelineEngine:
                     want_proc: bool = True):
         return jax.jit(self.build_raw_step(shape, want_proc),
                        donate_argnums=(1,))
+
+    def _dets_tail(self, b: int, max_det: int, w: int, proj, sort_step,
+                   sort_state, boxes, conf, cls_id, valid, ts, frames_u8,
+                   gmc_prev=None, gmc_valid=None):
+        """Shared tracker/geometry tail of the full AND coast steps
+        (traced inside both): detections → (ids, dist, speed,
+        last_gray). Keeping one implementation means a sort_step
+        contract change cannot silently diverge the coasted frames'
+        outputs from the full ones."""
+        last_gray = None
+        if self.track_enabled:
+            feed = [boxes, cls_id, conf, valid, ts]
+            needs_emb = getattr(sort_step, "needs_embeddings", False)
+            if needs_emb:
+                # re-id backend (deepsort/botsort): per-det appearance
+                # descriptors, computed on device from the RAW frames
+                # (stable across preprocess settings; proc may not even
+                # exist on the sampled path)
+                feed.append(jax.vmap(self._embed_fn)(frames_u8,
+                                                     boxes, valid))
+            use_gmc = gmc_prev is not None
+            if use_gmc:
+                # camera-motion compensation: device phase correlation
+                # between consecutive gray thumbnails
+                from ..track.gmc import (GMC_SIZE, batch_shifts,
+                                         gray_thumbnail)
+                grays = jax.vmap(gray_thumbnail)(frames_u8)
+                sx = max(1, w // GMC_SIZE)
+                sy = max(1, frames_u8.shape[1] // GMC_SIZE)
+                feed.append(batch_shifts(gmc_prev, grays, gmc_valid,
+                                         (sx, sy)))
+                last_gray = grays[-1]
+
+            def body(st, frame):
+                fb, fc, fcf, fv, ft, *rest = frame
+                it = iter(rest)
+                fe = next(it) if needs_emb else None
+                fs = next(it) if use_gmc else None
+                return sort_step(st, fb, fc, fcf, fv, ft, proj, fe, fs)
+            sort_state, outs = jax.lax.scan(body, sort_state,
+                                            tuple(feed))
+            return (outs.track_id, outs.distance_m, outs.speed_kmh,
+                    last_gray, sort_state)
+        ids = jnp.zeros((b, max_det), jnp.int32)
+        if proj is not None:
+            # projector-only distance (main_preview.py:105-109)
+            h_mat, origin, maxd = proj
+            ground, gvalid = project_boxes_device(h_mat, boxes)
+            dist = distance_device(ground, gvalid & valid, origin, maxd)
+        else:
+            dist = jnp.full((b, max_det), jnp.nan)
+        speed = jnp.full((b, max_det), jnp.nan)
+        return ids, dist, speed, None, sort_state
 
     def build_raw_step(self, shape: Tuple[int, int, int],
                        want_proc: bool = True):
@@ -397,51 +474,20 @@ class PipelineEngine:
             if tiled is None:
                 boxes = scale_boxes(boxes, ratio, pad, (h, w))
 
-            last_gray = None
-            if track:
-                feed = [boxes, cls_id, conf, valid, ts]
-                needs_emb = getattr(sort_step, "needs_embeddings", False)
-                if needs_emb:
-                    # re-id backend (deepsort/botsort): per-det
-                    # appearance descriptors, computed on device from
-                    # the RAW frames (stable across preprocess settings;
-                    # proc may not even exist on the sampled path);
-                    # grid descriptor or learned net per config
-                    feed.append(jax.vmap(self._embed_fn)(frames_u8,
-                                                         boxes, valid))
-                use_gmc = gmc_prev is not None
-                if use_gmc:
-                    # camera-motion compensation: device phase
-                    # correlation between consecutive gray thumbnails
-                    from ..track.gmc import (GMC_SIZE, batch_shifts,
-                                             gray_thumbnail)
-                    grays = jax.vmap(gray_thumbnail)(frames_u8)
-                    sx = max(1, w // GMC_SIZE)
-                    sy = max(1, h // GMC_SIZE)
-                    feed.append(batch_shifts(gmc_prev, grays, gmc_valid,
-                                             (sx, sy)))
-                    last_gray = grays[-1]
-
-                def body(st, frame):
-                    fb, fc, fcf, fv, ft, *rest = frame
-                    it = iter(rest)
-                    fe = next(it) if needs_emb else None
-                    fs = next(it) if use_gmc else None
-                    return sort_step(st, fb, fc, fcf, fv, ft, proj,
-                                     fe, fs)
-                sort_state, outs = jax.lax.scan(body, sort_state,
-                                                tuple(feed))
-                ids, dist, speed = outs.track_id, outs.distance_m, outs.speed_kmh
-            else:
-                ids = jnp.zeros((b, det.max_det), jnp.int32)
-                if proj is not None:
-                    # projector-only distance (main_preview.py:105-109)
-                    h_mat, origin, maxd = proj
-                    ground, gvalid = project_boxes_device(h_mat, boxes)
-                    dist = distance_device(ground, gvalid & valid, origin, maxd)
-                else:
-                    dist = jnp.full((b, det.max_det), jnp.nan)
-                speed = jnp.full((b, det.max_det), jnp.nan)
+            gate_on = self._gate_cfg is not None
+            if gate_on and gmc_prev is None:
+                # direct raw_step callers (bench scan) pass no carry:
+                # score against an unknown past (never gates)
+                from ..track.gmc import GMC_SIZE
+                gmc_prev = jnp.zeros((GMC_SIZE, GMC_SIZE), jnp.float32)
+                gmc_valid = jnp.float32(0.0)
+            # gate and gmc are mutually exclusive (validated at init),
+            # so the carry slots mean gmc thumbnails unless gating
+            ids, dist, speed, last_gray, sort_state = self._dets_tail(
+                b, det.max_det, w, proj, sort_step, sort_state,
+                boxes, conf, cls_id, valid, ts, frames_u8,
+                gmc_prev=None if gate_on else gmc_prev,
+                gmc_valid=None if gate_on else gmc_valid)
 
             # returning the processed frames costs a (B,H,W,3) device→host
             # transfer; skip it when the caller only needs detections
@@ -451,12 +497,11 @@ class PipelineEngine:
                 outs = outs + (extra,)
             if last_gray is not None:   # GMC thumbnail carry
                 return out_frames, outs, sort_state, last_gray
-            if self._gate_cfg is not None:
-                # motion score rides the step (a separate probe dispatch
-                # costs a full tunnel round trip per batch — measured
-                # net-negative on a high-latency attach)
+            if gate_on:
+                # motion (score, thumbnail carry) ride the step — the
+                # carry slots hold the previous batch's thumbnail here
                 return out_frames, outs, sort_state, \
-                    _motion_score(frames_u8)
+                    _motion_score(frames_u8, gmc_prev, gmc_valid)
             return out_frames, outs, sort_state
 
         return step
@@ -501,45 +546,23 @@ class PipelineEngine:
         det = self.detector
         sort_step = self._sort_step
         proj = self.projector.device_params() if self.projector else None
-        track = self.track_enabled
         max_det = det.max_det
 
         def step(params, sort_state, frames_u8, ts,
-                 boxes1, conf1, cls1, valid1):
+                 boxes1, conf1, cls1, valid1, prev_thumb, prev_valid):
             proc = frames_u8 if pre.identity else pre._batch_fn(frames_u8)
             boxes = jnp.broadcast_to(boxes1[None], (b, max_det, 4))
             conf = jnp.broadcast_to(conf1[None], (b, max_det))
             cls_id = jnp.broadcast_to(cls1[None], (b, max_det))
             valid = jnp.broadcast_to(valid1[None], (b, max_det))
-            if track:
-                feed = [boxes, cls_id, conf, valid, ts]
-                needs_emb = getattr(sort_step, "needs_embeddings", False)
-                if needs_emb:
-                    feed.append(jax.vmap(self._embed_fn)(frames_u8,
-                                                         boxes, valid))
-
-                def body(st, frame):
-                    fb, fc, fcf, fv, ft, *rest = frame
-                    fe = rest[0] if needs_emb else None
-                    return sort_step(st, fb, fc, fcf, fv, ft, proj,
-                                     fe, None)
-                sort_state, outs = jax.lax.scan(body, sort_state,
-                                                tuple(feed))
-                ids, dist, speed = (outs.track_id, outs.distance_m,
-                                    outs.speed_kmh)
-            else:
-                ids = jnp.zeros((b, max_det), jnp.int32)
-                if proj is not None:
-                    h_mat, origin, maxd = proj
-                    ground, gvalid = project_boxes_device(h_mat, boxes)
-                    dist = distance_device(ground, gvalid & valid,
-                                           origin, maxd)
-                else:
-                    dist = jnp.full((b, max_det), jnp.nan)
-                speed = jnp.full((b, max_det), jnp.nan)
+            ids, dist, speed, _, sort_state = self._dets_tail(
+                b, max_det, w, proj, sort_step, sort_state,
+                boxes, conf, cls_id, valid, ts, frames_u8)
             out_frames = proc if want_proc else jnp.zeros((), jnp.uint8)
-            return out_frames, (boxes, conf, cls_id, valid, ids, dist,
-                                speed), sort_state, _motion_score(frames_u8)
+            return (out_frames,
+                    (boxes, conf, cls_id, valid, ids, dist, speed),
+                    sort_state,
+                    _motion_score(frames_u8, prev_thumb, prev_valid))
 
         return step
 
@@ -568,11 +591,34 @@ class PipelineEngine:
             and self._gate_score < gate["thresh"] \
             and self._gate_skips < gate["max_skip"] \
             and self._gate_dets is not None
-        if coasted:
-            step = self._coast_for((b, h, w), want_proc)
-            proc, det_arrays, self.sort_state, score_dev = step(
-                params, self.sort_state, dev, jnp.asarray(ts_rel),
-                *self._gate_dets)
+        if gate is not None:
+            from ..track.gmc import GMC_SIZE
+            prev = self._gate_thumb if self._gate_thumb is not None \
+                else jnp.zeros((GMC_SIZE, GMC_SIZE), jnp.float32)
+            pvalid = jnp.float32(0.0 if self._gate_thumb is None else 1.0)
+            if coasted:
+                step = self._coast_for((b, h, w), want_proc)
+                proc, det_arrays, self.sort_state, \
+                    (score_dev, self._gate_thumb) = step(
+                        params, self.sort_state, dev, jnp.asarray(ts_rel),
+                        *self._gate_dets, prev, pvalid)
+                # skip accounting at DISPATCH time: in the pipelined
+                # stream, collect-time accounting lags one batch and
+                # overshoots the budget by one
+                self._gate_skips += 1
+                self.gate_frames_coasted += b
+            else:
+                step = self._step_for((b, h, w), want_proc)
+                proc, det_arrays, self.sort_state, \
+                    (score_dev, self._gate_thumb) = step(
+                        params, self.sort_state, dev, jnp.asarray(ts_rel),
+                        prev, pvalid)
+                self._gate_skips = 0
+                # the reusable set: the final frame's detections, kept
+                # ON DEVICE (slicing the async output handles — no
+                # host round trip)
+                self._gate_dets = tuple(a[b - 1] for a in det_arrays[:4])
+            # the policy score is read on the host at collect time
         elif self.gmc_enabled:
             from ..track.gmc import GMC_SIZE
             step = self._step_for((b, h, w), want_proc)
@@ -582,16 +628,12 @@ class PipelineEngine:
             proc, det_arrays, self.sort_state, self._gmc_prev = step(
                 params, self.sort_state, dev, jnp.asarray(ts_rel),
                 prev, valid)
-        elif gate is not None:
-            step = self._step_for((b, h, w), want_proc)
-            proc, det_arrays, self.sort_state, score_dev = step(
-                params, self.sort_state, dev, jnp.asarray(ts_rel))
         else:
             step = self._step_for((b, h, w), want_proc)
             proc, det_arrays, self.sort_state = step(
                 params, self.sort_state, dev, jnp.asarray(ts_rel))
         return (frames, timestamps, proc, det_arrays, want_proc,
-                ((b, h, w), want_proc), score_dev, coasted)
+                ((b, h, w), want_proc, coasted), score_dev, coasted)
 
     def collect_batch(self, inflight) -> List[FrameResult]:
         """Block until an in-flight batch completes; unpack results."""
@@ -619,17 +661,9 @@ class PipelineEngine:
             self._warmed.add(key)
 
         if score_dev is not None:
-            # gate bookkeeping: the score of THIS batch gates a later
-            # dispatch; a full batch refreshes the reusable detections
-            # (final frame's set, kept on device for the coast step)
+            # the score of THIS batch gates a later dispatch (all other
+            # gate bookkeeping happens at dispatch time)
             self._gate_score = float(np.asarray(score_dev))
-            if coasted:
-                self._gate_skips += 1
-                self.gate_frames_coasted += b
-            else:
-                self._gate_skips = 0
-                self._gate_dets = tuple(jnp.asarray(a[b - 1])
-                                        for a in arrays[:4])
 
         if self.detector is not None:
             names = [self.detector.names.get(i, str(i))
@@ -730,10 +764,13 @@ class PipelineEngine:
         self._gmc_prev = None
         self._t0 = None
         # a new stream must not coast on the previous stream's
-        # detections or motion score
+        # detections or motion score; the coast counter reports
+        # per-stream
         self._gate_score = None
         self._gate_skips = 0
         self._gate_dets = None
+        self._gate_thumb = None
+        self.gate_frames_coasted = 0
 
     def save_state(self, path) -> None:
         """Checkpoint the device-resident stream state — the full

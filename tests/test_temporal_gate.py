@@ -2,10 +2,12 @@
 
 On near-static scenes the engine skips the detector forward and coasts
 the tracker on the last detections (runtime/engine.py build_coast_step —
-the "Fast YOLO" pattern, PAPERS.md). Pinned here: the probe gates static
-batches and never gates moving ones, identities persist through
-coasting, the skip budget forces periodic full batches, and the config
-validation rejects unsupported combinations.
+the "Fast YOLO" pattern, PAPERS.md). Pinned here: static batches coast
+and the skip budget forces refreshes (bounded even in the PIPELINED
+dispatch/collect interleaving), whole-frame AND small localized motion
+both block gating, batch-boundary motion is seen via the thumbnail
+carry, identities persist through coasting, and the config validation
+rejects unsupported combinations.
 """
 import numpy as np
 import pytest
@@ -13,7 +15,7 @@ import pytest
 from roadvision_tpu.runtime.engine import PipelineEngine
 
 
-def _engine(extra_detect=None, extra_tracking=None):
+def _engine(extra_detect=None, extra_tracking=None, batch=2):
     det = {"enabled": True, "model": "missing.pt", "imgsz": 64,
            "conf_thres": 1e-6, "max_det": 8, "device": "cpu",
            "temporal_gate": {"enable": True, "max_skip_batches": 3}}
@@ -22,7 +24,7 @@ def _engine(extra_detect=None, extra_tracking=None):
     trk.update(extra_tracking or {})
     return PipelineEngine({"detect": det, "tracking": trk,
                            "preprocess": {"enabled": False},
-                           "tpu": {"batch_size": 2}})
+                           "tpu": {"batch_size": batch}})
 
 
 def _batches(n, move=False, seed=0, b=2, h=48, w=64):
@@ -37,8 +39,8 @@ def _batches(n, move=False, seed=0, b=2, h=48, w=64):
                 frames.append(np.roll(base, shift, axis=1))
             else:
                 frames.append(base)
-        ts = np.array([t, t + 0.033])
-        t += 0.066
+        ts = t + np.arange(b) / 30.0
+        t += b / 30.0
         yield np.stack(frames), ts
 
 
@@ -69,6 +71,27 @@ def test_static_scene_coasts_and_refreshes():
             assert ids == id_sets[0]
 
 
+def test_pipelined_skip_budget_is_exact():
+    """The stream()-shaped interleaving (dispatch i+1 before collect i)
+    must not overshoot max_skip_batches — skip accounting happens at
+    dispatch time."""
+    eng = _engine()
+    coast_flags = []
+    inflight = None
+    for frames, ts in _batches(10):
+        nxt = eng.dispatch_batch(frames, ts, want_proc=False)
+        coast_flags.append(nxt[7])
+        if inflight is not None:
+            eng.collect_batch(inflight)
+        inflight = nxt
+    eng.collect_batch(inflight)
+    run = 0
+    for c in coast_flags:
+        run = run + 1 if c else 0
+        assert run <= 3
+    assert any(coast_flags)
+
+
 def test_moving_scene_never_coasts():
     eng = _engine()
     for frames, ts in _batches(4, move=True):
@@ -76,12 +99,74 @@ def test_moving_scene_never_coasts():
     assert eng.gate_frames_coasted == 0
 
 
-def test_single_frame_batches_never_coast():
+def test_small_localized_motion_blocks_gating():
+    """A distant mover covering a tiny fraction of the frame must still
+    block the gate — the probe scores blockwise, not as a whole-frame
+    mean that would dilute it to nothing."""
     eng = _engine()
+    rng = np.random.RandomState(3)
+    h, w = 128, 128
+    base = rng.randint(0, 255, (h, w, 3), np.uint8)
+    t = 0.0
+    for i in range(4):
+        frames = []
+        for j in range(2):
+            f = base.copy()
+            x = 8 + (i * 2 + j) * 6     # 16x16-px patch sliding right
+            f[56:72, x:x + 16] = 255
+            frames.append(f)
+        eng.process_batch(np.stack(frames), t + np.arange(2) / 30.0)
+        t += 2 / 30.0
+    assert eng.gate_frames_coasted == 0
+
+
+def test_batch_boundary_motion_bounded_by_carry():
+    """Content constant WITHIN each batch but changing BETWEEN batches:
+    without the cross-batch thumbnail carry every score would be zero
+    and the gate would coast through all of it. With the carry, the
+    change is seen one batch later, so at most the first transition
+    coasts before the scores pin the gate open."""
+    eng = _engine()
+    rng = np.random.RandomState(4)
+    scenes = [rng.randint(0, 255, (48, 64, 3), np.uint8)
+              for _ in range(6)]
+    t = 0.0
+    prev = 0
+    coasted_per_batch = []
+    for i, scene in enumerate(scenes):
+        frames = np.stack([scene, scene])
+        eng.process_batch(frames, t + np.arange(2) / 30.0)
+        t += 2 / 30.0
+        coasted_per_batch.append(eng.gate_frames_coasted - prev)
+        prev = eng.gate_frames_coasted
+    # exactly the first post-score batch may coast (its own boundary
+    # score then exposes the change); afterwards never again
+    assert sum(1 for c in coasted_per_batch if c > 0) <= 1
+    assert all(c == 0 for c in coasted_per_batch[2:])
+
+
+def test_single_frame_batches_gate_via_carry():
+    """Batch size 1 has no within-batch pair; the carried thumbnail
+    supplies the boundary pair, so static single-frame streams still
+    gate (and the very first batches, with no history, never do)."""
+    eng = _engine(batch=1)
     rng = np.random.RandomState(0)
     frame = rng.randint(0, 255, (1, 48, 64, 3), np.uint8)
-    for i in range(3):
-        eng.process_batch(frame, np.array([i * 0.033]))
+    for i in range(5):
+        eng.process_batch(frame, np.array([i / 30.0]))
+    assert eng.gate_frames_coasted > 0
+
+
+def test_reset_clears_gate_state():
+    eng = _engine()
+    for frames, ts in _batches(4):
+        eng.process_batch(frames, ts)
+    assert eng.gate_frames_coasted > 0
+    eng.reset()
+    assert eng.gate_frames_coasted == 0
+    # the first post-reset batches cannot coast on the dead stream
+    for frames, ts in _batches(1, seed=9):
+        eng.process_batch(frames, ts)
     assert eng.gate_frames_coasted == 0
 
 
