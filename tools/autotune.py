@@ -230,13 +230,22 @@ def main(argv=None) -> int:
             report["sweeps"][name] = decide(name, trials, args.tie_pct)
         recommend(report)
 
+    if args.quick:
+        # measured (480p, 2 iters): quick winners do NOT transfer to the
+        # deployment shape — chunk-16/int8-static "won" at 480p and lost
+        # 602 → 533 fps at the 1080p headline. Quick smokes the harness.
+        report["smoke"] = True
     out = json.dumps(report, indent=2)
     print(out)
     Path(args.out).write_text(out + "\n")
     print(f"[autotune] wrote {args.out}", file=sys.stderr)
     changed = [n for n, s in report["sweeps"].items()
                if s["winner"] is not None and not s["matches_pinned"]]
-    if changed:
+    if args.quick and changed:
+        print("[autotune] QUICK-MODE smoke at small shapes — winners do "
+              "not transfer to the deployment resolution; re-run without "
+              "--quick before applying anything", file=sys.stderr)
+    elif changed:
         print(f"[autotune] winners differ from pinned defaults for: "
               f"{', '.join(changed)} — apply the recommended section",
               file=sys.stderr)
