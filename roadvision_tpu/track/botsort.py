@@ -139,7 +139,9 @@ class BotSortTracker(ByteTracker):
     def __init__(self, cfg: dict):
         import jax
 
-        super().__init__(cfg)
+        # parse the ByteTrack knobs WITHOUT building (and discarding)
+        # the ByteTrack step
+        self._parse(cfg)
         self._step = jax.jit(make_botsort_step(
             self.max_staleness, self.speed_window,
             track_high_thresh=self.track_high_thresh,
@@ -149,4 +151,8 @@ class BotSortTracker(ByteTracker):
             second_match_iou=self.second_match_iou,
             app_weight=float(cfg.get("app_weight", 0.5)),
             app_thresh=float(cfg.get("app_thresh", 0.6)),
-            rescue_iou=float(cfg.get("rescue_iou", 0.02))))
+            rescue_iou=float(cfg.get("rescue_iou", 0.02)),
+            nsa=self.nsa))
+        from .sort_tpu import init_state
+        self._state = init_state(self.track_slots)
+        self._t0 = None

@@ -116,22 +116,11 @@ class ByteTracker(SortTracker):
     with ``track_id=None`` — callers that only trust tracked objects
     filter on that, exactly as with SORT's unmatched dets."""
 
-    def __init__(self, cfg: dict):
-        import jax
-
-        self.max_staleness = float(cfg.get("max_staleness", 1.0))
-        self.min_hits = int(cfg.get("min_hits", 3))
-        self.speed_window = float(cfg.get("speed_window", 0.75))
-        self.det_capacity = int(cfg.get("det_capacity", 100))
-        slots_cfg = cfg.get("track_slots")
-        self.track_slots = int(slots_cfg) if slots_cfg else \
-            max(64, self.det_capacity)
-        if self.track_slots < self.det_capacity:
-            import warnings
-            warnings.warn(
-                f"track_slots={self.track_slots} < det_capacity="
-                f"{self.det_capacity}: bursts of new objects will "
-                f"silently drop tracks", stacklevel=2)
+    def _parse(self, cfg: dict) -> None:
+        """Config parsing alone (no step build) — BotSortTracker reuses
+        these knobs for its own step."""
+        from .sort_tracker import parse_common_cfg
+        parse_common_cfg(self, cfg)
         self.track_high_thresh = float(cfg.get("track_high_thresh", 0.5))
         self.track_low_thresh = float(cfg.get("track_low_thresh", 0.1))
         self.new_track_thresh = float(cfg.get("new_track_thresh", 0.6))
@@ -140,13 +129,19 @@ class ByteTracker(SortTracker):
         self.match_iou = float(cfg.get("match_iou",
                                        cfg.get("iou_threshold", 0.3)))
         self.second_match_iou = float(cfg.get("second_match_iou", 0.5))
+
+    def __init__(self, cfg: dict):
+        import jax
+
+        self._parse(cfg)
         self._step = jax.jit(make_byte_step(
             self.max_staleness, self.speed_window,
             track_high_thresh=self.track_high_thresh,
             track_low_thresh=self.track_low_thresh,
             new_track_thresh=self.new_track_thresh,
             match_iou=self.match_iou,
-            second_match_iou=self.second_match_iou))
+            second_match_iou=self.second_match_iou,
+            nsa=self.nsa))
         from .sort_tpu import init_state
         self._state = init_state(self.track_slots)
         self._t0 = None

@@ -99,20 +99,15 @@ class DeepSortTracker(SortTracker):
     def __init__(self, cfg: dict):
         import jax
 
-        self.max_staleness = float(cfg.get("max_staleness", 1.0))
-        self.min_hits = int(cfg.get("min_hits", 3))
-        self.speed_window = float(cfg.get("speed_window", 0.75))
-        self.det_capacity = int(cfg.get("det_capacity", 100))
-        slots_cfg = cfg.get("track_slots")
-        self.track_slots = int(slots_cfg) if slots_cfg else \
-            max(64, self.det_capacity)
-        self.iou_threshold = float(cfg.get("iou_threshold", 0.3))
+        from .sort_tracker import parse_common_cfg
+        parse_common_cfg(self, cfg)   # incl. nsa default on "strongsort"
         self._step = jax.jit(make_deepsort_step(
             self.iou_threshold, self.max_staleness, self.speed_window,
             app_weight=float(cfg.get("app_weight", 0.5)),
             app_thresh=float(cfg.get("app_thresh", 0.6)),
             rescue_iou=float(cfg.get("rescue_iou", 0.02)),
-            new_track_thresh=float(cfg.get("new_track_thresh", 0.6))))
+            new_track_thresh=float(cfg.get("new_track_thresh", 0.6)),
+            nsa=self.nsa))
         from .sort_tpu import init_state
         self._state = init_state(self.track_slots)
         self._t0 = None

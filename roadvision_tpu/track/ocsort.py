@@ -195,20 +195,8 @@ class OcSortTracker(SortTracker):
     def __init__(self, cfg: dict):
         import jax
 
-        self.max_staleness = float(cfg.get("max_staleness", 1.0))
-        self.min_hits = int(cfg.get("min_hits", 3))
-        self.iou_threshold = float(cfg.get("iou_threshold", 0.3))
-        self.speed_window = float(cfg.get("speed_window", 0.75))
-        self.det_capacity = int(cfg.get("det_capacity", 100))
-        slots_cfg = cfg.get("track_slots")
-        self.track_slots = int(slots_cfg) if slots_cfg else \
-            max(64, self.det_capacity)
-        if self.track_slots < self.det_capacity:
-            import warnings
-            warnings.warn(
-                f"track_slots={self.track_slots} < det_capacity="
-                f"{self.det_capacity}: bursts of new objects will "
-                f"silently drop tracks", stacklevel=2)
+        from .sort_tracker import parse_common_cfg
+        parse_common_cfg(self, cfg)
         self.vdc_weight = float(cfg.get("vdc_weight", 0.2))
         ocr = cfg.get("ocr_iou")
         self.ocr_iou = float(ocr) if ocr is not None else self.iou_threshold
@@ -219,7 +207,7 @@ class OcSortTracker(SortTracker):
             self.iou_threshold, self.max_staleness, self.speed_window,
             vdc_weight=self.vdc_weight, ocr_iou=self.ocr_iou,
             use_ocr=self.use_ocr, oru_steps=self.oru_steps,
-            new_track_thresh=self.new_track_thresh))
+            new_track_thresh=self.new_track_thresh, nsa=self.nsa))
         from .sort_tpu import init_state
         self._state = init_state(self.track_slots)
         self._t0 = None

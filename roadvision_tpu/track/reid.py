@@ -103,11 +103,22 @@ def save_reid_params(path, params: ReidParams) -> None:
 def load_reid_params(path) -> ReidParams:
     with np.load(path) as z:
         params = {k: jnp.asarray(z[k]) for k in z.files}
-    missing = {f"w{i}" for i in range(1, len(_CHANNELS) + 1)} | {"wd", "bd"}
+    missing = {f"w{i}" for i in range(1, len(_CHANNELS) + 1)} \
+        | {f"b{i}" for i in range(1, len(_CHANNELS) + 1)} | {"wd", "bd"}
     missing -= set(params)
     if missing:
+        # biases included: a half-valid file must fail HERE, inside the
+        # engine's soft-fail construction guard, not as a KeyError in
+        # the first streamed frame's trace
         raise ValueError(f"re-id weights {path}: missing arrays "
                          f"{sorted(missing)}")
+    for i in range(1, len(_CHANNELS) + 1):
+        if params[f"w{i}"].ndim != 4 or params[f"b{i}"].ndim != 1 \
+                or params[f"w{i}"].shape[-1] != params[f"b{i}"].shape[0]:
+            raise ValueError(
+                f"re-id weights {path}: w{i}/b{i} shapes "
+                f"{params[f'w{i}'].shape}/{params[f'b{i}'].shape} are not "
+                f"a conv kernel + matching bias")
     if params["wd"].shape[-1] != EMB_DIM:
         raise ValueError(
             f"re-id weights {path}: output width "

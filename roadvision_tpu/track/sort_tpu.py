@@ -52,9 +52,21 @@ HISTORY = 32  # position history capacity (reference caps at 32, :158-159)
 STATE_DIM = 7
 MEAS_DIM = 4
 # appearance-descriptor width (track/appearance.py; plain int here to
-# keep this module import-light)
+# keep this module import-light — the import-time assert below pins the
+# two constants together so an EMB_GRID change cannot surface as an
+# opaque shape error deep inside the traced step)
 _EMB_DIM = 108
 APP_EMA = 0.9  # matched-track appearance EMA factor (DeepSORT-style)
+
+
+def _check_emb_dim() -> None:
+    from .appearance import EMB_DIM
+    assert EMB_DIM == _EMB_DIM, (
+        f"appearance.EMB_DIM={EMB_DIM} != sort_tpu._EMB_DIM={_EMB_DIM}: "
+        f"update both (SortState.app width must match the descriptor)")
+
+
+_check_emb_dim()
 
 _R = jnp.diag(jnp.array([1.0, 1.0, 10.0, 10.0], jnp.float32))
 _P0 = jnp.diag(jnp.array([10.0, 10.0, 10.0, 10.0, 1e4, 1e4, 1e4], jnp.float32))

@@ -24,28 +24,43 @@ from .base import Tracker
 from .sort_tpu import SortState, init_state, make_sort_step
 
 
+def parse_common_cfg(tracker, cfg: dict) -> None:
+    """Shared host-Tracker config parsing — ONE implementation so the
+    slot-capacity warning and the NSA default cannot drift between the
+    backend classes (they did: deepsort silently dropped both).
+
+    Sets max_staleness / min_hits / iou_threshold / speed_window /
+    det_capacity / track_slots (+ the under-provisioned warning) and
+    ``nsa`` with the same default rule as ``build_device_step`` (on for
+    the strongsort preset), so the host list API and the fused engine
+    path read a config identically.
+    """
+    tracker.max_staleness = float(cfg.get("max_staleness", 1.0))
+    tracker.min_hits = int(cfg.get("min_hits", 3))
+    tracker.iou_threshold = float(cfg.get("iou_threshold", 0.3))
+    tracker.speed_window = float(cfg.get("speed_window", 0.75))
+    tracker.det_capacity = int(cfg.get("det_capacity", 100))
+    # auto-size slots to the detection capacity (the reference tracker
+    # grows unbounded; fewer slots than concurrent dets drops tracks)
+    slots_cfg = cfg.get("track_slots")
+    tracker.track_slots = int(slots_cfg) if slots_cfg else \
+        max(64, tracker.det_capacity)
+    if tracker.track_slots < tracker.det_capacity:
+        import warnings
+        warnings.warn(
+            f"track_slots={tracker.track_slots} < det_capacity="
+            f"{tracker.det_capacity}: bursts of new objects will "
+            f"silently drop tracks", stacklevel=3)
+    backend = str(cfg.get("backend") or "").lower()
+    tracker.nsa = bool(cfg.get("nsa", backend == "strongsort"))
+
+
 class SortTracker(Tracker):
     def __init__(self, cfg: dict):
-        self.max_staleness = float(cfg.get("max_staleness", 1.0))
-        self.min_hits = int(cfg.get("min_hits", 3))
-        self.iou_threshold = float(cfg.get("iou_threshold", 0.3))
-        self.speed_window = float(cfg.get("speed_window", 0.75))
-        self.det_capacity = int(cfg.get("det_capacity", 100))
-        # auto-size slots to the detection capacity (the reference tracker
-        # grows unbounded; fewer slots than concurrent dets drops tracks)
-        slots_cfg = cfg.get("track_slots")
-        self.track_slots = int(slots_cfg) if slots_cfg else \
-            max(64, self.det_capacity)
-        if self.track_slots < self.det_capacity:
-            import warnings
-            warnings.warn(
-                f"track_slots={self.track_slots} < det_capacity="
-                f"{self.det_capacity}: bursts of new objects will "
-                f"silently drop tracks", stacklevel=2)
+        parse_common_cfg(self, cfg)
         self.association = str(cfg.get("association", "greedy"))
         # one jitted step serves both paths: jax.jit specializes on the
         # proj pytree structure (None vs (H, origin, maxd))
-        self.nsa = bool(cfg.get("nsa", False))
         self._step = jax.jit(make_sort_step(
             self.iou_threshold, self.max_staleness, self.speed_window,
             self.min_hits, association=self.association,

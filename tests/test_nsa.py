@@ -156,3 +156,30 @@ def test_strongsort_preset():
     eng = PipelineEngine({**base, "tracking": {
         "enabled": True, "backend": "deepsort"}})
     assert not eng.gmc_enabled
+
+
+def test_host_trackers_honor_nsa_like_device_path():
+    """The host list-API trackers must read tracking.nsa with the same
+    default rule as build_device_step (on for the strongsort preset) —
+    they silently dropped it before, so the same config produced
+    different Kalman gains on the two paths."""
+    from roadvision_tpu.track.registry import build_tracker
+    assert build_tracker({"backend": "strongsort"}).nsa
+    assert not build_tracker({"backend": "deepsort"}).nsa
+    assert not build_tracker({"backend": "sort"}).nsa
+    for backend in ("sort", "bytetrack", "ocsort", "deepsort", "botsort"):
+        assert build_tracker({"backend": backend, "nsa": True}).nsa, backend
+    assert not build_tracker({"backend": "strongsort", "nsa": False}).nsa
+
+
+def test_host_trackers_all_warn_on_underprovisioned_slots():
+    import warnings as _w
+    from roadvision_tpu.track.registry import build_tracker
+    for backend in ("sort", "bytetrack", "ocsort", "deepsort", "botsort",
+                    "strongsort"):
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            build_tracker({"backend": backend, "track_slots": 4,
+                           "det_capacity": 16})
+        assert any("silently drop tracks" in str(c.message)
+                   for c in caught), backend

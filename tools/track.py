@@ -53,8 +53,9 @@ def main(argv=None) -> int:
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--conf", type=float, default=None)
+    from roadvision_tpu.track.registry import BACKENDS
     ap.add_argument("--backend", default=None,
-                    choices=["sort", "bytetrack", "ocsort"],
+                    choices=sorted(BACKENDS),
                     help="override tracking.backend")
     ap.add_argument("--record", default=None,
                     help="also write an annotated video here")
