@@ -68,7 +68,11 @@ DEFAULTS: Dict[str, Any] = {
                    # overlapping native-res crops + optional full-frame
                    # pass, merged by one global NMS; detect task only
                    tiling=dict(enable=False, tile=640, overlap=0.25,
-                               full_frame=True)),
+                               full_frame=True),
+                   # test-time augmentation (ops/tta.py): ultralytics'
+                   # predict(augment=True) — 3 scaled/mirrored passes,
+                   # one merged NMS; accuracy-over-speed, detect task only
+                   tta=False),
     "tracking": dict(enabled=False, backend="sort", max_staleness=1.0,
                      min_hits=3, iou_threshold=0.3, speed_window=0.75,
                      association="greedy",

@@ -60,6 +60,10 @@ class RTDETRJax(Detector):
             raise ValueError("detect.tiling supports the YOLO detect task "
                              "only (rtdetr queries have no defined "
                              "cross-tile merge)")
+        if cfg.get("tta"):
+            raise ValueError("detect.tta supports the YOLO detect task "
+                             "only (rtdetr's set prediction has no "
+                             "anchor-level augmented merge)")
 
         model_ref = cfg.get("model", "rtdetr-l.pt")
         if str(model_ref).endswith(".onnx"):

@@ -130,6 +130,16 @@ class YOLOJax(Detector):
                 tile=int(tcfg.get("tile", self.imgsz)),
                 overlap=float(tcfg.get("overlap", 0.25)),
                 full_frame=bool(tcfg.get("full_frame", True)))
+        # test-time augmentation (ops/tta.py): the ultralytics
+        # predict(augment=True) surface — accuracy-over-speed knob
+        self.tta = bool(cfg.get("tta", False))
+        if self.tta and self.task != "detect":
+            raise ValueError(f"detect.tta supports the detect task only "
+                             f"(got '{self.task}') — the augmented "
+                             f"candidate merge is box/score-level")
+        if self.tta and self.tile_cfg:
+            raise ValueError("detect.tta and detect.tiling are mutually "
+                             "exclusive (both multiply the candidate set)")
         self._jit_cache: Dict[Tuple[int, int, int], Any] = {}
 
     # ------------------------------------------------------------------
@@ -289,6 +299,24 @@ class YOLOJax(Detector):
                                  classes_keep=keep if keep else None)
 
             return functools.partial(run_tiled, params)
+
+        if self.tta:
+            from ..ops.tta import tta_candidates
+
+            @jax.jit
+            def run_tta(params, frames_u8):
+                imgs, ratio, pad = lbox(frames_u8)
+                boxes640, scores = tta_candidates(fwd, params, imgs)
+                # 3 augmented passes → up to 3 overlap duplicates per
+                # object pre-merge; pre_topk doubled like tiling
+                b, c, k, v = nms_batch(boxes640, scores, conf_thres=conf,
+                                       iou_thres=iou, max_det=max_det,
+                                       pre_topk=600,
+                                       classes_keep=keep if keep else None)
+                b = scale_boxes(b, ratio, pad, (h, w))
+                return b, c, k, v
+
+            return functools.partial(run_tta, params)
 
         @jax.jit
         def run(params, frames_u8):

@@ -57,6 +57,9 @@ def main(argv=None) -> int:
                     help="tiled small-object inference: crop size "
                          "(0 = off; detect task only)")
     ap.add_argument("--tile-overlap", type=float, default=0.25)
+    ap.add_argument("--tta", action="store_true",
+                    help="test-time augmentation (scales 1/0.83/0.67 + "
+                         "mirrored pass, one merged NMS; detect task only)")
     ap.add_argument("--mask-alpha", type=float, default=0.45)
     ap.add_argument("--json", action="store_true",
                     help="also write per-frame detections json")
@@ -70,7 +73,8 @@ def main(argv=None) -> int:
                           "compute_dtype": args.dtype, "task": args.task,
                           "tiling": {"enable": args.tile > 0,
                                      "tile": args.tile or 640,
-                                     "overlap": args.tile_overlap}})
+                                     "overlap": args.tile_overlap},
+                          "tta": args.tta})
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 

@@ -45,6 +45,9 @@ def main(argv=None) -> int:
                          "(0 = off; detect task only) — compare mAP "
                          "with/without tiling on the same data")
     ap.add_argument("--tile-overlap", type=float, default=0.25)
+    ap.add_argument("--tta", action="store_true",
+                    help="test-time augmentation — compare mAP with/"
+                         "without on the same data (detect task only)")
     args = ap.parse_args(argv)
 
     task = args.task
@@ -59,7 +62,8 @@ def main(argv=None) -> int:
                           "imgsz": args.imgsz, "classes_keep": [],
                           "tiling": {"enable": args.tile > 0,
                                      "tile": args.tile or 640,
-                                     "overlap": args.tile_overlap}})
+                                     "overlap": args.tile_overlap},
+                          "tta": args.tta})
     thresholds = [float(t) for t in args.iou_thres.split(",")]
 
     if task == "segment":
