@@ -198,3 +198,134 @@ class PipelinedYOLO:
         boxes = jnp.concatenate([o["boxes"] for o in outs])
         scores = jnp.concatenate([o["scores"] for o in outs])
         return boxes, scores
+
+
+# ---------------------------------------------------------------------------
+# RT-DETR pipeline — the heavy family (32M params) where pp matters most:
+# a v5e slice serves rtdetr-l with 1/S of the weights per chip instead of
+# dp's full replication. Same fine-stage/carry design as PipelinedYOLO;
+# the natural cuts are the model's own subsystem boundaries (HGNetv2
+# halves → hybrid encoder → deformable decoder).
+# ---------------------------------------------------------------------------
+
+def _rt_fine0(p, c, nc, dtype):
+    from ..models import rtdetr as rt
+    y = rt._hg_stem(p["stem"], c["x"], dtype)
+    for bi, blk in enumerate(p["s0"]):
+        y = rt._hg_block(blk, y, rt._L_STAGES[0][4], bi > 0, dtype)
+    y = rt._conv(y, p["d0"], stride=2, act=None, dtype=dtype)
+    for bi, blk in enumerate(p["s1"]):
+        y = rt._hg_block(blk, y, rt._L_STAGES[1][4], bi > 0, dtype)
+    return {"c3": y}
+
+
+def _rt_fine1(p, c, nc, dtype):
+    from ..models import rtdetr as rt
+    y = rt._conv(c["c3"], p["d1"], stride=2, act=None, dtype=dtype)
+    for bi, blk in enumerate(p["s2"]):
+        y = rt._hg_block(blk, y, rt._L_STAGES[2][4], bi > 0, dtype)
+    c4 = y
+    y = rt._conv(c4, p["d2"], stride=2, act=None, dtype=dtype)
+    for bi, blk in enumerate(p["s3"]):
+        y = rt._hg_block(blk, y, rt._L_STAGES[3][4], bi > 0, dtype)
+    return {"c3": c["c3"], "c4": c4, "c5": y}
+
+
+def _rt_fine2(p, c, nc, dtype):
+    from ..models import rtdetr as rt
+    f3, f4, f5 = rt.encoder_forward(p, c["c3"], c["c4"], c["c5"], dtype)
+    return {"f3": f3, "f4": f4, "f5": f5}
+
+
+def _rt_fine3(p, c, nc, dtype):
+    from ..models import rtdetr as rt
+    boxes, logits = rt.decoder_forward(p, [c["f3"], c["f4"], c["f5"]], nc)
+    cxy, wh = boxes[..., :2], boxes[..., 2:]
+    xyxy = jnp.concatenate([cxy - wh / 2, cxy + wh / 2], axis=-1)
+    return {"boxes": xyxy, "scores": jax.nn.sigmoid(logits)}
+
+
+_RT_FINE_FNS = (_rt_fine0, _rt_fine1, _rt_fine2, _rt_fine3)
+
+
+def _rt_stage_params(params) -> List[Dict[str, Any]]:
+    bk = params["backbone"]
+    return [
+        {"stem": bk["stem"], "s0": bk["stages"][0], "s1": bk["stages"][1],
+         "d0": bk["down"][0]},
+        {"s2": bk["stages"][2], "s3": bk["stages"][3],
+         "d1": bk["down"][1], "d2": bk["down"][2]},
+        params["enc"],
+        params["dec"],
+    ]
+
+
+class PipelinedRTDETR:
+    """RT-DETR forward split over ``n_stages`` devices (2 ≤ n ≤ 4).
+
+    Produces the same (boxes_xyxy normalized, scores) as the
+    single-device ``models.rtdetr.forward_rtdetr_raw`` — equivalence
+    asserted in tests/test_pipeline.py. Downstream top-k/rescale runs
+    wherever the caller runs it today (no NMS: set prediction).
+    """
+
+    def __init__(self, params: Dict[str, Any], nc: int = 80,
+                 n_stages: int = 2,
+                 devices: Optional[Sequence[jax.Device]] = None,
+                 microbatch: Optional[int] = None, dtype=jnp.float32):
+        if not 2 <= n_stages <= len(_RT_FINE_FNS):
+            raise ValueError(
+                f"n_stages={n_stages} unsupported (2..{len(_RT_FINE_FNS)})")
+        devices = list(devices) if devices is not None else jax.devices()
+        if len(devices) < n_stages:
+            raise ValueError(
+                f"pipeline needs {n_stages} devices, have {len(devices)}")
+        for key in ("backbone", "enc", "dec"):
+            if key not in params:
+                raise ValueError(f"param tree missing '{key}' "
+                                 "(PipelinedRTDETR wants the rtdetr pytree)")
+        self.nc = nc
+        self.n_stages = n_stages
+        self.microbatch = microbatch
+        self.devices = devices[:n_stages]
+
+        fine_params = _rt_stage_params(params)
+        weights = [_leaf_count(fp) for fp in fine_params]
+        self.groups = _balanced_groups(weights, n_stages)
+
+        self.stage_params: List[Any] = []
+        self.stage_fns = []
+        for gi, grp in enumerate(self.groups):
+            sub = {str(j): fine_params[j] for j in grp}
+            self.stage_params.append(jax.device_put(sub, self.devices[gi]))
+
+            def make_stage(grp=grp):
+                def run(p, c):
+                    for j in grp:
+                        c = _RT_FINE_FNS[j](p[str(j)], c, self.nc, dtype)
+                    return c
+                return jax.jit(run)
+
+            self.stage_fns.append(make_stage())
+
+    _pick_microbatch = PipelinedYOLO._pick_microbatch
+
+    def __call__(self, x) -> tuple:
+        """(B, H, W, 3) float [0,1] → (boxes_xyxy normalized (B,NQ,4),
+        scores (B,NQ,nc))."""
+        x = jnp.asarray(x)
+        mb = self._pick_microbatch(x.shape[0])
+        outs = []
+        for s in range(0, x.shape[0], mb):
+            carry: Any = {"x": jax.device_put(x[s:s + mb], self.devices[0])}
+            for i, (fn, sp) in enumerate(zip(self.stage_fns,
+                                             self.stage_params)):
+                if i:
+                    carry = jax.tree_util.tree_map(
+                        lambda a, d=self.devices[i]: jax.device_put(a, d),
+                        carry)
+                carry = fn(sp, carry)
+            outs.append(carry)
+        boxes = jnp.concatenate([o["boxes"] for o in outs])
+        scores = jnp.concatenate([o["scores"] for o in outs])
+        return boxes, scores

@@ -73,3 +73,38 @@ def test_needs_enough_devices(params):
     with pytest.raises(ValueError, match="devices"):
         PipelinedYOLO(params, "n", 80, n_stages=2,
                       devices=jax.devices()[:1])
+
+
+# --- RT-DETR pipeline (the 32M-param family where pp matters most) --------
+
+@pytest.fixture(scope="module")
+def rt_params():
+    from roadvision_tpu.models import rtdetr
+    return rtdetr.init_params_rtdetr(jax.random.PRNGKey(3), nc=7)
+
+
+@pytest.mark.parametrize("n_stages", [2, 4])
+def test_rtdetr_pipeline_matches_single_device(rt_params, n_stages):
+    from roadvision_tpu.models import rtdetr
+    from roadvision_tpu.parallel.pipeline import PipelinedRTDETR
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(2, 96, 96, 3), jnp.float32)
+    ref_boxes, ref_scores = rtdetr.forward_rtdetr_raw(rt_params, x, nc=7)
+    pipe = PipelinedRTDETR(rt_params, nc=7, n_stages=n_stages)
+    boxes, scores = pipe(x)
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(ref_boxes),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_scores),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_rtdetr_stage_params_on_distinct_devices(rt_params):
+    from roadvision_tpu.parallel.pipeline import PipelinedRTDETR
+    pipe = PipelinedRTDETR(rt_params, nc=7, n_stages=4)
+    devs = []
+    for sp in pipe.stage_params:
+        leaf_devs = {next(iter(l.sharding.device_set))
+                     for l in jax.tree_util.tree_leaves(sp)}
+        assert len(leaf_devs) == 1
+        devs.append(leaf_devs.pop())
+    assert len(set(devs)) == 4
