@@ -85,7 +85,15 @@ if __name__ == "__main__":
     ap.add_argument("--levels", default="light,medium,heavy")
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--device", default="auto", choices=["auto", "cpu"],
+                    help="cpu: force the host backend — this offline tool "
+                         "is many small ops, so a high-latency remote "
+                         "attach (per-dispatch round-trips) can be slower "
+                         "than the local CPU")
     args = ap.parse_args()
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     lv = [s.strip() for s in args.levels.split(",") if s.strip()]
     process_folder(args.input, args.output, lv, limit=(args.limit or None),
                    seed=args.seed)
