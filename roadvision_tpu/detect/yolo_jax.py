@@ -140,6 +140,15 @@ class YOLOJax(Detector):
         if self.tta and self.tile_cfg:
             raise ValueError("detect.tta and detect.tiling are mutually "
                              "exclusive (both multiply the candidate set)")
+        if self.tta and self.imgsz % 32 != 0:
+            # clip_bounds trims whole anchor LEVELS, which exist only when
+            # the canvas is a stride-32 multiple (ultralytics enforces the
+            # same via check_imgsz); rect letterbox rounds to 32 anyway,
+            # but rect:false builds an imgsz x imgsz canvas verbatim
+            raise ValueError(
+                f"detect.tta needs detect.imgsz to be a multiple of 32 "
+                f"(got {self.imgsz}): the augmented-pass anchor trim is "
+                f"level-aligned only on stride-32 canvases")
         self._jit_cache: Dict[Tuple[int, int, int], Any] = {}
 
     # ------------------------------------------------------------------
@@ -301,18 +310,14 @@ class YOLOJax(Detector):
             return functools.partial(run_tiled, params)
 
         if self.tta:
-            from ..ops.tta import tta_candidates
+            from ..ops.tta import tta_nms
 
             @jax.jit
             def run_tta(params, frames_u8):
                 imgs, ratio, pad = lbox(frames_u8)
-                boxes640, scores = tta_candidates(fwd, params, imgs)
-                # 3 augmented passes → up to 3 overlap duplicates per
-                # object pre-merge; pre_topk doubled like tiling
-                b, c, k, v = nms_batch(boxes640, scores, conf_thres=conf,
-                                       iou_thres=iou, max_det=max_det,
-                                       pre_topk=600,
-                                       classes_keep=keep if keep else None)
+                b, c, k, v = tta_nms(fwd, params, imgs, conf=conf, iou=iou,
+                                     max_det=max_det,
+                                     classes_keep=keep if keep else None)
                 b = scale_boxes(b, ratio, pad, (h, w))
                 return b, c, k, v
 

@@ -54,7 +54,8 @@ def clip_bounds(n_anchors: int, aug_index: int, n_augs: int,
                 nl: int = _NL) -> Tuple[int, int]:
     """Kept anchor range [start, stop) for one augmentation's candidates
     (ultralytics _clip_augmented): the first (full-scale) pass drops its
-    last n//g anchors — half the stride-32 level, whose large-object
+    last n//g anchors — the ENTIRE stride-32 level (n = 21·hw32 on a
+    stride-32 canvas, so n//g = hw32), whose large-object
     duplicates the downscaled passes cover better — and the last
     (smallest-scale) pass drops its first (n//g)·4^(nl-1) anchors — the
     whole stride-8 level, whose small objects downscaling destroyed.
@@ -99,3 +100,19 @@ def tta_candidates(fwd, params, imgs: jnp.ndarray):
         scores_out.append(scores[:, start:stop])
     return (jnp.concatenate(boxes_out, axis=1),
             jnp.concatenate(scores_out, axis=1))
+
+
+def tta_nms(fwd, params, imgs: jnp.ndarray, *, conf: float, iou: float,
+            max_det: int, classes_keep=None):
+    """Augmented candidate set → ONE merged NMS: (boxes, conf, cls,
+    valid) in the letterbox canvas pixel space (callers apply their own
+    ``scale_boxes``). The single implementation is shared by
+    ``YOLOJax``'s standalone TTA executable and the engine's fused
+    raw_step so the pre_topk / clip rules cannot drift between paths."""
+    from .nms import nms_batch
+    boxes640, scores = tta_candidates(fwd, params, imgs)
+    # 3 augmented passes → up to 3 overlap duplicates per object
+    # pre-merge; pre_topk doubled vs the single-pass 300
+    return nms_batch(boxes640, scores, conf_thres=conf, iou_thres=iou,
+                     max_det=max_det, pre_topk=600,
+                     classes_keep=classes_keep)

@@ -466,12 +466,10 @@ class PipelineEngine:
                     classes_keep=det.keep if det.keep else None)
                 boxes = boxes * jnp.asarray([w, h, w, h], jnp.float32)
             elif getattr(det, "tta", False):
-                from ..ops.tta import tta_candidates
-                boxes640, scores = tta_candidates(det.forward_fn, params,
-                                                  imgs)
-                boxes, conf, cls_id, valid = nms_batch(
-                    boxes640, scores, conf_thres=det.conf,
-                    iou_thres=det.iou, max_det=det.max_det, pre_topk=600,
+                from ..ops.tta import tta_nms
+                boxes, conf, cls_id, valid = tta_nms(
+                    det.forward_fn, params, imgs, conf=det.conf,
+                    iou=det.iou, max_det=det.max_det,
                     classes_keep=det.keep if det.keep else None)
             else:
                 boxes640, scores = det.forward_fn(params, imgs)

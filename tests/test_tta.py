@@ -68,7 +68,7 @@ def test_clip_bounds_arithmetic():
     n = 80 * 48 + 40 * 24 + 20 * 12
     assert n % 21 == 0 and n // 21 == 20 * 12
     start, stop = clip_bounds(n, 0, 3)
-    assert (start, stop) == (0, n - 20 * 12)      # half the stride-32 level
+    assert (start, stop) == (0, n - 20 * 12)      # the whole stride-32 level
     start, stop = clip_bounds(n, 2, 3)
     assert (start, stop) == (80 * 48, n)          # the whole stride-8 level
     start, stop = clip_bounds(n, 1, 3)
@@ -124,6 +124,12 @@ def test_tta_task_and_tiling_guards():
     with pytest.raises(ValueError, match="mutually exclusive"):
         YOLOJax({"model": "missing.pt", "device": "cpu", "tta": True,
                  "tiling": {"enable": True}})
+    # clip_bounds trims whole LEVELS only on stride-32 canvases; with
+    # rect:false a non-multiple imgsz would silently trim misaligned
+    # anchor ranges (ADVICE r3) — must be rejected at construction
+    with pytest.raises(ValueError, match="multiple of 32"):
+        YOLOJax({"model": "missing.pt", "device": "cpu", "tta": True,
+                 "imgsz": 100})
 
 
 def test_engine_tta_smoke():
