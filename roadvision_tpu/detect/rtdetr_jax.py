@@ -48,12 +48,8 @@ class RTDETRJax(Detector):
         self.keep = tuple(sorted(int(x) for x in cfg.get("classes_keep", [])))
         self.imgsz = int(cfg.get("imgsz", 640))
         compute = str(cfg.get("compute_dtype", "bfloat16"))
-        if compute == "int8":
-            raise ValueError(
-                "detect.compute_dtype 'int8' is implemented for the YOLO "
-                "families only (models/yolo/quant.py); rtdetr supports "
-                "'bfloat16'/'float32'")
-        self.dtype = jnp.bfloat16 if compute == "bfloat16" else jnp.float32
+        self.int8 = compute == "int8"
+        self.dtype = jnp.float32 if compute == "float32" else jnp.bfloat16
         if cfg.get("device", "auto") == "cpu":
             self.dtype = jnp.float32
         if (cfg.get("tiling") or {}).get("enable"):
@@ -75,6 +71,20 @@ class RTDETRJax(Detector):
         if not self.loaded:
             print(f"[roadvision] weights '{model_ref}' not found — running "
                   f"rtdetr-l with random init")
+        if self.int8:
+            # quantize the CONV stages only — the HGNetv2 backbone and
+            # the hybrid encoder's CCFF/lateral convs, where RT-DETR-L's
+            # conv FLOPs live (profiled: backbone+encoder ≈ 3/4 of the
+            # forward). The decoder's deformable attention and MLPs stay
+            # bf16: per-tensor int8 on attention logits/softmax inputs is
+            # the standard post-training-quantization accuracy cliff, and
+            # their weight HBM traffic is the minor share.
+            from ..models.yolo import quant
+            self.params = {
+                "backbone": quant.quantize_params(self.params["backbone"]),
+                "enc": quant.quantize_params(self.params["enc"]),
+                "dec": self.params["dec"],
+            }
         self.names = {i: n for i, n in enumerate(COCO_NAMES)} \
             if self.nc == len(COCO_NAMES) \
             else {i: str(i) for i in range(self.nc)}

@@ -35,6 +35,28 @@ class DeviceSyntheticSource:
 
     def make_render_fn(self, batch: int):
         """Returns a jitted fn: frame_idx0 () i32 → (batch, H, W, 3) u8."""
+        render_one = self._render_one_fn()
+
+        @jax.jit
+        def render(idx0):
+            return jax.vmap(render_one)(idx0 + jnp.arange(batch))
+
+        return render
+
+    def make_render_at_fn(self):
+        """Jitted fn: (B,) i32 frame indices → (B, H, W, 3) u8 —
+        arbitrary index schedules (repeated frames for a static scene,
+        ``idx // k`` for a slow-moving one) for the temporal-gate
+        benchmarks."""
+        render_one = self._render_one_fn()
+
+        @jax.jit
+        def render_at(idxs):
+            return jax.vmap(render_one)(idxs)
+
+        return render_at
+
+    def _render_one_fn(self):
         h, w, n_veh, seed = self.h, self.w, self.n_veh, self.seed
         bg, palette = self.bg, self.palette
         horizon = 0.40 * h
@@ -80,8 +102,4 @@ class DeviceSyntheticSource:
                                 jnp.asarray([210, 220, 225], jnp.uint8), img)
             return img
 
-        @jax.jit
-        def render(idx0):
-            return jax.vmap(render_one)(idx0 + jnp.arange(batch))
-
-        return render
+        return render_one

@@ -74,7 +74,14 @@ _L_STEM = (32, 48)   # (cm, c2)
 def _conv(x, p, stride: int = 1, act: Optional[str] = "relu",
           pad: Optional[int] = None, dtype=jnp.float32):
     """Conv(+bias)+activation, NHWC/HWIO, groups inferred from kernel
-    input width (DWConv), autopad k//2."""
+    input width (DWConv), autopad k//2. A leaf quantized by
+    models/yolo/quant.quantize_params (``w_i8``) dispatches to the
+    shared int8 kernel — the conv stages (HGNetv2 backbone + the hybrid
+    encoder's CCFF convs) are where RT-DETR-L's conv FLOPs live."""
+    if "w_i8" in p:
+        from .yolo.quant import conv_i8
+        return conv_i8(x, p, stride=stride, act=act, pad=pad).astype(
+            jnp.float32 if act is None else dtype)
     k = p["w"].shape[0]
     pad = k // 2 if pad is None else pad
     out = jax.lax.conv_general_dilated(

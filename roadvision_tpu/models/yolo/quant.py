@@ -64,10 +64,12 @@ def quantize_params(params: Any) -> Any:
 
 
 def conv_i8(x: jnp.ndarray, p: Dict[str, jnp.ndarray], stride: int = 1,
-            act: bool = True, pad: int = None) -> jnp.ndarray:
-    """Quantized counterpart of yolov8._conv: per-tensor activation quant
-    (dynamic, or static when the dict carries a calibrated ``a_scale``),
-    int8×int8 conv with int32 accumulation, f32 dequant + SiLU."""
+            act=True, pad: int = None) -> jnp.ndarray:
+    """Quantized counterpart of yolov8._conv (and rtdetr._conv):
+    per-tensor activation quant (dynamic, or static when the dict
+    carries a calibrated ``a_scale``), int8×int8 conv with int32
+    accumulation, f32 dequant + activation. ``act``: True/"silu",
+    "relu", "gelu", or False/None."""
     global _ASSIGN
     k = p["w_i8"].shape[0]
     pad = k // 2 if pad is None else pad
@@ -91,7 +93,13 @@ def conv_i8(x: jnp.ndarray, p: Dict[str, jnp.ndarray], stride: int = 1,
         feature_group_count=x.shape[-1] // p["w_i8"].shape[2],
         preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32) * (a_scale * p["w_scale"]) + p["b"]
-    return jax.nn.silu(out) if act else out
+    if act is True or act == "silu":
+        return jax.nn.silu(out)
+    if act == "relu":
+        return jax.nn.relu(out)
+    if act == "gelu":
+        return jax.nn.gelu(out)
+    return out
 
 
 def capture_scales(forward, params, imgs) -> jnp.ndarray:

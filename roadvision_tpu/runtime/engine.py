@@ -335,6 +335,42 @@ class PipelineEngine:
         speed = jnp.full((b, max_det), jnp.nan)
         return ids, dist, speed, None, sort_state
 
+    def _detect_from_imgs(self, params, imgs, ratio, pad,
+                          hw: Tuple[int, int]):
+        """Letterboxed canvas → (boxes, conf, cls_id, valid) in source
+        pixels, for the plain detect task (covers the YOLO single-pass,
+        TTA, and the NMS-free rtdetr conventions). Shared by the fused
+        raw step and the device-resident gated step's full branch so the
+        two cannot drift."""
+        det = self.detector
+        h, w = hw
+        if getattr(det, "nms_free", False):
+            # rtdetr: suppression is learned — score threshold →
+            # classes_keep → top-k, then normalized [0,1] boxes map
+            # to source pixels by (w, h) (stretch resize: ratio/pad
+            # are identity, so the shared scale_boxes is just the clip)
+            from ..ops.nms import select_topk_batch
+            boxes_n, probs = det.forward_fn(params, imgs)
+            boxes, conf, cls_id, valid = select_topk_batch(
+                boxes_n, probs, conf_thres=det.conf,
+                max_det=det.max_det,
+                classes_keep=det.keep if det.keep else None)
+            boxes = boxes * jnp.asarray([w, h, w, h], jnp.float32)
+        elif getattr(det, "tta", False):
+            from ..ops.tta import tta_nms
+            boxes, conf, cls_id, valid = tta_nms(
+                det.forward_fn, params, imgs, conf=det.conf,
+                iou=det.iou, max_det=det.max_det,
+                classes_keep=det.keep if det.keep else None)
+        else:
+            boxes640, scores = det.forward_fn(params, imgs)
+            boxes, conf, cls_id, valid = nms_batch(
+                boxes640, scores, conf_thres=det.conf,
+                iou_thres=det.iou, max_det=det.max_det, pre_topk=300,
+                classes_keep=det.keep if det.keep else None)
+        boxes = scale_boxes(boxes, ratio, pad, (h, w))
+        return boxes, conf, cls_id, valid
+
     def build_raw_step(self, shape: Tuple[int, int, int],
                        want_proc: bool = True):
         """The un-jitted traced step — composable inside larger jitted
@@ -452,32 +488,13 @@ class PipelineEngine:
                                    jnp.clip(ab[..., 1], 0, h),
                                    jnp.clip(ab[..., 2], 0, w),
                                    jnp.clip(ab[..., 3], 0, h)], axis=-1)
-            elif nms_free:
-                # rtdetr: suppression is learned — score threshold →
-                # classes_keep → top-k, then normalized [0,1] boxes map
-                # to source pixels by (w, h) (stretch resize: the
-                # letterbox above returned identity ratio/pad, so the
-                # shared scale_boxes below is just the frame clip)
-                from ..ops.nms import select_topk_batch
-                boxes_n, probs = det.forward_fn(params, imgs)
-                boxes, conf, cls_id, valid = select_topk_batch(
-                    boxes_n, probs, conf_thres=det.conf,
-                    max_det=det.max_det,
-                    classes_keep=det.keep if det.keep else None)
-                boxes = boxes * jnp.asarray([w, h, w, h], jnp.float32)
-            elif getattr(det, "tta", False):
-                from ..ops.tta import tta_nms
-                boxes, conf, cls_id, valid = tta_nms(
-                    det.forward_fn, params, imgs, conf=det.conf,
-                    iou=det.iou, max_det=det.max_det,
-                    classes_keep=det.keep if det.keep else None)
             else:
-                boxes640, scores = det.forward_fn(params, imgs)
-                boxes, conf, cls_id, valid = nms_batch(
-                    boxes640, scores, conf_thres=det.conf,
-                    iou_thres=det.iou, max_det=det.max_det, pre_topk=300,
-                    classes_keep=det.keep if det.keep else None)
-            if tiled is None:
+                # plain detect task (single-pass / TTA / NMS-free) —
+                # shared with the gated step's full branch
+                boxes, conf, cls_id, valid = self._detect_from_imgs(
+                    params, imgs, ratio, pad, (h, w))
+            if tiled is None and extra is not None:
+                # seg/pose/obb decode above is still in canvas space
                 boxes = scale_boxes(boxes, ratio, pad, (h, w))
 
             gate_on = self._gate_cfg is not None
@@ -571,6 +588,80 @@ class PipelineEngine:
                     _motion_score(frames_u8, prev_thumb, prev_valid))
 
         return step
+
+    def build_gated_scan_step(self, shape: Tuple[int, int, int]):
+        """Device-resident temporal gate: the coast/full choice rides
+        INSIDE the compiled step as a ``lax.cond`` on the motion score,
+        so a ``lax.scan`` over batches gates at device rates with ZERO
+        host policy (VERDICT r3 #4 — the host dispatch/collect loop's
+        ±20% swing measured the tunnel, not the gate). Both branches
+        are fixed-shape; XLA compiles both and executes one, so a
+        coasted batch genuinely skips the detector forward's FLOPs.
+
+        Tighter semantics than the pipelined host policy (which gates
+        batch i+2 on the score of batch i): the score of THIS batch's
+        own frames against the carried previous thumbnail gates THIS
+        batch — any motion in the current batch forces a full pass, so
+        coasting is never stale by more than the probe threshold.
+
+        Returns ``(step, init_carry)`` where
+        ``step(params, carry, frames_u8, ts) -> (outs, coasted, carry)``
+        and outs is the 7-tuple the raw step emits. The carry holds
+        (sort_state, thumb, thumb_valid, skips, gate_dets, gate_valid).
+        """
+        if self._gate_cfg is None:
+            raise ValueError("detect.temporal_gate is not enabled")
+        b, h, w = shape
+        pre = self.pipeline
+        det = self.detector
+        sort_step = self._sort_step
+        proj = self.projector.device_params() if self.projector else None
+        max_det = det.max_det
+        thresh = jnp.float32(self._gate_cfg["thresh"])
+        max_skip = jnp.int32(self._gate_cfg["max_skip"])
+        from ..track.gmc import GMC_SIZE
+
+        def init_carry():
+            gdets = (jnp.zeros((max_det, 4), jnp.float32),
+                     jnp.zeros((max_det,), jnp.float32),
+                     jnp.zeros((max_det,), jnp.int32),
+                     jnp.zeros((max_det,), bool))
+            state = self.sort_state if self.sort_state is not None \
+                else init_state(self.track_slots)
+            return (state, jnp.zeros((GMC_SIZE, GMC_SIZE), jnp.float32),
+                    jnp.float32(0.0), jnp.int32(0), gdets,
+                    jnp.bool_(False))
+
+        def step(params, carry, frames_u8, ts):
+            (sort_state, prev_thumb, prev_valid, skips, gdets,
+             gvalid) = carry
+            score, last_thumb = _motion_score(frames_u8, prev_thumb,
+                                              prev_valid)
+            proc = frames_u8 if pre.identity else pre._batch_fn(frames_u8)
+            coast = (score < thresh) & (skips < max_skip) & gvalid
+
+            def coast_fn(_):
+                return (tuple(jnp.broadcast_to(g[None], (b,) + g.shape)
+                              for g in gdets), gdets, skips + 1)
+
+            def full_fn(_):
+                imgs, ratio, pad = det.letterbox(proc)
+                boxes, conf, cls_id, valid = self._detect_from_imgs(
+                    params, imgs, ratio, pad, (h, w))
+                new_g = (boxes[-1], conf[-1], cls_id[-1], valid[-1])
+                return (boxes, conf, cls_id, valid), new_g, jnp.int32(0)
+
+            dets4, gdets, skips = jax.lax.cond(coast, coast_fn, full_fn,
+                                               None)
+            ids, dist, speed, _, sort_state = self._dets_tail(
+                b, max_det, w, proj, sort_step, sort_state, *dets4, ts,
+                frames_u8)
+            outs = dets4 + (ids, dist, speed)
+            carry = (sort_state, last_thumb, jnp.float32(1.0), skips,
+                     gdets, gvalid | ~coast)
+            return outs, coast, carry
+
+        return step, init_carry
 
     # ------------------------------------------------------------------
     def dispatch_batch(self, frames: np.ndarray, timestamps: np.ndarray,
