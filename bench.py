@@ -149,8 +149,11 @@ def device_resident_fps(engine: PipelineEngine, width: int, height: int,
 
     outer = max(1, iters // INNER_SCAN)
     state = engine.sort_state
+    # XLA cost_analysis counts a while/scan BODY once, not x trip count
+    # (verified empirically: scan length 1 and 8 report equal flops), so
+    # one reported dispatch = one INNER_SCAN body = one batch of frames
     flops_frame = flops_per_dispatch(run, params, state, jnp.int32(0)) \
-        / (INNER_SCAN * batch)
+        / batch
     state, c, _ = run(params, state, jnp.int32(0))
     _sync(c)  # compile + warm
     nts = []

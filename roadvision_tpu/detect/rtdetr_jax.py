@@ -147,6 +147,34 @@ class RTDETRJax(Detector):
         return self._jit_cache[key]
 
     # ------------------------------------------------------------------
+    def calibrate_int8(self, frames_u8, batch_size: int = 8) -> int:
+        """Bake static per-conv activation scales from representative
+        frames (same contract as YOLOJax.calibrate_int8): running
+        abs-max over all batches, then one eager tiny-image pass bakes
+        ``a_scale`` leaves into the live param pytree so every
+        quantized conv skips its dynamic reduction. Returns the number
+        of convs calibrated."""
+        if not self.int8:
+            raise RuntimeError("calibrate_int8 requires "
+                               "detect.compute_dtype: 'int8'")
+        from ..models.yolo import quant
+        frames = np.asarray(frames_u8)
+        if frames.ndim == 3:
+            frames = frames[None]
+        fwd = functools.partial(rtdetr.forward_rtdetr_raw, nc=self.nc,
+                                dtype=self.dtype)
+        capture = jax.jit(functools.partial(quant.capture_scales, fwd))
+        running = None
+        for i in range(0, frames.shape[0], batch_size):
+            imgs = resize_stretch_u8(jnp.asarray(frames[i:i + batch_size]),
+                                     size=self.imgsz)
+            s = np.asarray(capture(self.params, imgs))
+            running = s if running is None else np.maximum(running, s)
+        tiny = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        n = quant.assign_scales(fwd, self.params, running, tiny)
+        self._jit_cache.clear()  # pytree structure changed (a_scale)
+        return n
+
     def infer_batch(self, frames_u8: np.ndarray) -> DetectionBatch:
         """(B, H, W, 3) BGR uint8 → DetectionBatch with (B, max_det)
         arrays."""

@@ -62,4 +62,5 @@ def make_spatial_forward(size: str, nc: int, mesh: Mesh,
         x = jax.device_put(jnp.asarray(x), xsh)
         return fwd(params, x)
 
+    run.jitted = fwd  # exposed for the HLO mechanism guards
     return run

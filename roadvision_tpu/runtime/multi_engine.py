@@ -89,11 +89,14 @@ class MultiStreamEngine:
         if num_streams < 1:
             raise ValueError("need at least one stream")
         self.engine = PipelineEngine(cfg)
-        if self.engine._gate_cfg is not None:
-            raise ValueError(
-                "detect.temporal_gate is a single-stream host policy — "
-                "disable it under tpu.mesh multi-stream (per-stream "
-                "gating would desynchronize the lockstep shards)")
+        # detect.temporal_gate under tpu.mesh: GLOBAL fleet gating —
+        # coast only when ALL streams are static (one lax.cond on the
+        # fleet-max motion score, parallel/inference.py:
+        # make_sharded_gated_stream_step). The branch predicate is a
+        # global scalar, so lockstep shards stay lockstep.
+        self.fleet_gate = self.engine._gate_cfg is not None
+        self.gate_frames_coasted = 0
+        self._gate_carry = None
         self.num_streams = num_streams
         tpu_cfg = cfg.get("tpu", {}) or {}
         self.mesh, self.axis = mesh_from_config(tpu_cfg)
@@ -118,9 +121,16 @@ class MultiStreamEngine:
     # ------------------------------------------------------------------
     def _step_for(self, shape: Tuple[int, int, int]):
         if shape not in self._built:
-            step, init_states = make_sharded_stream_step(
-                self.engine, shape, self.mesh, self.axis)
-            self._built[shape] = (step, init_states)
+            if self.fleet_gate:
+                from ..parallel.inference import \
+                    make_sharded_gated_stream_step
+                step, init_carry = make_sharded_gated_stream_step(
+                    self.engine, shape, self.mesh, self.axis)
+                self._built[shape] = (step, init_carry)
+            else:
+                step, init_states = make_sharded_stream_step(
+                    self.engine, shape, self.mesh, self.axis)
+                self._built[shape] = (step, init_states)
         return self._built[shape]
 
     def _names(self) -> List[str]:
@@ -142,9 +152,12 @@ class MultiStreamEngine:
         if s != self.num_streams:
             raise ValueError(f"expected {self.num_streams} streams, "
                              f"got {s}")
-        step, init_states = self._step_for((b, h, w))
-        if self.states is None:
-            self.states = init_states(self.padded_streams)
+        step, init_fn = self._step_for((b, h, w))
+        if self.fleet_gate:
+            if self._gate_carry is None:
+                self._gate_carry = init_fn(self.padded_streams)
+        elif self.states is None:
+            self.states = init_fn(self.padded_streams)
         if self._t0 is None:
             self._t0 = float(np.min(timestamps))
         ts_rel = (timestamps - self._t0).astype(np.float32)
@@ -158,6 +171,11 @@ class MultiStreamEngine:
         else:
             frames_in, ts_in = frames, ts_rel
         params = self.engine.detector.params if self.engine.detector else {}
+        if self.fleet_gate:
+            outs, coast, self._gate_carry = step(
+                params, self._gate_carry, jnp.asarray(frames_in),
+                jnp.asarray(ts_in))
+            return frames, timestamps, outs, coast
         if getattr(self.engine, "gmc_enabled", False):
             from ..track.gmc import GMC_SIZE
             prev = self._gmc_prev if self._gmc_prev is not None else \
@@ -174,10 +192,12 @@ class MultiStreamEngine:
         return frames, timestamps, outs
 
     def collect_batch(self, inflight) -> List[List[FrameResult]]:
-        frames, timestamps, outs = inflight
+        frames, timestamps, outs = inflight[:3]
         s, b = frames.shape[:2]
         with self.timer.stage("device_step"):
             arrays = [np.asarray(a) for a in outs]
+        if len(inflight) > 3 and bool(np.asarray(inflight[3])):
+            self.gate_frames_coasted += s * b  # fleet coasted this batch
         names = self._names()
         det = self.engine.detector
         kind = {"pose": "keypoints", "obb": "rboxes"}.get(
@@ -263,3 +283,5 @@ class MultiStreamEngine:
     def reset(self) -> None:
         self.states = None
         self._t0 = None
+        self._gate_carry = None
+        self.gate_frames_coasted = 0

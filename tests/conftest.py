@@ -20,3 +20,102 @@ if _platform == "cpu":
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# Test tiers (VERDICT r3 #8): the full suite is ~55 min on this CPU; the
+# exhaustive parity sweeps / training-convergence runs below are marked
+# `slow` so `-m "not slow"` gives a <15-min core for iteration. The
+# driver's full validation still runs everything. The list is measured
+# (pytest --durations: every test >=18 s), centralized here so new slow
+# tests only need one line.
+import pytest  # noqa: E402
+
+SLOW = {
+    "test_api.py::test_process_frames_and_reset",
+    "test_api.py::test_stream_call",
+    "test_api.py::test_streams_multi_camera",
+    "test_botsort.py::test_appearance_rescues_identity_where_bytetrack_loses_it",
+    "test_botsort.py::test_registry_and_engine_with_gmc",
+    "test_botsort.py::test_without_embeddings_equals_bytetrack",
+    "test_checkpoint_eval.py::test_engine_state_checkpoint_resume_exact",
+    "test_checkpoint_eval.py::test_sharded_checkpoint_roundtrip",
+    "test_engine.py::test_engine_full_pipeline_runs",
+    "test_engine.py::test_engine_rect_letterbox_mode",
+    "test_engine.py::test_engine_sampled_fast_path_matches_full",
+    "test_engine.py::test_engine_track_state_persists_across_batches",
+    "test_engine.py::test_engine_watchdog_fires_and_stays_quiet",
+    "test_engine.py::test_main_preview_headless",
+    "test_int8.py::test_auto_calibration_from_config",
+    "test_int8.py::test_detector_calibrate_int8_end_to_end",
+    "test_int8.py::test_quantized_forward_close_to_f32",
+    "test_int8.py::test_static_scales_match_dynamic_on_calibration_input",
+    "test_multi_engine.py::test_config_path_matches_single_device_runs",
+    "test_multi_engine.py::test_uneven_streams_pad_to_mesh",
+    "test_obb.py::test_engine_obb_task_rboxes",
+    "test_obb.py::test_obb_forward_matches_torch",
+    "test_ocsort.py::test_engine_accepts_ocsort_backend",
+    "test_onnx_io.py::test_params_onnx_roundtrip_pose",
+    "test_onnx_io.py::test_params_onnx_roundtrip_v5",
+    "test_pallas_kernels.py::test_pallas_clahe_sweep_matches_xla_band_sweep",
+    "test_pipeline.py::test_rtdetr_pipeline_matches_single_device",
+    "test_preprocess_pipeline.py::test_sampled_terminal_op_matches_full_then_slice",
+    "test_rtdetr.py::test_forward_matches_torch_twin",
+    "test_rtdetr_train.py::test_loss_finite_components_and_grads_flow",
+    "test_rtdetr_train.py::test_train_cli_smoke",
+    "test_rtdetr_train.py::test_train_step_reduces_loss",
+    "test_seg_parity.py::test_int8_segment_path_runs",
+    "test_sharded_inference.py::test_sharded_streams_match_single_device",
+    "test_sort.py::test_parallel_greedy_matches_sequential_reference",
+    "test_task_datasets.py::test_train_cli_fog_smoke",
+    "test_task_datasets.py::test_train_cli_obb_real_dir",
+    "test_task_datasets.py::test_train_cli_pose_coco_json",
+    "test_task_datasets.py::test_train_cli_seg_coco_json",
+    "test_tiling.py::test_engine_tiled_step_with_tracking",
+    "test_tools.py::test_analyze_cli_report",
+    "test_tools.py::test_benchmark_trackers_cli",
+    "test_tools.py::test_detect_cli_rect_int8",
+    "test_tools.py::test_track_cli_gt_scoring",
+    "test_tools.py::test_track_cli_mot_output",
+    "test_tools.py::test_train_cli_coco_json",
+    "test_tools.py::test_train_cli_no_ema_constant_schedule",
+    "test_tools.py::test_train_cli_synthetic",
+    "test_tools.py::test_warmup_cli",
+    "test_torch_parity.py::test_infer_detection_lists_match_torch_twin",
+    "test_train_obb.py::test_box_term_prefers_correct_angle",
+    "test_train_obb.py::test_obb_loss_finite_and_angle_grads_flow",
+    "test_train_obb.py::test_obb_train_step_reduces_loss",
+    "test_train_obb.py::test_rotated_assign_picks_matching_angle",
+    "test_train_obb.py::test_train_cli_obb_smoke",
+    "test_train_parallel.py::test_detection_loss_finite_and_grad_flows",
+    "test_train_parallel.py::test_multichip_mesh_train_step",
+    "test_train_parallel.py::test_multichip_train_step_matches_unsharded",
+    "test_train_parallel.py::test_train_step_reduces_loss",
+    "test_train_pose.py::test_pose_loss_finite_and_kpt_grads_flow",
+    "test_train_pose.py::test_pose_term_prefers_correct_keypoints",
+    "test_train_pose.py::test_pose_train_step_reduces_loss",
+    "test_train_pose.py::test_train_cli_pose_smoke",
+    "test_train_seg.py::test_mask_term_prefers_correct_masks",
+    "test_train_seg.py::test_seg_loss_finite_and_mask_grads_flow",
+    "test_train_seg.py::test_seg_train_step_reduces_loss",
+    "test_train_seg.py::test_train_cli_seg_smoke",
+    "test_train_v5.py::test_v5_loss_finite_with_positives",
+    "test_train_v5.py::test_v5_train_step_decreases_loss_on_fixed_batch",
+    "test_yolo11.py::test_engine_yolo11_fused_step",
+    "test_yolo11.py::test_param_counts_match_ultralytics",
+    "test_yolo11.py::test_train_cli_yolo11_smoke",
+    "test_yolo11.py::test_v11_int8_quantized_forward",
+    "test_yolo11.py::test_v11_train_step_reduces_loss_and_grads_reach_attention",
+    "test_yolo11_tasks.py::test_engine_v11_seg_masks",
+    "test_yolo11_tasks.py::test_infer_v11_tasks_end_to_end",
+    "test_yolo11_tasks.py::test_v11_obb_forward_matches_twin",
+    "test_yolo11_tasks.py::test_v11_pose_forward_matches_twin",
+    "test_yolo11_tasks.py::test_v11_pose_train_step_finite",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        key = item.nodeid.split("/")[-1].split("[")[0]
+        if key in SLOW:
+            item.add_marker(pytest.mark.slow)

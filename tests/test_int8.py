@@ -181,3 +181,50 @@ def test_calibrate_requires_int8_mode():
                    "classes_keep": []})
     with pytest.raises(RuntimeError, match="int8"):
         det.calibrate_int8(np.zeros((1, 64, 64, 3), np.uint8))
+
+
+def test_rtdetr_int8_forward_and_calibration():
+    """RT-DETR int8 (VERDICT r3 #3): the HGNetv2 backbone + hybrid-encoder
+    convs ride the shared int8 kernel; the decoder stays bf16/f32.
+    Deviation vs the f32 forward is bounded, and static calibration
+    bakes a_scale leaves that keep the same output."""
+    from roadvision_tpu.detect.rtdetr_jax import RTDETRJax
+    from roadvision_tpu.models.yolo.quant import has_static_scales
+
+    base = {"model": "missing-rtdetr.pt", "imgsz": 128, "max_det": 10,
+            "conf_thres": 0.0, "classes_keep": [], "device": "cpu"}
+    det32 = RTDETRJax(dict(base, compute_dtype="float32"))
+    det8 = RTDETRJax(dict(base, compute_dtype="int8"))
+    assert det8.int8
+    # conv stages quantized, decoder untouched
+    import jax.tree_util as jtu
+    backbone_leaves = [x for x in jtu.tree_leaves(det8.params["backbone"])
+                       if x.ndim == 4]
+    assert backbone_leaves and all(x.dtype == jnp.int8
+                                   for x in backbone_leaves)
+    dec_leaves = jtu.tree_leaves(det8.params["dec"])
+    assert all(x.dtype != jnp.int8 for x in dec_leaves)
+
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 256, (2, 96, 128, 3), dtype=np.uint8)
+    b32 = det32.infer_batch(frames)
+    b8 = det8.infer_batch(frames)
+    # random-init sigmoid scores are mid-range; quantization noise over
+    # the ~100-conv backbone is bounded loosely like the YOLO test
+    assert np.abs(b32.conf - b8.conf).max() < 0.2
+    # static calibration: scales baked, path still runs, output close
+    n = det8.calibrate_int8(frames)
+    assert n > 0
+    assert has_static_scales(det8.params["backbone"])
+    b8s = det8.infer_batch(frames)
+    # calibrated on the same frames, static == dynamic clipping range
+    assert np.abs(b8s.conf - b8.conf).max() < 1e-3
+
+
+def test_rtdetr_calibrate_requires_int8():
+    import pytest
+    from roadvision_tpu.detect.rtdetr_jax import RTDETRJax
+    det = RTDETRJax({"model": "missing-rtdetr.pt", "imgsz": 128,
+                     "max_det": 5, "classes_keep": [], "device": "cpu"})
+    with pytest.raises(RuntimeError, match="int8"):
+        det.calibrate_int8(np.zeros((1, 64, 64, 3), np.uint8))

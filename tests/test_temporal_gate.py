@@ -177,3 +177,69 @@ def test_gate_rejects_unsupported_combinations():
         _engine(extra_detect={"model": "missing-pose.pt"})
     with pytest.raises(ValueError, match="detect task"):
         _engine(extra_detect={"tiling": {"enable": True, "tile": 64}})
+
+
+# ---------------------------------------------------------------------------
+# device-resident gate (engine.build_gated_scan_step): the coast/full
+# choice as a lax.cond INSIDE the compiled step (VERDICT r3 #4)
+
+
+def _run_gated_scan(eng, batches, shape):
+    import jax
+    import jax.numpy as jnp
+    step, init_carry = eng.build_gated_scan_step(shape)
+    jstep = jax.jit(step)
+    params = eng.detector.params
+    carry = init_carry()
+    coasts, outs_all = [], []
+    for frames, ts in batches:
+        outs, coast, carry = jstep(params, carry, jnp.asarray(frames),
+                                   jnp.asarray(ts.astype(np.float32)))
+        coasts.append(bool(coast))
+        outs_all.append([np.asarray(a) for a in outs])
+    return coasts, outs_all
+
+
+def test_device_gate_static_coasts_with_skip_budget():
+    eng = _engine()
+    coasts, _ = _run_gated_scan(eng, _batches(6), (2, 48, 64))
+    # full (unknown past), 3 coasts (budget), full refresh, coast again
+    assert coasts == [False, True, True, True, False, True]
+
+
+def test_device_gate_moving_never_coasts():
+    eng = _engine()
+    coasts, _ = _run_gated_scan(eng, _batches(4, move=True), (2, 48, 64))
+    assert coasts == [False, False, False, False]
+
+
+def test_device_gate_full_branch_matches_raw_step():
+    """A full (non-coast) pass through the gated step is bit-identical
+    to the plain raw step — the cond only ever skips, never perturbs."""
+    import jax
+    import jax.numpy as jnp
+    eng = _engine()
+    frames, ts = next(iter(_batches(1)))
+    raw = eng.build_raw_step((2, 48, 64), want_proc=False)
+    out = jax.jit(raw)(eng.detector.params, eng.sort_state,
+                       jnp.asarray(frames),
+                       jnp.asarray(ts.astype(np.float32)))
+    outs_ref = out[1]
+    coasts, outs_all = _run_gated_scan(eng, _batches(1), (2, 48, 64))
+    assert coasts == [False]
+    for a, b in zip(outs_ref, outs_all[0]):
+        a = np.asarray(a)
+        eq_nan = np.issubdtype(a.dtype, np.floating)  # dist/speed are NaN
+        assert np.array_equal(a, b, equal_nan=eq_nan)
+
+
+def test_device_gate_coasted_outputs_replicate_held_set():
+    eng = _engine()
+    coasts, outs = _run_gated_scan(eng, _batches(2), (2, 48, 64))
+    assert coasts == [False, True]
+    boxes1, valid1 = outs[0][0], outs[0][3]
+    boxes2, valid2 = outs[1][0], outs[1][3]
+    # every coasted frame carries batch 0's LAST frame's detections
+    for f in range(boxes2.shape[0]):
+        assert np.array_equal(boxes2[f], boxes1[-1])
+        assert np.array_equal(valid2[f], valid1[-1])
