@@ -493,8 +493,13 @@ class PipelineEngine:
                 # shared with the gated step's full branch
                 boxes, conf, cls_id, valid = self._detect_from_imgs(
                     params, imgs, ratio, pad, (h, w))
-            if tiled is None and extra is not None:
-                # seg/pose/obb decode above is still in canvas space
+            if tiled is None and extra is not None and not obb:
+                # seg/pose boxes above are still in letterbox-canvas
+                # space; obb's AABBs were built from ALREADY-scaled
+                # rboxes (scale_rboxes), so scaling them again would
+                # double-transform (r1-r3 did exactly that — the fused
+                # step's obb AABBs disagreed with the standalone
+                # detector's; fixed r4 + pinned by test_obb)
                 boxes = scale_boxes(boxes, ratio, pad, (h, w))
 
             gate_on = self._gate_cfg is not None

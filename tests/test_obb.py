@@ -258,6 +258,13 @@ def test_engine_obb_task_rboxes():
     v = direct.valid[0]
     got = np.stack([d.rbox for d in res[0].detections])
     np.testing.assert_allclose(got, direct.rboxes[0][v], atol=1e-4)
+    # ... and so do the enclosing AABBs: rounds 1-3 double-transformed
+    # them in the fused step (scale_boxes applied to AABBs already
+    # built from scaled rboxes) — pinned here against the standalone
+    # detector path, which was always correct
+    got_ab = np.stack([[d.x1, d.y1, d.x2, d.y2]
+                       for d in res[0].detections])
+    np.testing.assert_allclose(got_ab, direct.boxes[0][v], atol=1e-4)
 
 
 def test_params_onnx_roundtrip_obb(tmp_path):
