@@ -393,25 +393,18 @@ def gate_fps(width: int, height: int, batch: int, iters: int
     compared per coasted frame — matched-IoU mean/min and the coast
     fraction bound what coasting costs in box freshness.
 
-    Uses the shipped demo checkpoint + its 256p synthetic scene when
-    present (real detections make the staleness numbers meaningful);
-    falls back to the random-init headline config otherwise.
+    The throughput A/B runs the CONFIGURED model/resolution (honors
+    RVT_BENCH_MODEL / RVT_BENCH_RES) — the gate's win is the detector's
+    share of the step, so demonstrate it where the detector dominates
+    (e.g. RVT_BENCH_MODEL=rtdetr-l.pt; on the 256p demo scene the tiny
+    detector's savings LOSE to the probe+cond overhead — measured
+    0.63x, an honest negative that the stderr line reports when it
+    happens). The staleness probe separately uses the shipped demo
+    checkpoint + its scene when present (real detections), with the
+    scene stepping every 4 batches so coast windows exist.
 
     Returns (fps_off, fps_on, frames_coasted, staleness dict, res)."""
-    demo_yaml = Path(__file__).parent / "configs" / "synthetic_demo.yaml"
-    ckpt = Path(__file__).parent / "assets" / "yolov8n_synthetic_256.npz"
-    n_veh = 6
-    if demo_yaml.exists() and ckpt.exists() \
-            and os.environ.get("RVT_BENCH_GATE_DEMO", "1") == "1":
-        from roadvision_tpu.config import load_config
-        base = load_config(str(demo_yaml))
-        base["tpu"]["batch_size"] = batch
-        height = int(base["camera"]["height"])
-        width = int(base["camera"]["width"])
-        tail = str(base["camera"]["source"]).rpartition(":")[2]
-        n_veh = int(tail) if tail.isdigit() else 4
-    else:
-        base = _cfg(height, width, batch)
+    base = _cfg(height, width, batch)
     cfg_on = merge(base, {"detect": {"temporal_gate": {
         "enable": True, "max_skip_batches": 7}}})
     eng_on = PipelineEngine(cfg_on)
@@ -419,7 +412,7 @@ def gate_fps(width: int, height: int, batch: int, iters: int
     step, init_carry = eng_on.build_gated_scan_step((batch, height, width))
     raw = eng_off.build_raw_step((batch, height, width), want_proc=False)
     params = eng_on.detector.params
-    src = DeviceSyntheticSource(width, height, num_vehicles=n_veh)
+    src = DeviceSyntheticSource(width, height, num_vehicles=6)
     render_at = src.make_render_at_fn()
 
     @jax.jit
@@ -469,7 +462,31 @@ def gate_fps(width: int, height: int, batch: int, iters: int
     fps_off, _ = time_run(tp_plain, eng_off.sort_state, False)
 
     # ---- staleness bound on a slow-moving scene (device-resident) ----
-    SLOW = 8
+    # real detections needed (random-init boxes make the bound vacuous):
+    # use the shipped demo checkpoint + its 256p scene when present.
+    # The scene advances one step every 4 batches — slow enough that
+    # coast windows exist, fast enough that held boxes CAN go stale.
+    demo_yaml = Path(__file__).parent / "configs" / "synthetic_demo.yaml"
+    ckpt = Path(__file__).parent / "assets" / "yolov8n_synthetic_256.npz"
+    s_on, s_off, s_w, s_h, s_render = eng_on, eng_off, width, height, \
+        render_at
+    if demo_yaml.exists() and ckpt.exists():
+        from roadvision_tpu.config import load_config
+        dcfg = load_config(str(demo_yaml))
+        dcfg["tpu"]["batch_size"] = batch
+        s_h = int(dcfg["camera"]["height"])
+        s_w = int(dcfg["camera"]["width"])
+        tail = str(dcfg["camera"]["source"]).rpartition(":")[2]
+        s_on = PipelineEngine(merge(dcfg, {"detect": {"temporal_gate": {
+            "enable": True, "max_skip_batches": 7}}}))
+        s_off = PipelineEngine(dcfg)
+        s_render = DeviceSyntheticSource(
+            s_w, s_h, num_vehicles=int(tail) if tail.isdigit() else 4
+        ).make_render_at_fn()
+    s_step, s_init = s_on.build_gated_scan_step((batch, s_h, s_w))
+    s_raw = s_off.build_raw_step((batch, s_h, s_w), want_proc=False)
+    s_params = s_on.detector.params
+    SLOW = 4 * batch
     n_stale = min(INNER_SCAN, 16)
 
     @jax.jit
@@ -477,10 +494,10 @@ def gate_fps(width: int, height: int, batch: int, iters: int
         def body(cs, i):
             c, st = cs
             base = i * batch + jnp.arange(batch)
-            frames = render_at(base // SLOW)
+            frames = s_render(base // SLOW)
             ts = base.astype(jnp.float32) / 30.0
-            outs_g, coast, c = step(params, c, frames, ts)
-            _, outs_p, st = raw(params, st, frames, ts)
+            outs_g, coast, c = s_step(params, c, frames, ts)
+            _, outs_p, st = s_raw(params, st, frames, ts)
             return (c, st), (outs_g[0], outs_g[3], coast,
                              outs_p[0], outs_p[3])
         (_, _), ys = jax.lax.scan(body, (carry, state),
@@ -488,8 +505,8 @@ def gate_fps(width: int, height: int, batch: int, iters: int
         return ys
 
     gb, gv, coast, pb, pv = [np.asarray(y) for y in
-                             stale_pair(params, init_carry(),
-                                        eng_off.sort_state)]
+                             stale_pair(s_params, s_init(),
+                                        s_off.sort_state)]
     ious, n_frames_coasted, n_frames = [], 0, 0
     for s in range(n_stale):
         if not coast[s]:
