@@ -135,6 +135,39 @@ class SyntheticRoadSource(_BaseSource):
         return True, img
 
 
+class FoggedSyntheticRoadSource(SyntheticRoadSource):
+    """The synthetic road scene degraded by the reference's fog model —
+    ``camera.source: "synthetic_fog:<level>[:<num_vehicles>]"`` (level
+    ∈ light/medium/heavy) drives the whole weather story live through
+    the realtime driver: fogged frames → low-contrast auto-gate →
+    CLAHE/median chain → detector. Fog is temporally frozen (one seed,
+    re-applied per frame — flicker-free, same convention as
+    tools/eval_weather.py) and synthesized with the reference tool's
+    constructor overrides (global_veil=0.5, tools/fog_batch.py parity).
+    Synthesis runs on the host per frame; intended for demo/eval
+    resolutions."""
+
+    def __init__(self, level: str = "medium", width: int = 640,
+                 height: int = 480, num_vehicles: int = 4,
+                 num_frames: Optional[int] = None, seed: int = 0):
+        super().__init__(width, height, num_vehicles=num_vehicles,
+                         num_frames=num_frames, seed=seed)
+        if level not in ("light", "medium", "heavy"):
+            raise ValueError(f"unknown fog level {level!r} "
+                             f"(light/medium/heavy)")
+        self.level = level
+
+    def render(self, idx: int) -> np.ndarray:
+        from ..augment import EnhancedFogSynthesizer
+        clean = super().render(idx)
+        synth = EnhancedFogSynthesizer(
+            level=self.level, seed=self.seed,
+            y_h_ratio=0.42, perlin_scale_ratio=0.18, perlin_octaves=2,
+            horizon_softness=0.07, global_veil=0.5, depth_blur_max=4.0)
+        hazy, _ = synth.synthesize(clean)
+        return np.asarray(hazy)
+
+
 class NpyVideoSource(_BaseSource):
     def __init__(self, path: str):
         p = Path(path)
@@ -270,6 +303,13 @@ def _resolve(source, width, height, fps_request, num_frames=None) -> _BaseSource
             n = int(low.split(":", 1)[1]) if ":" in low else 4
             return SyntheticRoadSource(width, height, num_vehicles=n,
                                        num_frames=num_frames)
+        if low.startswith("synthetic_fog:"):
+            parts = low.split(":")  # synthetic_fog:<level>[:<vehicles>]
+            n = int(parts[2]) if len(parts) > 2 and parts[2].isdigit() \
+                else 4
+            return FoggedSyntheticRoadSource(parts[1], width, height,
+                                             num_vehicles=n,
+                                             num_frames=num_frames)
         if low.startswith("ffmpeg:"):
             return FFmpegPipeSource(source.split(":", 1)[1], width, height)
         p = Path(source)

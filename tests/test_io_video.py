@@ -221,3 +221,36 @@ def test_event_gated_writer_quiet_run_writes_nothing(tmp_path):
     # leaves no file (or an empty one on writers that open eagerly)
     assert (not path.exists()
             or path.read_bytes().count(b"\xff\xd8\xff") == 0)
+
+
+def test_fogged_synthetic_source():
+    """camera.source 'synthetic_fog:<level>[:<n>]' — the reference-tool
+    fog over the synthetic scene, temporally frozen, via VideoSource."""
+    from roadvision_tpu.io_video.capture import (FoggedSyntheticRoadSource,
+                                                 SyntheticRoadSource,
+                                                 VideoSource)
+
+    vs = VideoSource(source="synthetic_fog:heavy:3", width=96, height=96,
+                     num_frames=4)
+    frames, ts, m = vs.read_batch(4)
+    assert m == 4 and frames.shape == (4, 96, 96, 3)
+    assert frames.dtype == np.uint8
+
+    # fog actually degrades: gray span compressed vs the clean scene
+    clean = SyntheticRoadSource(96, 96, num_vehicles=3).render(0)
+    fogged = FoggedSyntheticRoadSource("heavy", 96, 96,
+                                       num_vehicles=3).render(0)
+    def span(img):
+        g = (0.114 * img[..., 0] + 0.587 * img[..., 1]
+             + 0.299 * img[..., 2]).astype(np.uint8)
+        return int(g.max()) - int(g.min())
+    assert span(fogged) < span(clean)
+
+    # temporally frozen: identical scene frame → identical fogged frame
+    a = FoggedSyntheticRoadSource("medium", 96, 96, num_vehicles=3)
+    b = FoggedSyntheticRoadSource("medium", 96, 96, num_vehicles=3)
+    assert np.array_equal(a.render(2), b.render(2))
+
+    import pytest
+    with pytest.raises(ValueError, match="fog level"):
+        FoggedSyntheticRoadSource("blizzard", 96, 96)
