@@ -415,13 +415,23 @@ def gate_fps(width: int, height: int, batch: int, iters: int
     src = DeviceSyntheticSource(width, height, num_vehicles=6)
     render_at = src.make_render_at_fn()
 
+    def perturb(frames, base):
+        """Flip one corner pixel's LSB per frame: the detector input
+        genuinely changes every scan step — without this, a loop-
+        invariant static frame lets XLA hoist the WHOLE detector
+        forward out of the scan and the 'ungated' arm reports a 13×
+        fantasy (measured: rtdetr 1460 'fps' hoisted vs 110 real).
+        One u8 level in one pixel vanishes in the probe's area-averaged
+        thumbnail, so the scene stays static to the gate."""
+        return frames.at[:, 0, 0, 0].set((base % 2).astype(jnp.uint8))
+
     @jax.jit
     def tp_gated(params, carry, idx0):
         frames = render_at(jnp.zeros((batch,), jnp.int32))  # static
 
         def body(c, i):
             base = idx0 + i * batch + jnp.arange(batch)
-            outs, coast, c = step(params, c, frames,
+            outs, coast, c = step(params, c, perturb(frames, base),
                                   base.astype(jnp.float32) / 30.0)
             return c, (outs[3].sum(), coast)
         carry, (chk, coasts) = jax.lax.scan(body, carry,
@@ -434,7 +444,7 @@ def gate_fps(width: int, height: int, batch: int, iters: int
 
         def body(st, i):
             base = idx0 + i * batch + jnp.arange(batch)
-            _, outs, st = raw(params, st, frames,
+            _, outs, st = raw(params, st, perturb(frames, base),
                               base.astype(jnp.float32) / 30.0)
             return st, outs[3].sum()
         state, chk = jax.lax.scan(body, state, jnp.arange(INNER_SCAN))
