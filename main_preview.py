@@ -192,6 +192,10 @@ def run_multi(args, cfg) -> int:
             cv2.destroyAllWindows()
         log.info("processed %d frames x %d streams; stage times: %s",
                  n_frames, len(sources), engine.timer.summary())
+        if engine.fleet_gate:
+            log.info("fleet temporal gate: %d frame-slots coasted "
+                     "(detector skipped fleet-wide while ALL streams "
+                     "were static)", engine.gate_frames_coasted)
         if gated and writer is not None:
             log.info("event-gated recording: %s", writer.summary())
         if analytics is not None:

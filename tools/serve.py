@@ -379,6 +379,11 @@ def _multi_pipeline_loop(cfg, hub: FrameHub, max_frames,
                     fps=fps if preview_cfg.get("show_fps", True) else None)
                 n_tracks = sum(1 for d in all_dets
                                if d["track_id"] is not None)
+                if engine.fleet_gate:
+                    # fleet temporal-gate observability: frames served
+                    # from held detections (ALL streams were static)
+                    hub.stats["frames_coasted"] = \
+                        engine.gate_frames_coasted
                 hub.publish(encode_jpeg_bgr(canvas, quality), fps, n_tracks,
                             detections=all_dets, ts=batch[0][i].ts,
                             analytics=([a.summary() for a in analytics]
