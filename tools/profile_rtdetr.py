@@ -47,17 +47,29 @@ def _flops(jitted, *args) -> float:
 def timed_scan(name, fn, feed, inner: int, iters: int, batch: int,
                chain=None):
     """Time ``fn(x)`` chained ``inner`` times inside one jitted scan
-    (dispatch-amortized, commensurable with bench.py). ``chain`` maps
-    fn's output back to an input-shaped carry perturbation; when None,
-    the scan carries a scalar checksum and re-feeds the same input."""
+    (dispatch-amortized, commensurable with bench.py). The input is
+    perturbed per step: a loop-invariant feed lets XLA hoist the WHOLE
+    stage out of the scan and report an inner× fantasy (measured:
+    'backbone 64.7 TFLOP/s' before this guard)."""
+
+    def perturbed(x, i):
+        leaves, treedef = jax.tree_util.tree_flatten(x)
+        l0 = leaves[0]
+        idx = (0,) * l0.ndim
+        if jnp.issubdtype(l0.dtype, jnp.integer) \
+                or l0.dtype == jnp.uint8:
+            l0 = l0.at[idx].set((i % 2).astype(l0.dtype))
+        else:
+            l0 = l0.at[idx].add((i % 2).astype(l0.dtype) * 1e-6)
+        return jax.tree_util.tree_unflatten(treedef, [l0] + leaves[1:])
 
     @jax.jit
     def run(x):
-        def body(c, _):
-            out = fn(x)
+        def body(c, i):
+            out = fn(perturbed(x, i))
             leaf = jax.tree_util.tree_leaves(out)[0]
             return c + leaf.astype(jnp.float32).ravel()[0] * 1e-20, ()
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=inner)
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(inner))
         return c
 
     # cost_analysis counts the scan body once (not x inner), so the
