@@ -721,16 +721,18 @@ def flops_per_dispatch(jitted, *args) -> float:
         return 0.0
 
 
-def calibrate_tflops(steps: int = 16, par: int = 4) -> float:
-    """Dispatch-amortized sustained bf16 matmul rate: ``par`` INDEPENDENT
-    chains of 4096³ matmuls, ``steps`` deep, inside ONE jitted lax.scan —
-    commensurable with the headline (also a long scan) and with enough
-    instruction-level parallelism that the scheduler isn't serialized on
-    one dependency chain (a single chain measured 5.6 TFLOP/s while the
-    RT-DETR forward sustained 12.1 on the same attach — the serial chain
-    under-reported the ceiling). The r1-r3 calibration chained only 4
-    matmuls between syncs and was dominated by the attach's per-dispatch
-    round-trip (VERDICT r3 weak #1); both deficiencies are fixed here."""
+def calibrate_tflops(steps: int = 64, par: int = 8,
+                     reps: int = 2) -> float:
+    """Sustained bf16 matmul rate: ``par`` INDEPENDENT chains (ILP — a
+    single serial chain starves the scheduler) of 4096³ matmuls,
+    ``steps`` deep, inside ONE jitted lax.scan, ~70 TFLOP of work per
+    dispatch. The work must DWARF the tunnel round-trip: every earlier
+    calibration was dispatch-bound and its 'ceiling' rose with the work
+    size (r1-r3 4 matmuls: 0.7 TFLOP/s; r4 first cut 8.8 TFLOP of work:
+    7 TFLOP/s; meanwhile the rtdetr encoder stage sustained 86 TFLOP/s
+    on the same chip — the signature of measuring the round-trip, not
+    the MXU). At 70 TFLOP per dispatch even a 100+ TFLOP/s device
+    computes for ~0.7 s, an order of magnitude above the round-trip."""
     k = 4096
     a = jnp.ones((k, k), jnp.bfloat16)
     xs = tuple(jnp.full((k, k), 1.0 + i, jnp.bfloat16) for i in range(par))
@@ -745,9 +747,11 @@ def calibrate_tflops(steps: int = 16, par: int = 4) -> float:
     x = run(xs)
     _sync(x)
     t0 = time.perf_counter()
-    x = run(x)
+    for _ in range(reps):
+        x = run(x)
     _sync(x)
-    return 2 * k ** 3 * steps * par / (time.perf_counter() - t0) / 1e12
+    return (2 * k ** 3 * steps * par * reps
+            / (time.perf_counter() - t0) / 1e12)
 
 
 def _maybe_calibrate(engine: PipelineEngine, width: int, height: int,

@@ -422,17 +422,31 @@ def _deform_attn(p, query, refer_sig, values, shapes):
     ctr = refer_sig[:, :, None, None, None, :2]
     wh = refer_sig[:, :, None, None, None, 2:]
     loc = ctr + off.transpose(0, 1, 2, 3, 4, 5) / NDP * wh * 0.5
-    out = jnp.zeros((b, nq_, NH, dh), jnp.float32)
+    # ONE fused gather for every (level, corner, point) sample: the
+    # per-level values concatenate on the flattened spatial axis (the
+    # decoder already holds them as slices of one memory tensor) and
+    # each level's indices get its static offset — 12 take_along_axis
+    # calls (4 corners × NL levels) collapse to 1. The bilinear corner
+    # weight, the out-of-range zero mask, and the attention weight fold
+    # into ONE per-sample weight, so the final reduction is a single
+    # einsum over all NL·4·NDP samples (algebraically identical to the
+    # per-level accumulation; fp reassociation only). The decoder is
+    # the profiled bottleneck of RT-DETR on-chip (6.8 of 9.1 ms/frame)
+    # and gather dispatch — not FLOPs — dominates it.
+    V = jnp.concatenate(values, axis=1)          # (B, ΣHW, NH, dh)
+    offs = [0]
+    for hl, wl in shapes:
+        offs.append(offs[-1] + hl * wl)          # static python ints
+    idx_all, w_all = [], []
     for lvl, (hl, wl) in enumerate(shapes):
-        v = values[lvl]                      # (B, Hl*Wl, NH, dh)
-        l = loc[:, :, :, lvl]                # (B, NQ, NH, NDP, 2)
+        l = loc[:, :, :, lvl]                    # (B, NQ, NH, NDP, 2)
         x = l[..., 0] * wl - 0.5
         y = l[..., 1] * hl - 0.5
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
         fx = x - x0
         fy = y - y0
-        acc = jnp.zeros((b, nq_, NH, NDP, dh), jnp.float32)
+        aw = attw[:, :, :, lvl]                  # (B, NQ, NH, NDP)
         for dx, dy, wgt in ((0, 0, (1 - fx) * (1 - fy)),
                             (1, 0, fx * (1 - fy)),
                             (0, 1, (1 - fx) * fy),
@@ -441,14 +455,16 @@ def _deform_attn(p, query, refer_sig, values, shapes):
             yi = y0 + dy
             inb = (xi >= 0) & (xi < wl) & (yi >= 0) & (yi < hl)
             idx = (jnp.clip(yi, 0, hl - 1) * wl +
-                   jnp.clip(xi, 0, wl - 1)).astype(jnp.int32)
-            # (B, NQ, NH, NDP) → gather on the flattened spatial axis
-            idxt = idx.transpose(0, 1, 3, 2).reshape(b, nq_ * NDP, NH)
-            g = jnp.take_along_axis(v, idxt[..., None], axis=1)
-            g = g.reshape(b, nq_, NDP, NH, dh).transpose(0, 1, 3, 2, 4)
-            acc = acc + g * (wgt * inb)[..., None]
-        out = out + jnp.einsum("bqhpd,bqhp->bqhd", acc,
-                               attw[:, :, :, lvl])
+                   jnp.clip(xi, 0, wl - 1)).astype(jnp.int32) + offs[lvl]
+            idx_all.append(idx)
+            w_all.append(wgt * inb * aw)
+    k = NL * 4 * NDP
+    idx = jnp.stack(idx_all, axis=3).reshape(b, nq_, NH, k)
+    w = jnp.stack(w_all, axis=3).reshape(b, nq_, NH, k)
+    idxt = idx.transpose(0, 1, 3, 2).reshape(b, nq_ * k, NH)
+    g = jnp.take_along_axis(V, idxt[..., None], axis=1)
+    g = g.reshape(b, nq_, k, NH, dh).transpose(0, 1, 3, 2, 4)
+    out = jnp.einsum("bqhkd,bqhk->bqhd", g, w)
     return _lin(out.reshape(b, nq_, HD), p["out"])
 
 

@@ -53,15 +53,17 @@ def timed_scan(name, fn, feed, inner: int, iters: int, batch: int,
     'backbone 64.7 TFLOP/s' before this guard)."""
 
     def perturbed(x, i):
-        leaves, treedef = jax.tree_util.tree_flatten(x)
-        l0 = leaves[0]
-        idx = (0,) * l0.ndim
-        if jnp.issubdtype(l0.dtype, jnp.integer) \
-                or l0.dtype == jnp.uint8:
-            l0 = l0.at[idx].set((i % 2).astype(l0.dtype))
-        else:
-            l0 = l0.at[idx].add((i % 2).astype(l0.dtype) * 1e-6)
-        return jax.tree_util.tree_unflatten(treedef, [l0] + leaves[1:])
+        # EVERY leaf: perturbing only one input of a multi-input stage
+        # leaves the other inputs' subgraphs hoistable (measured: the
+        # encoder's AIFI branch, fed by unperturbed c5, reported
+        # 97 TFLOP/s)
+        def bump(leaf):
+            idx = (0,) * leaf.ndim
+            if jnp.issubdtype(leaf.dtype, jnp.integer) \
+                    or leaf.dtype == jnp.uint8:
+                return leaf.at[idx].set((i % 2).astype(leaf.dtype))
+            return leaf.at[idx].add((i % 2).astype(leaf.dtype) * 1e-6)
+        return jax.tree_util.tree_map(bump, x)
 
     @jax.jit
     def run(x):
