@@ -409,9 +409,12 @@ def _deform_attn(p, query, refer_sig, values, shapes):
     """Multi-scale deformable attention.
 
     query (B, NQ, HD); refer_sig (B, NQ, 4) sigmoid-space cxcywh;
-    values: list per level of (B, Hl*Wl, NH, dh); shapes: [(Hl, Wl)].
-    Sampling = 4-corner bilinear gather with zero out-of-range padding
-    (grid_sample align_corners=False semantics).
+    values: the COMBINED (B, ΣHl*Wl, NH, dh) level-concatenated value
+    tensor (levels in `shapes` order — exactly how the decoder's value
+    projection produces it; a per-level list is also accepted and
+    concatenated). shapes: [(Hl, Wl)]. Sampling = 4-corner bilinear
+    gather with zero out-of-range padding (grid_sample
+    align_corners=False semantics).
     """
     b, nq_, _ = query.shape
     dh = HD // NH
@@ -422,23 +425,24 @@ def _deform_attn(p, query, refer_sig, values, shapes):
     ctr = refer_sig[:, :, None, None, None, :2]
     wh = refer_sig[:, :, None, None, None, 2:]
     loc = ctr + off.transpose(0, 1, 2, 3, 4, 5) / NDP * wh * 0.5
-    # ONE fused gather for every (level, corner, point) sample: the
-    # per-level values concatenate on the flattened spatial axis (the
-    # decoder already holds them as slices of one memory tensor) and
-    # each level's indices get its static offset — 12 take_along_axis
-    # calls (4 corners × NL levels) collapse to 1. The bilinear corner
-    # weight, the out-of-range zero mask, and the attention weight fold
-    # into ONE per-sample weight, so the final reduction is a single
-    # einsum over all NL·4·NDP samples (algebraically identical to the
-    # per-level accumulation; fp reassociation only). The decoder is
-    # the profiled bottleneck of RT-DETR on-chip (6.8 of 9.1 ms/frame)
-    # and gather dispatch — not FLOPs — dominates it.
-    V = jnp.concatenate(values, axis=1)          # (B, ΣHW, NH, dh)
+    # Per-(level, corner) gathers — 12 take_along_axis calls. A fused
+    # single-gather alternative (all NL·4·NDP samples through ONE
+    # take_along_axis over the combined tensor, weights folded into one
+    # einsum) was built and measured on-chip in r4: decoder 9.72 vs
+    # 6.77 ms/frame — the one big (B, NQ·48, NH) gather compiles WORSE
+    # on this hardware than 12 small ones (with or without the level
+    # concat), so the original formulation is kept as the measured
+    # winner. The decoder remains RT-DETR's profiled bottleneck
+    # (~6.8 of 9.1 ms/frame at batch 8), bound by gather dispatch and
+    # 300-query small-matmul intensity (~2 TFLOP/s), not FLOPs.
+    V = values if not isinstance(values, (list, tuple)) \
+        else jnp.concatenate(values, axis=1)     # (B, ΣHW, NH, dh)
     offs = [0]
     for hl, wl in shapes:
         offs.append(offs[-1] + hl * wl)          # static python ints
-    idx_all, w_all = [], []
+    out = jnp.zeros((b, nq_, NH, dh), jnp.float32)
     for lvl, (hl, wl) in enumerate(shapes):
+        v = jax.lax.slice_in_dim(V, offs[lvl], offs[lvl + 1], axis=1)
         l = loc[:, :, :, lvl]                    # (B, NQ, NH, NDP, 2)
         x = l[..., 0] * wl - 0.5
         y = l[..., 1] * hl - 0.5
@@ -446,7 +450,7 @@ def _deform_attn(p, query, refer_sig, values, shapes):
         y0 = jnp.floor(y)
         fx = x - x0
         fy = y - y0
-        aw = attw[:, :, :, lvl]                  # (B, NQ, NH, NDP)
+        acc = jnp.zeros((b, nq_, NH, NDP, dh), jnp.float32)
         for dx, dy, wgt in ((0, 0, (1 - fx) * (1 - fy)),
                             (1, 0, fx * (1 - fy)),
                             (0, 1, (1 - fx) * fy),
@@ -455,16 +459,14 @@ def _deform_attn(p, query, refer_sig, values, shapes):
             yi = y0 + dy
             inb = (xi >= 0) & (xi < wl) & (yi >= 0) & (yi < hl)
             idx = (jnp.clip(yi, 0, hl - 1) * wl +
-                   jnp.clip(xi, 0, wl - 1)).astype(jnp.int32) + offs[lvl]
-            idx_all.append(idx)
-            w_all.append(wgt * inb * aw)
-    k = NL * 4 * NDP
-    idx = jnp.stack(idx_all, axis=3).reshape(b, nq_, NH, k)
-    w = jnp.stack(w_all, axis=3).reshape(b, nq_, NH, k)
-    idxt = idx.transpose(0, 1, 3, 2).reshape(b, nq_ * k, NH)
-    g = jnp.take_along_axis(V, idxt[..., None], axis=1)
-    g = g.reshape(b, nq_, k, NH, dh).transpose(0, 1, 3, 2, 4)
-    out = jnp.einsum("bqhkd,bqhk->bqhd", g, w)
+                   jnp.clip(xi, 0, wl - 1)).astype(jnp.int32)
+            # (B, NQ, NH, NDP) → gather on the flattened spatial axis
+            idxt = idx.transpose(0, 1, 3, 2).reshape(b, nq_ * NDP, NH)
+            g = jnp.take_along_axis(v, idxt[..., None], axis=1)
+            g = g.reshape(b, nq_, NDP, NH, dh).transpose(0, 1, 3, 2, 4)
+            acc = acc + g * (wgt * inb)[..., None]
+        out = out + jnp.einsum("bqhpd,bqhp->bqhd", acc,
+                               attw[:, :, :, lvl])
     return _lin(out.reshape(b, nq_, HD), p["out"])
 
 
@@ -519,9 +521,9 @@ def decoder_forward(dec, feats, nc: int, train: bool = False):
                                           axis=1)
 
     # per-head split of the shared memory for deformable attention
+    # (the level concatenation stays combined — _deform_attn gathers
+    # over it with per-level static index offsets)
     dh = HD // NH
-    sizes = [h * w for h, w in shapes]
-    offs = np.cumsum([0] + sizes)
 
     output = top_feats
     if train:
@@ -532,11 +534,10 @@ def decoder_forward(dec, feats, nc: int, train: bool = False):
     aux_boxes, aux_scores = [], []
     for i, lp in enumerate(dec["layers"]):
         values = _lin(memory, lp["ca"]["val"]).reshape(b, -1, NH, dh)
-        vals = [values[:, offs[l]:offs[l + 1]] for l in range(NL)]
         pos = _mlp(refer, dec["qpos"])
         q = k = output + pos
         output = _ln(output + _mha(q, k, output, lp["sa"]), lp["ln1"])
-        ca = _deform_attn(lp["ca"], output + pos, refer, vals, shapes)
+        ca = _deform_attn(lp["ca"], output + pos, refer, values, shapes)
         output = _ln(output + ca, lp["ln2"])
         f = _lin(jax.nn.relu(_lin(output, lp["ffn1"])), lp["ffn2"])
         output = _ln(output + f, lp["ln3"])
