@@ -123,3 +123,38 @@ def test_dp_train_step_has_gradient_allreduce():
     # large all-reduces (plus the scalar loss/num_fg reductions); zero
     # would mean the data-parallel gradient sum disappeared
     assert n_ar >= 1, "dp train step compiled without any all-reduce"
+
+
+def test_fleet_gate_has_global_reduce_and_conditional():
+    """The fleet temporal gate's mechanism: the fleet-max motion score
+    is a cross-shard reduction and the coast/full choice compiles to a
+    real HLO conditional (not a select that executes both arms' detector
+    forwards)."""
+    from roadvision_tpu.config import DEFAULTS, merge
+    from roadvision_tpu.parallel.inference import \
+        make_sharded_gated_stream_step
+    from roadvision_tpu.runtime import PipelineEngine
+
+    cfg = merge(DEFAULTS, {
+        "detect": {"enabled": True, "model": "missing.pt", "device": "cpu",
+                   "max_det": 8, "imgsz": 64, "classes_keep": [],
+                   "conf_thres": 0.0,
+                   "temporal_gate": {"enable": True, "thresh": 1.5,
+                                     "max_skip_batches": 3}},
+        "tracking": {"enabled": True},
+        "tpu": {"batch_size": 2, "track_slots": 8},
+    })
+    engine = PipelineEngine(cfg)
+    mesh = make_mesh(8, model_parallel=1)
+    step, init_carry = make_sharded_gated_stream_step(engine, (2, 64, 64),
+                                                      mesh)
+    carry = init_carry(8)
+    frames = jnp.zeros((8, 2, 64, 64, 3), jnp.uint8)
+    ts = jnp.zeros((8, 2), jnp.float32)
+    txt = step.lower(engine.detector.params, carry, frames,
+                     ts).compile().as_text()
+    assert "conditional(" in txt or " conditional " in txt, \
+        "fleet gate compiled without an HLO conditional — both branches " \
+        "would execute every batch"
+    assert "all-reduce" in txt, \
+        "fleet-max motion score compiled without a cross-shard reduction"
