@@ -962,7 +962,7 @@ def main() -> int:
         extra += f" | host-fed {host_fps:.2f} fps"
     if tflops is not None:
         extra += f" | env calibration: {tflops:.2f} bf16 TFLOP/s " \
-                 f"sustained (64-matmul scan, dispatch-amortized; " \
+                 f"sustained (8x64-matmul scan, ~70 TFLOP/dispatch; " \
                  f"real v5e peak ~197)"
     extra += f" | batch={batch} res={res}p iters={iters}"
     print(extra, file=sys.stderr)
