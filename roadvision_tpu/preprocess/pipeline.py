@@ -43,9 +43,33 @@ class PreprocessPipeline:
         return not self.enabled or not self.ops
 
     def _gate_from_gray(self, gray: jnp.ndarray) -> jnp.ndarray:
-        """True where the chain should run, from an int32 gray plane."""
-        span = (jnp.max(gray, axis=(-2, -1)) - jnp.min(gray, axis=(-2, -1)))
+        """True where the chain should run, from an int32 gray plane.
+
+        ``auto_gate.stat`` picks the contrast statistic:
+          * "span" (default, reference-exact): max−min gray level
+            (reference pipeline.py:24-30). Fragile by construction — a
+            single bright/dark pixel defeats it (measured: impulse
+            "rain" noise and default-veil fog leave the span at clean-
+            scene levels, WEATHER.json caveat).
+          * "pspan" (additive): p99.5−p0.5 of the gray values on a
+            stride-4 subsample — robust to outlier pixels (≤0.5% of the
+            frame can't move it), one fused per-frame sort of ~N/16
+            values, fixed shapes, no histogram materialization.
+        """
         thresh = float(self.auto_gate_cfg.get("contrast_thresh", 20.0))
+        stat = str(self.auto_gate_cfg.get("stat", "span"))
+        if stat == "pspan":
+            sub = gray[..., ::4, ::4]
+            flat = sub.reshape(sub.shape[:-2] + (-1,))
+            n = flat.shape[-1]
+            s = jnp.sort(flat, axis=-1)
+            lo = s[..., max(0, int(0.005 * (n - 1)))]
+            hi = s[..., min(n - 1, int(0.995 * (n - 1)))]
+            return (hi - lo).astype(jnp.float32) < thresh
+        if stat != "span":
+            raise ValueError(f"auto_gate.stat {stat!r} unknown "
+                             f"(span | pspan)")
+        span = (jnp.max(gray, axis=(-2, -1)) - jnp.min(gray, axis=(-2, -1)))
         return span.astype(jnp.float32) < thresh
 
     @property

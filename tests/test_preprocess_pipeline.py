@@ -120,3 +120,38 @@ def test_sampled_unsupported_when_gated_or_lab():
         "enabled": True,
         "chain": [{"name": "CLAHEDehaze", "params": {"space": "LAB"}}]})
     assert not lab.supports_sampled()
+
+
+def _cfg_stat(stat, thresh):
+    cfg = _cfg(gate=True, thresh=thresh)
+    cfg["auto_gate"]["stat"] = stat
+    return cfg
+
+
+def test_pspan_gate_robust_to_impulse_outliers():
+    """auto_gate.stat 'pspan' (additive): the reference-exact max-min
+    span is defeated by a single bright/dark pixel (the WEATHER.json
+    caveat — impulse rain and thin fog never engage it); p99.5-p0.5
+    ignores <=0.5% outliers."""
+    low = _frame(6, lo=100, hi=110)       # genuinely low contrast
+    spiked = low.copy()
+    spiked[0, 0] = 255                     # one impulse "raindrop"
+    spiked[-1, -1] = 0
+    # reference span statistic: the two outlier pixels raise the span
+    # to 255 -> gate skips the chain even though the scene is flat
+    span_pipe = PreprocessPipeline(_cfg_stat("span", 50.0))
+    np.testing.assert_array_equal(span_pipe(spiked), spiked)
+    # robust statistic: outliers ignored, chain runs
+    pspan_pipe = PreprocessPipeline(_cfg_stat("pspan", 50.0))
+    ungated = PreprocessPipeline(_cfg(gate=False))
+    np.testing.assert_array_equal(pspan_pipe(spiked),
+                                  ungated(spiked))
+    # and on a genuinely high-contrast frame pspan still skips
+    high = _frame(7)
+    np.testing.assert_array_equal(pspan_pipe(high), high)
+
+
+def test_gate_stat_unknown_raises():
+    pipe = PreprocessPipeline(_cfg_stat("median", 50.0))
+    with pytest.raises(ValueError, match="span"):
+        pipe(_frame(8))

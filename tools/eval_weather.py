@@ -96,18 +96,28 @@ def add_rain(frames: np.ndarray, density: float, seed: int) -> np.ndarray:
     return out
 
 
-def gray_spans(frames: np.ndarray) -> np.ndarray:
-    """Per-frame gray-level span (max−min), the auto-gate's statistic
-    (reference pipeline.py:24-30) — reported so the gate threshold can
-    be read against each fog level."""
+def gray_spans(frames: np.ndarray, stat: str = "span") -> np.ndarray:
+    """Per-frame gray contrast statistic, mirroring the auto-gate's:
+    'span' = max−min (reference pipeline.py:24-30), 'pspan' =
+    p99.5−p0.5 on a stride-4 subsample (the additive robust statistic,
+    preprocess/pipeline.py) — reported so the gate threshold can be
+    read against each weather level."""
     f = frames.astype(np.float32)
     gray = 0.114 * f[..., 0] + 0.587 * f[..., 1] + 0.299 * f[..., 2]
     g = gray.astype(np.uint8).astype(np.int32)
+    if stat == "pspan":
+        sub = g[:, ::4, ::4].reshape(g.shape[0], -1)
+        s = np.sort(sub, axis=-1)
+        n = sub.shape[-1]
+        lo = s[:, max(0, int(0.005 * (n - 1)))]
+        hi = s[:, min(n - 1, int(0.995 * (n - 1)))]
+        return (hi - lo).astype(np.float64)
     return (g.max(axis=(1, 2)) - g.min(axis=(1, 2))).astype(np.float64)
 
 
 def make_cfg(weights: str, res: int, mode: str, conf: float,
-             gate_thresh: float, batch: int) -> Dict:
+             gate_thresh: float, batch: int,
+             gate_stat: str = "span") -> Dict:
     """Engine config per preprocess mode, mirroring
     configs/synthetic_demo.yaml (the shipped checkpoint's deployment)."""
     from roadvision_tpu.config import DEFAULTS, merge
@@ -119,7 +129,8 @@ def make_cfg(weights: str, res: int, mode: str, conf: float,
     elif mode == "auto":
         pre = {"enabled": True, "chain": PRE_CHAIN,
                "auto_gate": {"enable_low_contrast_gate": True,
-                             "contrast_thresh": gate_thresh}}
+                             "contrast_thresh": gate_thresh,
+                             "stat": gate_stat}}
     else:
         raise ValueError(f"unknown preprocess mode {mode!r}")
     return merge(DEFAULTS, {
@@ -207,6 +218,7 @@ def evaluate(args) -> Dict:
             "frames": args.frames, "res": args.res,
             "vehicles": args.vehicles, "weights": args.weights,
             "conf_thres": args.conf, "gate_thresh": args.gate_thresh,
+            "gate_stat": args.gate_stat,
             "rain_density": args.rain, "seed": args.seed,
             "chain": "CLAHEDehaze(YCrCb,2.0,8) + MedianDerain(3)",
         },
@@ -221,7 +233,7 @@ def evaluate(args) -> Dict:
         rain = args.rain if ("rain" in parts) else 0.0
         fogged = fog_level(frames, base, args.seed)
         fogged = add_rain(fogged, rain, args.seed)
-        spans = gray_spans(fogged)
+        spans = gray_spans(fogged, args.gate_stat)
         entry = {
             "gray_span_mean": round(float(spans.mean()), 1),
             # fraction of frames whose chain the auto-gate would RUN
@@ -233,7 +245,7 @@ def evaluate(args) -> Dict:
         for mode in args.modes:
             dets = run_mode(make_cfg(args.weights, args.res, mode,
                                      args.conf, args.gate_thresh,
-                                     args.batch), fogged)
+                                     args.batch, args.gate_stat), fogged)
             entry["modes"][mode] = score(dets, gt)
         report["levels"][level] = entry
         print(f"[eval_weather] level={level:<10s} "
@@ -267,6 +279,11 @@ def main(argv=None) -> int:
                          "on frames whose gray span is BELOW this "
                          "(clean scenes here span ~170; the reference-"
                          "tool fog compresses to ~135)")
+    ap.add_argument("--gate-stat", default="span",
+                    choices=["span", "pspan"],
+                    help="auto-gate statistic: 'span' is the reference-"
+                         "exact max-min (blind to impulse noise and "
+                         "thin fog); 'pspan' is the robust p99.5-p0.5")
     ap.add_argument("--rain", type=float, default=0.02,
                     help="impulse-noise density (fraction of pixels) "
                          "used by levels that include '+rain'")
