@@ -93,7 +93,7 @@ def main(argv=None) -> int:
         row = score(dets, gt)
         if args.fps:
             import bench
-            fps, _, flops = bench.device_resident_fps(
+            fps, _, flops, _bytes = bench.device_resident_fps(
                 engine, args.res, args.res, args.batch, args.fps_iters,
                 num_vehicles=args.vehicles)
             row["fps"] = round(fps, 2)
