@@ -81,7 +81,11 @@ def _cfg(height: int, width: int, batch: int):
                    # autotune hooks (tools/autotune.py): conv path dtype
                    # and the sampled-terminal-op preprocess variant
                    "compute_dtype": "int8" if _BENCH_DTYPE == "int8-static"
-                                    else _BENCH_DTYPE},
+                                    else _BENCH_DTYPE,
+                   # rtdetr only: decode top-N proposals instead of 300
+                   "num_queries": (int(os.environ["RVT_BENCH_NQ"])
+                                   if os.environ.get("RVT_BENCH_NQ")
+                                   else None)},
         "tracking": {"enabled": True, "max_staleness": 1.2, "min_hits": 3,
                      "iou_threshold": 0.35, "speed_window": 0.8},
         "geometry": {"enabled": True, "projector": {

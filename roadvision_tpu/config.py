@@ -72,7 +72,14 @@ DEFAULTS: Dict[str, Any] = {
                    # test-time augmentation (ops/tta.py): ultralytics'
                    # predict(augment=True) — 3 scaled/mirrored passes,
                    # one merged NMS; accuracy-over-speed, detect task only
-                   tta=False),
+                   tta=False,
+                   # rtdetr only: decode the top-N encoder proposals
+                   # instead of the published 300. RT-DETR queries ARE
+                   # the encoder's top-k (no learned query embeddings),
+                   # so fewer queries is a valid smaller top-k with the
+                   # same weights; decoder cost is linear in N. Must be
+                   # >= max_det. None = the model's 300 (parity).
+                   num_queries=None),
     "tracking": dict(enabled=False, backend="sort", max_staleness=1.0,
                      min_hits=3, iou_threshold=0.3, speed_window=0.75,
                      association="greedy",

@@ -47,6 +47,22 @@ class RTDETRJax(Detector):
         self.max_det = int(cfg.get("max_det", 100))
         self.keep = tuple(sorted(int(x) for x in cfg.get("classes_keep", [])))
         self.imgsz = int(cfg.get("imgsz", 640))
+        # decode only the top-N encoder proposals (None = published 300).
+        # The decoder — the family's profiled bottleneck, cost linear in
+        # N — sees N queries; valid with unchanged weights because
+        # RT-DETR queries are the encoder's top-k, not learned
+        # embeddings (models/rtdetr.decoder_forward).
+        nq = cfg.get("num_queries")
+        self.num_queries = None if nq is None else int(nq)
+        if self.num_queries is not None:
+            if not 1 <= self.num_queries <= rtdetr.NQ:
+                raise ValueError(f"detect.num_queries must be in "
+                                 f"[1, {rtdetr.NQ}], got {nq}")
+            if self.num_queries < self.max_det:
+                raise ValueError(
+                    f"detect.num_queries ({nq}) < detect.max_det "
+                    f"({self.max_det}): top-{self.max_det} selection "
+                    f"needs at least that many decoded queries")
         compute = str(cfg.get("compute_dtype", "bfloat16"))
         self.int8 = compute == "int8"
         self.dtype = jnp.float32 if compute == "float32" else jnp.bfloat16
@@ -101,9 +117,11 @@ class RTDETRJax(Detector):
 
     def forward_fn(self, params, imgs):
         """(B, S, S, 3) float RGB [0,1] → (boxes normalized xyxy
-        (B, 300, 4), scores (B, 300, nc) probabilities)."""
+        (B, nq, 4), scores (B, nq, nc) probabilities); nq =
+        detect.num_queries or 300."""
         return rtdetr.forward_rtdetr_raw(params, imgs, nc=self.nc,
-                                         dtype=self.dtype)
+                                         dtype=self.dtype,
+                                         num_queries=self.num_queries)
 
     # ------------------------------------------------------------------
     def _build_fn(self, shape: Tuple[int, int, int]):
@@ -162,7 +180,8 @@ class RTDETRJax(Detector):
         if frames.ndim == 3:
             frames = frames[None]
         fwd = functools.partial(rtdetr.forward_rtdetr_raw, nc=self.nc,
-                                dtype=self.dtype)
+                                dtype=self.dtype,
+                                num_queries=self.num_queries)
         capture = jax.jit(functools.partial(quant.capture_scales, fwd))
         running = None
         for i in range(0, frames.shape[0], batch_size):

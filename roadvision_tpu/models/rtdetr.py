@@ -488,11 +488,18 @@ def _anchors_for(shapes, grid_size: float = 0.05, eps: float = 1e-2):
     return a, valid.astype(jnp.float32)
 
 
-def decoder_forward(dec, feats, nc: int, train: bool = False):
-    """[p3, p4, p5] (HD ch) → (boxes (B,NQ,4) sigmoid cxcywh, scores
-    (B,NQ,nc) logits[, aux]) — aux (train=True) carries the encoder
+def decoder_forward(dec, feats, nc: int, train: bool = False,
+                    num_queries: Optional[int] = None):
+    """[p3, p4, p5] (HD ch) → (boxes (B,nq,4) sigmoid cxcywh, scores
+    (B,nq,nc) logits[, aux]) — aux (train=True) carries the encoder
     head outputs and every decoder layer's predictions for the
-    set-prediction loss."""
+    set-prediction loss.
+
+    ``num_queries`` decodes only the top-N encoder proposals (default
+    the published NQ=300). Valid with unchanged weights: RT-DETR has no
+    learned query embeddings — queries ARE the encoder's top-k — so a
+    smaller N is literally a smaller top-k, and the decoder's cost
+    (the family's profiled bottleneck) is linear in N."""
     b = feats[0].shape[0]
     shapes = [(f.shape[1], f.shape[2]) for f in feats]
     flat = []
@@ -506,10 +513,12 @@ def decoder_forward(dec, feats, nc: int, train: bool = False):
                   dec["enc_output"]["ln"])
     enc_scores = _lin(feats_q, dec["enc_score"])          # (B, sumHW, nc)
     top_val = jnp.max(enc_scores, axis=-1)
-    # static query count: 300, clamped to the anchor total so tiny
-    # inputs (tests, dryrun shapes) still trace — ultralytics asserts
-    # instead; identical at deploy sizes (640² → 8400 anchors)
-    nq = min(NQ, memory.shape[1])
+    # static query count: 300 (or the caller's num_queries), clamped to
+    # the anchor total so tiny inputs (tests, dryrun shapes) still
+    # trace — ultralytics asserts instead; identical at deploy sizes
+    # (640² → 8400 anchors)
+    nq = min(NQ if num_queries is None else int(num_queries),
+             memory.shape[1])
     _, topk = jax.lax.top_k(top_val, nq)                  # (B, nq)
     top_feats = jnp.take_along_axis(feats_q, topk[..., None], axis=1)
     top_anchor = jnp.take_along_axis(
@@ -561,19 +570,23 @@ def decoder_forward(dec, feats, nc: int, train: bool = False):
 # full model
 # ---------------------------------------------------------------------------
 
-def forward_rtdetr_raw(params, x, nc: int = 80, dtype=jnp.float32):
-    """(B, H, W, 3) float [0,1] → (boxes_xyxy normalized [0,1] (B,NQ,4),
-    scores (B,NQ,nc) sigmoid probabilities). No NMS — suppression is
-    learned (set prediction)."""
+def forward_rtdetr_raw(params, x, nc: int = 80, dtype=jnp.float32,
+                       num_queries: Optional[int] = None):
+    """(B, H, W, 3) float [0,1] → (boxes_xyxy normalized [0,1] (B,nq,4),
+    scores (B,nq,nc) sigmoid probabilities). No NMS — suppression is
+    learned (set prediction). nq = num_queries or the published 300
+    (see decoder_forward)."""
     c3, c4, c5 = hgnet_forward(params["backbone"], x, dtype)
     feats = encoder_forward(params["enc"], c3, c4, c5, dtype)
-    boxes, logits = decoder_forward(params["dec"], feats, nc)
+    boxes, logits = decoder_forward(params["dec"], feats, nc,
+                                    num_queries=num_queries)
     cxy, wh = boxes[..., :2], boxes[..., 2:]
     xyxy = jnp.concatenate([cxy - wh / 2, cxy + wh / 2], axis=-1)
     return xyxy, jax.nn.sigmoid(logits)
 
 
-forward_rtdetr = jax.jit(forward_rtdetr_raw, static_argnames=("nc", "dtype"))
+forward_rtdetr = jax.jit(forward_rtdetr_raw,
+                         static_argnames=("nc", "dtype", "num_queries"))
 
 
 def forward_rtdetr_train(params, x, nc: int = 80, dtype=jnp.float32):

@@ -344,6 +344,65 @@ def test_infer_contract(detector):
         assert d.cls_name in ("person", "car")
 
 
+def test_num_queries_knob_shapes_and_validation():
+    """detect.num_queries decodes only the top-N encoder proposals —
+    the RT-DETR decoder is the family's profiled bottleneck and its
+    cost is linear in N (BASELINE.md); N queries is a valid smaller
+    top-k because RT-DETR has no learned query embeddings. Pins the
+    forward's output width, the detector contract, and the config
+    validation (N must cover max_det and fit the model's 300)."""
+    from roadvision_tpu.detect.rtdetr_jax import RTDETRJax
+    params = rtdetr.init_params_rtdetr(jax.random.PRNGKey(3), nc=4)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                    jnp.float32)
+    # imgsz 64 -> 84 anchors; nq clamps to min(requested, anchors)
+    boxes, probs = rtdetr.forward_rtdetr_raw(params, x, nc=4,
+                                             num_queries=16)
+    assert boxes.shape == (1, 16, 4) and probs.shape == (1, 16, 4)
+
+    det = RTDETRJax({"model": "rtdetr-l.absent.pt", "conf_thres": 1e-6,
+                     "max_det": 8, "imgsz": 64, "device": "cpu",
+                     "num_queries": 16})
+    assert det.num_queries == 16
+    frame = np.random.RandomState(1).randint(0, 255, (48, 72, 3), np.uint8)
+    dets = det.infer(frame)
+    assert len(dets) <= 8
+    for d in dets:
+        assert 0 <= d.x1 <= d.x2 <= 72 and 0 <= d.y1 <= d.y2 <= 48
+
+    with pytest.raises(ValueError, match="max_det"):
+        RTDETRJax({"model": "rtdetr-l.absent.pt", "max_det": 100,
+                   "num_queries": 50})
+    with pytest.raises(ValueError, match="num_queries"):
+        RTDETRJax({"model": "rtdetr-l.absent.pt", "num_queries": 0})
+    with pytest.raises(ValueError, match="num_queries"):
+        RTDETRJax({"model": "rtdetr-l.absent.pt", "num_queries": 301})
+
+
+def test_num_queries_is_encoder_topk_prefix():
+    """The N queries selected under num_queries=N are exactly the first
+    N of the default run's top-300: the encoder-side proposals
+    (aux enc_boxes/enc_scores, read via train=True) must be a prefix —
+    lax.top_k sorts descending. (Decoded outputs then differ because
+    self-attention mixes a different query set; the knob's semantic
+    change is ONLY the smaller candidate pool.)"""
+    params = rtdetr.init_params_rtdetr(jax.random.PRNGKey(5), nc=4)
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 64, 64, 3),
+                    jnp.float32)
+    c3, c4, c5 = rtdetr.hgnet_forward(params["backbone"], x)
+    feats = rtdetr.encoder_forward(params["enc"], c3, c4, c5)
+    _, _, aux_full = rtdetr.decoder_forward(params["dec"], feats, 4,
+                                            train=True)
+    _, _, aux_16 = rtdetr.decoder_forward(params["dec"], feats, 4,
+                                          train=True, num_queries=16)
+    np.testing.assert_allclose(np.asarray(aux_16["enc_boxes"]),
+                               np.asarray(aux_full["enc_boxes"][:, :16]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux_16["enc_scores"]),
+                               np.asarray(aux_full["enc_scores"][:, :16]),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_set_params_refreshes_names_and_nc(tmp_path):
     """set_params with a different-width score head updates nc AND the
     class-name table (stale COCO names would mislabel Detections)."""

@@ -34,14 +34,18 @@ def _sync(x):
     return float(np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0])
 
 
-def _flops(jitted, *args) -> float:
+def _cost(jitted, *args):
+    """(FLOPs, bytes accessed) per dispatch — bytes is XLA's post-fusion
+    per-op sum, an upper bound on true HBM traffic (see
+    bench.cost_per_dispatch)."""
     try:
         ca = jitted.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0))
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
     except Exception:
-        return 0.0
+        return 0.0, 0.0
 
 
 def timed_scan(name, fn, feed, inner: int, iters: int, batch: int,
@@ -76,7 +80,9 @@ def timed_scan(name, fn, feed, inner: int, iters: int, batch: int,
 
     # cost_analysis counts the scan body once (not x inner), so the
     # reported number already IS one fn(x) evaluation = one batch
-    fl = _flops(run, feed) / batch
+    fl, by = _cost(run, feed)
+    fl /= batch
+    by /= batch
     c = run(feed)
     _sync(c)
     t0 = time.perf_counter()
@@ -85,8 +91,10 @@ def timed_scan(name, fn, feed, inner: int, iters: int, batch: int,
     _sync(c)
     ms = (time.perf_counter() - t0) / (iters * inner * batch) * 1e3
     ach = fl / (ms / 1e3) / 1e12 if ms > 0 else 0.0
+    mem = f"  {by / 1e6:7.1f} MB/frame  {fl / max(by, 1.0):5.0f} FLOPs/B" \
+        if by > 0 else ""
     print(f"[rtdetr] {name:28s} {ms:8.3f} ms/frame  "
-          f"{fl / 1e9:8.2f} GFLOPs/frame  {ach:7.3f} TFLOP/s",
+          f"{fl / 1e9:8.2f} GFLOPs/frame  {ach:7.3f} TFLOP/s{mem}",
           flush=True)
     return ms, fl
 
