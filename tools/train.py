@@ -86,6 +86,10 @@ def main(argv=None) -> int:
                     help="held-out images: reserved from the dataset "
                          "tail (dir data) or fresh synthetic scenes")
     ap.add_argument("--out", default="runs/trained.npz")
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="checkpoint training state (and EMA deploy "
+                         "weights) to --out every N steps so long runs "
+                         "survive interruption (0 = final save only)")
     ap.add_argument("--resume", default=None,
                     help="training-state checkpoint (.npz or orbax dir) "
                          "to continue from; restored onto the mesh "
@@ -138,24 +142,29 @@ def main(argv=None) -> int:
     pose_task = task == "pose"
     obb_task = task == "obb"
 
-    momentum = init_momentum(params)
     if rtdetr_task:
-        from roadvision_tpu.models.rtdetr_train import \
-            make_train_step_rtdetr
+        from roadvision_tpu.models.rtdetr_train import (init_opt_rtdetr,
+                                                        make_train_step_rtdetr)
+        momentum = init_opt_rtdetr(params)  # AdamW moments + step count
         step = make_train_step_rtdetr(args.nc, lr=args.lr)
     elif arch == "v5":
+        momentum = init_momentum(params)
         from roadvision_tpu.models.yolo.train_v5 import make_train_step_v5
         step = make_train_step_v5(size, args.nc, lr=args.lr)
     elif seg_task:
+        momentum = init_momentum(params)
         from roadvision_tpu.models.yolo.train_seg import make_train_step_seg
         step = make_train_step_seg(size, args.nc, lr=args.lr, arch=arch)
     elif pose_task:
+        momentum = init_momentum(params)
         from roadvision_tpu.models.yolo.train_pose import make_train_step_pose
         step = make_train_step_pose(size, args.nc, lr=args.lr, arch=arch)
     elif obb_task:
+        momentum = init_momentum(params)
         from roadvision_tpu.models.yolo.train_obb import make_train_step_obb
         step = make_train_step_obb(size, args.nc, lr=args.lr, arch=arch)
     else:
+        momentum = init_momentum(params)
         step = make_train_step(size, args.nc, lr=args.lr, arch=arch)
 
     if args.dp > 1:
@@ -164,7 +173,11 @@ def main(argv=None) -> int:
         mesh = make_mesh(args.dp, model_parallel=1)
         pshard = param_shardings(params, mesh)
         params = shard_pytree(params, pshard)
-        momentum = shard_pytree(momentum, pshard)
+        # param_shardings is a per-leaf rule, so it applies to the
+        # rtdetr AdamW state dict ({m, v, t}) as well as a plain
+        # momentum tree (t is 0-d → replicated)
+        mshard = param_shardings(momentum, mesh)
+        momentum = shard_pytree(momentum, mshard)
         bshard = batch_sharding(mesh, 4)
     else:
         bshard = None
@@ -173,7 +186,8 @@ def main(argv=None) -> int:
     if args.resume:
         from roadvision_tpu.runtime.checkpoint import load_train_state
         params, momentum, start_step = load_train_state(
-            args.resume, shardings=pshard if args.dp > 1 else None)
+            args.resume, shardings=pshard if args.dp > 1 else None,
+            mom_shardings=mshard if args.dp > 1 else None)
         log.info("resumed from %s at step %d", args.resume, start_step)
 
     eval_set = None
@@ -319,6 +333,9 @@ def main(argv=None) -> int:
         log.info("fog augmentation: p=%.2f level=%s", args.fog,
                  args.fog_level)
 
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+
     t0 = time.time()
     for it in range(1, args.steps + 1):
         images, *gts = next_batch()   # (+ gt instance masks for seg)
@@ -343,9 +360,13 @@ def main(argv=None) -> int:
             log.info("step %d/%d loss=%.4f %s fg=%d (%.1fs)",
                      it, args.steps, float(loss), parts,
                      int(aux["num_fg"]), time.time() - t0)
+        if args.save_every and it % args.save_every == 0 \
+                and it != args.steps:
+            save_train_state(str(out), params, momentum, start_step + it)
+            yolo_weights.export_npz(ema if ema is not None else params,
+                                    out.with_suffix(".weights.npz"))
+            log.info("checkpointed step %d to %s", start_step + it, out)
 
-    out = Path(args.out)
-    out.parent.mkdir(parents=True, exist_ok=True)
     path = save_train_state(str(out), params, momentum,
                             start_step + args.steps)
     deploy = ema if ema is not None else params
