@@ -64,6 +64,20 @@ V5E_HBM_GBS = 819.0  # v5e HBM bandwidth per chip, GB/s
 _BENCH_DTYPE = os.environ.get("RVT_BENCH_DTYPE", "bfloat16")
 
 
+def _bench_nq():
+    """RVT_BENCH_NQ override for detect.num_queries (rtdetr-only knob;
+    the YOLO families never read it, so warn instead of silently
+    benchmarking unchanged numbers)."""
+    raw = os.environ.get("RVT_BENCH_NQ")
+    if not raw:
+        return None
+    if "rtdetr" not in os.environ.get("RVT_BENCH_MODEL", "yolov8n.pt"):
+        print("[bench] RVT_BENCH_NQ is set but RVT_BENCH_MODEL is not an "
+              "rtdetr checkpoint — num_queries only affects the rtdetr "
+              "family; the knob will be ignored", file=sys.stderr)
+    return int(raw)
+
+
 def _cfg(height: int, width: int, batch: int):
     return merge(DEFAULTS, {
         "preprocess": {"enabled": True, "chain": [
@@ -82,10 +96,9 @@ def _cfg(height: int, width: int, batch: int):
                    # and the sampled-terminal-op preprocess variant
                    "compute_dtype": "int8" if _BENCH_DTYPE == "int8-static"
                                     else _BENCH_DTYPE,
-                   # rtdetr only: decode top-N proposals instead of 300
-                   "num_queries": (int(os.environ["RVT_BENCH_NQ"])
-                                   if os.environ.get("RVT_BENCH_NQ")
-                                   else None)},
+                   # rtdetr only: decode top-N proposals (None = the
+                   # shipped auto default max(100, max_det))
+                   "num_queries": _bench_nq()},
         "tracking": {"enabled": True, "max_staleness": 1.2, "min_hits": 3,
                      "iou_threshold": 0.35, "speed_window": 0.8},
         "geometry": {"enabled": True, "projector": {
@@ -683,11 +696,14 @@ def preprocess_stage_ms(engine: PipelineEngine, width: int, height: int,
     return (time.perf_counter() - t0) / (outer * INNER_SCAN * batch) * 1e3
 
 
-def streams_fps(res: int, streams: int, batch: int, iters: int) -> float:
+def streams_fps(res: int, streams: int, batch: int, iters: int
+                ) -> Tuple[float, float, float]:
     """Multi-stream scale-out (SURVEY §2.5): S camera streams through the
     stream-sharded step on this host's mesh (1 chip here; the same code
     path spans real multi-chip meshes — tests/test_sharded_inference.py
-    proves cross-device correctness on a virtual mesh)."""
+    proves cross-device correctness on a virtual mesh). Returns
+    (aggregate fps, FLOPs/frame, bytes/frame) — the cost outputs feed
+    the MFU/roofline fragment like the other modes."""
     from roadvision_tpu.parallel import make_mesh, make_sharded_stream_step
     width = res_width(res)
     engine = PipelineEngine(_cfg(res, width, batch))
@@ -853,12 +869,22 @@ def _mfu_part(fps: float, flops_frame: float,
         gbs = bytes_frame * fps / 1e9
         inten = flops_frame / bytes_frame
         ridge = peak * 1e12 / (V5E_HBM_GBS * 1e9)
-        bound = "memory" if inten < ridge else "compute"
+        # counted bytes are an UPPER bound on traffic, so the computed
+        # intensity is a LOWER bound: only "compute-bound" is safe in
+        # that direction. Observed double-count factors here reach ~8x
+        # (BASELINE.md), so hedge anything within that band of the ridge.
+        if inten >= ridge:
+            bound = "compute-bound"
+        elif inten > ridge / 8:
+            bound = "likely memory-bound (counted intensity is a lower " \
+                    "bound)"
+        else:
+            bound = "memory-bound"
         out += (f"; {bytes_frame / 1e6:.1f} MB/frame counted (cost-model"
                 f" upper bound — re-read operands double-count), implied"
-                f" {gbs:.1f} GB/s vs v5e HBM {V5E_HBM_GBS:.0f}, intensity "
-                f"{inten:.0f} FLOPs/B (ridge {ridge:.0f}: "
-                f"{bound}-bound on v5e)")
+                f" {gbs:.1f} GB/s vs v5e HBM {V5E_HBM_GBS:.0f}, counted-"
+                f"intensity {inten:.0f} FLOPs/B (ridge {ridge:.0f}: "
+                f"{bound} on v5e)")
     return out
 
 

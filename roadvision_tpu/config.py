@@ -50,7 +50,21 @@ DEFAULTS: Dict[str, Any] = {
     ),
     "preprocess": dict(
         enabled=False, chain=[],
-        auto_gate=dict(enable_low_contrast_gate=False, contrast_thresh=20.0),
+        # contrast_thresh: number (reference parity), or "auto" —
+        #   calibrated as auto_ratio x percentile(auto_pct) of the
+        #   per-frame statistic over the first (clean) frames seen, or
+        #   explicitly via PreprocessPipeline.calibrate_gate /
+        #   tools/calibrate_gate.py.
+        # stat: "span" (reference-exact max-min) | "pspan" (robust
+        #   p99.5-p0.5 on a stride-4 subsample).
+        # impulse_thresh: None | float — additionally run the chain on
+        #   frames whose impulse residual (mean |gray - median3(gray)|,
+        #   stride-4 subsample) is >= this; closes the contrast gate's
+        #   structural rain blindness (measured split: clean <= 1.6,
+        #   2% impulse rain >= 2.7 — use 2.5).
+        auto_gate=dict(enable_low_contrast_gate=False, contrast_thresh=20.0,
+                       stat="span", impulse_thresh=None,
+                       auto_ratio=0.85, auto_pct=10.0),
     ),
     "detect": dict(enabled=False, backend="ultralytics", model="yolov8n.pt",
                    device="auto", conf_thres=0.25, iou_thres=0.7, max_det=100,
@@ -78,7 +92,9 @@ DEFAULTS: Dict[str, Any] = {
                    # the encoder's top-k (no learned query embeddings),
                    # so fewer queries is a valid smaller top-k with the
                    # same weights; decoder cost is linear in N. Must be
-                   # >= max_det. None = the model's 300 (parity).
+                   # >= max_det. None = auto: max(100, max_det) — the
+                   # measured-1.92x shipped default (docs/TASKS.md);
+                   # set 300 explicitly for published-behavior parity.
                    num_queries=None),
     "tracking": dict(enabled=False, backend="sort", max_staleness=1.0,
                      min_hits=3, iou_threshold=0.3, speed_window=0.75,

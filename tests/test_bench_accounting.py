@@ -28,6 +28,8 @@ def _scan_fn(length):
 def test_cost_per_dispatch_reports_flops_and_bytes():
     x = jnp.ones((256, 256), jnp.float32)
     flops, nbytes = bench.cost_per_dispatch(_scan_fn(4), x)
+    if flops == 0.0:
+        pytest.skip("backend reports no cost_analysis")
     # body: one fma over 256^2 elements = 2 flops/elem, counted once
     assert flops >= 2 * 256 * 256
     # at least read + write of the 256 KiB carry
