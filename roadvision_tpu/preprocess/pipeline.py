@@ -32,6 +32,15 @@ class PreprocessPipeline:
         self.enabled = bool(config.get("enabled", True))
         self.chain_cfg = config.get("chain", []) or []
         self.auto_gate_cfg = config.get("auto_gate", {}) or {}
+        stat = str(self.auto_gate_cfg.get("stat", "span"))
+        if stat not in ("span", "pspan"):
+            raise ValueError(f"auto_gate.stat {stat!r} unknown "
+                             f"(span | pspan)")
+        t = self.auto_gate_cfg.get("contrast_thresh", 20.0)
+        self._auto_thresh: Optional[float] = None   # resolved "auto" value
+        if isinstance(t, str) and t != "auto":
+            raise ValueError(f"auto_gate.contrast_thresh must be a number "
+                             f"or 'auto', got {t!r}")
         self.ops = []
         for node in self.chain_cfg:
             cls = get_op_class(node.get("name"))
@@ -41,6 +50,80 @@ class PreprocessPipeline:
     @property
     def identity(self) -> bool:
         return not self.enabled or not self.ops
+
+    # ------------------------------------------------------------------
+    # auto-gate threshold resolution (auto_gate.contrast_thresh: "auto")
+    @property
+    def _thresh_is_auto(self) -> bool:
+        return self.auto_gate_cfg.get("contrast_thresh", 20.0) == "auto"
+
+    def _gate_thresh(self) -> float:
+        """The compile-time gate threshold. "auto" must be resolved by
+        :meth:`calibrate_gate` (or the first batch seen by apply_batch /
+        the engine) BEFORE the gated function traces — raising here
+        keeps a missed call-site loud instead of silently baking a
+        default."""
+        if self._thresh_is_auto:
+            if self._auto_thresh is None:
+                raise RuntimeError(
+                    "auto_gate.contrast_thresh: 'auto' is unresolved — "
+                    "call calibrate_gate(clean_frames) before the first "
+                    "gated batch (the engine does this from its first "
+                    "batch; tools/calibrate_gate.py emits an explicit "
+                    "value from representative clean content)")
+            return self._auto_thresh
+        return float(self.auto_gate_cfg.get("contrast_thresh", 20.0))
+
+    def host_gate_stats(self, frames_u8: np.ndarray) -> np.ndarray:
+        """Per-frame contrast statistic (auto_gate.stat) on the host —
+        numpy mirror of the device gate, for threshold calibration.
+        (Float-luma gray: the calibration margin dwarfs the ±1 LSB
+        difference from the device's fixed-point gray.)"""
+        f = np.asarray(frames_u8).astype(np.float32)
+        gray = (0.114 * f[..., 0] + 0.587 * f[..., 1]
+                + 0.299 * f[..., 2]).astype(np.uint8).astype(np.int32)
+        if str(self.auto_gate_cfg.get("stat", "span")) == "pspan":
+            sub = gray[..., ::4, ::4]
+            flat = sub.reshape(sub.shape[:-2] + (-1,))
+            n = flat.shape[-1]
+            s = np.sort(flat, axis=-1)
+            lo = s[..., max(0, int(0.005 * (n - 1)))]
+            hi = s[..., min(n - 1, int(0.995 * (n - 1)))]
+            return (hi - lo).astype(np.float64)
+        return (gray.max(axis=(-2, -1))
+                - gray.min(axis=(-2, -1))).astype(np.float64)
+
+    def calibrate_gate(self, frames_u8: np.ndarray) -> float:
+        """Resolve the "auto" contrast threshold from representative
+        CLEAN frames: ``auto_ratio`` (default 0.85) x the
+        ``auto_pct``-th percentile (default 10) of the per-frame
+        statistic. The ratio places the threshold below the clean
+        distribution but above reference-tool fog (which compresses the
+        span to ~0.78 of clean on the measured content — WEATHER.json).
+
+        The value is frozen before the gated function traces — a
+        runtime-varying threshold would either retrace per change or
+        thread a traced scalar through every compiled step and scan
+        carry; freezing keeps the device-resident paths valid. For
+        drifting deployments, re-run tools/calibrate_gate.py and
+        hot-reload the numeric threshold.
+        """
+        stats = self.host_gate_stats(frames_u8)
+        ratio = float(self.auto_gate_cfg.get("auto_ratio", 0.85))
+        pct = float(self.auto_gate_cfg.get("auto_pct", 10.0))
+        self._auto_thresh = float(ratio * np.percentile(stats, pct))
+        return self._auto_thresh
+
+    def ensure_gate_calibrated(self, frames_u8: np.ndarray) -> None:
+        """Lazy auto-calibration hook for streaming callers: resolves
+        the "auto" threshold from the FIRST batch (assumed clean — the
+        deployment contract; startup-in-fog needs the explicit tool).
+        No-op once resolved or when the threshold is numeric."""
+        if self._gated and self._thresh_is_auto \
+                and self._auto_thresh is None:
+            # np.asarray only here: on the common (resolved / numeric)
+            # path the frames must never round-trip device -> host
+            self.calibrate_gate(np.asarray(frames_u8))
 
     def _gate_from_gray(self, gray: jnp.ndarray) -> jnp.ndarray:
         """True where the chain should run, from an int32 gray plane.
@@ -55,8 +138,20 @@ class PreprocessPipeline:
             stride-4 subsample — robust to outlier pixels (≤0.5% of the
             frame can't move it), one fused per-frame sort of ~N/16
             values, fixed shapes, no histogram materialization.
+
+        ``auto_gate.impulse_thresh`` (additive, default off) closes the
+        gate's structural rain blindness: ANY contrast statistic reads
+        impulse noise as normal-or-better contrast, yet the chain's
+        median op exists exactly for rain (reference
+        median_derain.py:10-14). When set, the chain ALSO runs on
+        frames whose impulse residual — mean |gray − median3x3(gray)|
+        on the stride-4 subsample — is >= the threshold. Measured on
+        the WEATHER content: clean scenes <= 1.6, 2% impulse rain
+        >= 2.7 at every fog level, so the shipped 2.5 splits cleanly
+        (tools/eval_weather.py; same fixed-shape fused-reduction
+        discipline as pspan).
         """
-        thresh = float(self.auto_gate_cfg.get("contrast_thresh", 20.0))
+        thresh = self._gate_thresh()
         stat = str(self.auto_gate_cfg.get("stat", "span"))
         if stat == "pspan":
             sub = gray[..., ::4, ::4]
@@ -65,12 +160,26 @@ class PreprocessPipeline:
             s = jnp.sort(flat, axis=-1)
             lo = s[..., max(0, int(0.005 * (n - 1)))]
             hi = s[..., min(n - 1, int(0.995 * (n - 1)))]
-            return (hi - lo).astype(jnp.float32) < thresh
-        if stat != "span":
-            raise ValueError(f"auto_gate.stat {stat!r} unknown "
-                             f"(span | pspan)")
-        span = (jnp.max(gray, axis=(-2, -1)) - jnp.min(gray, axis=(-2, -1)))
-        return span.astype(jnp.float32) < thresh
+            run = (hi - lo).astype(jnp.float32) < thresh
+        else:
+            span = (jnp.max(gray, axis=(-2, -1))
+                    - jnp.min(gray, axis=(-2, -1)))
+            run = span.astype(jnp.float32) < thresh
+        # `or None`: YAML null arrives as {} through sanitize_none, and
+        # 0 disables — both mean "off"
+        imp_t = self.auto_gate_cfg.get("impulse_thresh") or None
+        if imp_t is not None:
+            sub = gray[..., ::4, ::4]
+            h, w = sub.shape[-2], sub.shape[-1]
+            pad = [(0, 0)] * (sub.ndim - 2) + [(1, 1), (1, 1)]
+            p = jnp.pad(sub, pad, mode="edge")
+            neigh = jnp.stack([p[..., dy:dy + h, dx:dx + w]
+                               for dy in range(3) for dx in range(3)],
+                              axis=-1)
+            med = jnp.sort(neigh, axis=-1)[..., 4]   # exact 9-median
+            resid = jnp.abs(sub - med).astype(jnp.float32)
+            run = run | (resid.mean(axis=(-2, -1)) >= float(imp_t))
+        return run
 
     @property
     def _gated(self) -> bool:
@@ -138,10 +247,12 @@ class PreprocessPipeline:
         """Device path: (..., H, W, 3) uint8 → processed uint8 batch."""
         if self.identity:
             return frames
+        self.ensure_gate_calibrated(frames)
         return self._jitted(frames)
 
     def __call__(self, image: np.ndarray, ts: Optional[float] = None) -> np.ndarray:
         """Host single-frame API, parity with the reference (ts ignored)."""
         if self.identity:
             return image
+        self.ensure_gate_calibrated(image[None])
         return np.asarray(self._jitted(jnp.asarray(image)))

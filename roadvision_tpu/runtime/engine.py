@@ -679,6 +679,9 @@ class PipelineEngine:
         round trip of batch i overlaps the compute of batch i+1 (on a
         high-latency attach the per-batch sync otherwise caps streaming
         throughput regardless of device speed)."""
+        # auto-gate "auto" threshold resolves from the FIRST batch,
+        # before the compiled step (which bakes it) first traces
+        self.pipeline.ensure_gate_calibrated(frames)
         b, h, w = frames.shape[:3]
         if self._t0 is None:
             self._t0 = float(timestamps[0])

@@ -152,6 +152,99 @@ def test_pspan_gate_robust_to_impulse_outliers():
 
 
 def test_gate_stat_unknown_raises():
-    pipe = PreprocessPipeline(_cfg_stat("median", 50.0))
+    # validated at construction (round 5) — a bad stat must not wait
+    # for the first traced batch to surface
     with pytest.raises(ValueError, match="span"):
-        pipe(_frame(8))
+        PreprocessPipeline(_cfg_stat("median", 50.0))
+
+
+# ---------------------------------------------------------------------------
+# impulse (rain) gate statistic + auto threshold (round 5)
+# ---------------------------------------------------------------------------
+
+def _rain(frame, density=0.05, seed=0):
+    """Impulse speckle like tools/eval_weather.add_rain."""
+    out = frame.copy()
+    h, w = frame.shape[:2]
+    rng = np.random.RandomState(seed)
+    k = max(1, int(density * h * w))
+    ys, xs = rng.randint(0, h, k), rng.randint(0, w, k)
+    out[ys, xs] = rng.randint(200, 256, (k, 1)).astype(np.uint8)
+    return out
+
+
+def _smooth_frame(seed=0, h=48, w=64):
+    """Smooth mid-contrast scene: gradient + soft blobs (no pixel
+    noise), impulse residual ~0 but full gray span."""
+    y = np.linspace(40, 215, h, dtype=np.float32)[:, None]
+    x = np.linspace(0, 30, w, dtype=np.float32)[None, :]
+    base = (y + x) % 256
+    img = np.stack([base, base * 0.9, base * 0.8], axis=-1)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_impulse_gate_sees_rain_contrast_gate_misses():
+    """The structural fix for the WEATHER.json rain blindness: impulse
+    noise RAISES contrast, so no contrast statistic can engage the
+    chain on rain — the impulse residual does, and clean frames stay
+    bit-equal to gate-off."""
+    clean = _smooth_frame()
+    rain = _rain(clean)
+    cfg = _cfg_stat("pspan", 50.0)       # contrast never fires here
+    cfg["auto_gate"]["impulse_thresh"] = 2.5
+    pipe = PreprocessPipeline(cfg)
+    # clean: neither statistic fires -> chain skipped, bit-equal
+    np.testing.assert_array_equal(pipe(clean), clean)
+    # rain: contrast-only gate misses it...
+    contrast_only = PreprocessPipeline(_cfg_stat("pspan", 50.0))
+    np.testing.assert_array_equal(contrast_only(rain), rain)
+    # ...the impulse statistic engages the chain
+    ungated = PreprocessPipeline(_cfg(gate=False))
+    np.testing.assert_array_equal(pipe(rain), ungated(rain))
+
+
+def test_impulse_stat_matches_host_oracle():
+    """Device impulse residual == the tool's numpy mirror (same gray
+    input; exact 9-element median both sides)."""
+    import jax.numpy as jnp
+    from tools.eval_weather import impulse_stats
+    frames = np.stack([_rain(_smooth_frame(), 0.02, s) for s in range(3)])
+    cfg = _cfg_stat("span", 0.0)         # contrast term never true
+    cfg["auto_gate"]["impulse_thresh"] = 1.0
+    pipe = PreprocessPipeline(cfg)
+    want = impulse_stats(frames) >= 1.0
+    f = frames.astype(np.float32)
+    gray = (0.114 * f[..., 0] + 0.587 * f[..., 1] + 0.299 * f[..., 2]) \
+        .astype(np.uint8).astype(np.int32)
+    got = np.asarray(pipe._gate_from_gray(jnp.asarray(gray)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_auto_thresh_calibrates_and_gates():
+    """contrast_thresh 'auto': ratio x percentile of the clean frames'
+    statistic, resolved lazily from the first batch; the learned
+    threshold then gates exactly like the numeric one."""
+    clean = np.stack([_frame(i, lo=60, hi=200) for i in range(4)])
+    cfg = _cfg_stat("pspan", "auto")
+    pipe = PreprocessPipeline(cfg)
+    out = np.asarray(pipe.apply_batch(clean))      # lazy calibration
+    stats = pipe.host_gate_stats(clean)
+    want = 0.85 * np.percentile(stats, 10.0)
+    assert pipe._auto_thresh == pytest.approx(want)
+    # clean frames sit ABOVE the learned threshold -> untouched
+    np.testing.assert_array_equal(out, clean)
+    # a flat (foggy) frame falls below it -> chain runs
+    low = _frame(9, lo=100, hi=110)
+    ungated = PreprocessPipeline(_cfg(gate=False))
+    np.testing.assert_array_equal(pipe(low), ungated(low))
+
+
+def test_auto_thresh_unresolved_raises():
+    """A gated 'auto' pipeline whose compiled fn is traced before any
+    calibration must fail loudly, not bake a silent default."""
+    import jax.numpy as jnp
+    pipe = PreprocessPipeline(_cfg_stat("span", "auto"))
+    with pytest.raises(RuntimeError, match="calibrate_gate"):
+        pipe._batch_fn(jnp.asarray(_frame(1)[None]))
+    with pytest.raises(ValueError, match="auto"):
+        PreprocessPipeline(_cfg_stat("span", "instant"))
