@@ -42,11 +42,21 @@ this offline environment (documented in ROADMAP.md).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Decoder gather A/B candidates (VERDICT r5 #8), opt-in so the shipped
+# path stays the measured winner until the on-chip numbers land:
+#   RVT_RTDETR_BF16_VALS=1   — value tensor cast to bf16 before the
+#     corner gathers (halves gather HBM bytes; accumulation stays f32)
+#   RVT_RTDETR_PAIRED_GATHERS=1 — the 4 corner gathers per level fuse
+#     into ONE take_along_axis over stacked indices (12 -> 3 dispatches)
+_BF16_VALS = os.environ.get("RVT_RTDETR_BF16_VALS", "0") == "1"
+_PAIRED_GATHERS = os.environ.get("RVT_RTDETR_PAIRED_GATHERS", "0") == "1"
 
 HD = 256          # hidden dim
 NQ = 300          # queries
@@ -443,6 +453,9 @@ def _deform_attn(p, query, refer_sig, values, shapes):
     out = jnp.zeros((b, nq_, NH, dh), jnp.float32)
     for lvl, (hl, wl) in enumerate(shapes):
         v = jax.lax.slice_in_dim(V, offs[lvl], offs[lvl + 1], axis=1)
+        if _BF16_VALS:
+            # A/B: halve the gather's HBM bytes; weights/accum stay f32
+            v = v.astype(jnp.bfloat16)
         l = loc[:, :, :, lvl]                    # (B, NQ, NH, NDP, 2)
         x = l[..., 0] * wl - 0.5
         y = l[..., 1] * hl - 0.5
@@ -450,21 +463,35 @@ def _deform_attn(p, query, refer_sig, values, shapes):
         y0 = jnp.floor(y)
         fx = x - x0
         fy = y - y0
-        acc = jnp.zeros((b, nq_, NH, NDP, dh), jnp.float32)
-        for dx, dy, wgt in ((0, 0, (1 - fx) * (1 - fy)),
-                            (1, 0, fx * (1 - fy)),
-                            (0, 1, (1 - fx) * fy),
-                            (1, 1, fx * fy)):
+        corners = ((0, 0, (1 - fx) * (1 - fy)),
+                   (1, 0, fx * (1 - fy)),
+                   (0, 1, (1 - fx) * fy),
+                   (1, 1, fx * fy))
+        idxs, wgts = [], []
+        for dx, dy, wgt in corners:
             xi = x0 + dx
             yi = y0 + dy
             inb = (xi >= 0) & (xi < wl) & (yi >= 0) & (yi < hl)
             idx = (jnp.clip(yi, 0, hl - 1) * wl +
                    jnp.clip(xi, 0, wl - 1)).astype(jnp.int32)
             # (B, NQ, NH, NDP) → gather on the flattened spatial axis
-            idxt = idx.transpose(0, 1, 3, 2).reshape(b, nq_ * NDP, NH)
-            g = jnp.take_along_axis(v, idxt[..., None], axis=1)
-            g = g.reshape(b, nq_, NDP, NH, dh).transpose(0, 1, 3, 2, 4)
-            acc = acc + g * (wgt * inb)[..., None]
+            idxs.append(idx.transpose(0, 1, 3, 2).reshape(b, nq_ * NDP, NH))
+            wgts.append(wgt * inb)
+        if _PAIRED_GATHERS:
+            # A/B: ONE gather for all 4 corners (12 -> 3 dispatches)
+            idx4 = jnp.concatenate(idxs, axis=1)   # (B, 4·NQ·NDP, NH)
+            g4 = jnp.take_along_axis(v, idx4[..., None], axis=1)
+            g4 = g4.reshape(b, 4, nq_, NDP, NH, dh) \
+                .transpose(1, 0, 2, 4, 3, 5).astype(jnp.float32)
+            w4 = jnp.stack(wgts)                   # (4, B, NQ, NH, NDP)
+            acc = jnp.einsum("cbqhpd,cbqhp->bqhpd", g4, w4)
+        else:
+            acc = jnp.zeros((b, nq_, NH, NDP, dh), jnp.float32)
+            for idxt, wgt in zip(idxs, wgts):
+                g = jnp.take_along_axis(v, idxt[..., None], axis=1)
+                g = g.reshape(b, nq_, NDP, NH, dh) \
+                    .transpose(0, 1, 3, 2, 4).astype(jnp.float32)
+                acc = acc + g * wgt[..., None]
         out = out + jnp.einsum("bqhpd,bqhp->bqhd", acc,
                                attw[:, :, :, lvl])
     return _lin(out.reshape(b, nq_, HD), p["out"])

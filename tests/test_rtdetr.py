@@ -51,6 +51,24 @@ def test_anchor_grid_and_validity():
     np.testing.assert_allclose(sig2[2:], [0.1, 0.1], atol=1e-6)
 
 
+def test_gather_ab_variants_match_baseline(params, monkeypatch):
+    """The decoder gather A/B candidates (VERDICT r5 #8, opt-in env
+    flags): paired corner gathers must be numerically equivalent (same
+    f32 math, one gather); bf16 value tensors within bf16 rounding."""
+    x = jnp.asarray(np.random.RandomState(7).rand(1, 96, 96, 3),
+                    jnp.float32)
+    b0, s0 = rtdetr.forward_rtdetr_raw(params, x, nc=7)
+    monkeypatch.setattr(rtdetr, "_PAIRED_GATHERS", True)
+    b1, s1 = rtdetr.forward_rtdetr_raw(params, x, nc=7)
+    assert float(jnp.abs(b1 - b0).max()) < 1e-6
+    assert float(jnp.abs(s1 - s0).max()) < 1e-6
+    monkeypatch.setattr(rtdetr, "_PAIRED_GATHERS", False)
+    monkeypatch.setattr(rtdetr, "_BF16_VALS", True)
+    b2, s2 = rtdetr.forward_rtdetr_raw(params, x, nc=7)
+    assert float(jnp.abs(b2 - b0).max()) < 5e-3
+    assert float(jnp.abs(s2 - s0).max()) < 5e-3
+
+
 def test_scores_are_probabilities_and_boxes_normalized(params):
     x = np.random.RandomState(1).rand(1, 160, 160, 3).astype(np.float32)
     b, s = rtdetr.forward_rtdetr_raw(params, jnp.asarray(x), nc=7)
