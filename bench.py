@@ -429,7 +429,11 @@ def gate_fps(width: int, height: int, batch: int, iters: int
     Returns (fps_off, fps_on, frames_coasted, staleness dict, res)."""
     base = _cfg(height, width, batch)
     cfg_on = merge(base, {"detect": {"temporal_gate": {
-        "enable": True, "max_skip_batches": 7}}})
+        "enable": True,
+        # coast budget (autotune sweep "gate_skip"): more skipped
+        # forwards on static scenes vs older reused detections
+        "max_skip_batches": int(os.environ.get("RVT_BENCH_GATE_SKIP",
+                                               "7"))}}})
     eng_on = PipelineEngine(cfg_on)
     eng_off = PipelineEngine(base)
     step, init_carry = eng_on.build_gated_scan_step((batch, height, width))
