@@ -337,6 +337,7 @@ def main(argv=None) -> int:
     out.parent.mkdir(parents=True, exist_ok=True)
 
     t0 = time.time()
+    nan_logs = 0
     for it in range(1, args.steps + 1):
         images, *gts = next_batch()   # (+ gt instance masks for seg)
         if args.fog > 0:
@@ -360,8 +361,28 @@ def main(argv=None) -> int:
             log.info("step %d/%d loss=%.4f %s fg=%d (%.1fs)",
                      it, args.steps, float(loss), parts,
                      int(aux["num_fg"]), time.time() - t0)
+            # divergence circuit breaker (checked only at log points —
+            # no extra device syncs): the step's non-finite guard skips
+            # bad BATCHES, but a finite-yet-divergent trajectory can
+            # overflow params to ±inf, after which every loss is NaN
+            # forever; burning the rest of a 50k-step budget (and
+            # writing poisoned --save-every checkpoints) helps nobody.
+            if np.isfinite(float(loss)):
+                nan_logs = 0
+            else:
+                nan_logs += 1
+                if nan_logs >= 2:
+                    log.error(
+                        "loss non-finite at %d consecutive log points — "
+                        "params have diverged (overflowed to inf/NaN); "
+                        "aborting without checkpointing. Lower --lr "
+                        "and/or raise --warmup and restart%s.",
+                        nan_logs,
+                        " (resume from the last finite checkpoint)"
+                        if args.save_every else "")
+                    return 1
         if args.save_every and it % args.save_every == 0 \
-                and it != args.steps:
+                and it != args.steps and nan_logs == 0:
             save_train_state(str(out), params, momentum, start_step + it)
             yolo_weights.export_npz(ema if ema is not None else params,
                                     out.with_suffix(".weights.npz"))
