@@ -15,12 +15,14 @@ sys.path.insert(0, str(ROOT))
 from tools import eval_weather  # noqa: E402
 
 
-def _run(tmp_path, levels, modes, frames=12, gate_thresh=150.0):
+def _run(tmp_path, levels, modes, frames=12, gate_thresh=150.0,
+         gate_impulse=2.5):
     out = tmp_path / "weather.json"
     eval_weather.main([
         "--frames", str(frames), "--vehicles", "4",
         "--levels", levels, "--modes", modes,
         "--gate-thresh", str(gate_thresh), "--batch", "4",
+        "--gate-impulse", str(gate_impulse),
         "--out", str(out), "--device", "auto",  # conftest already on CPU
     ])
     return json.loads(out.read_text())
@@ -51,12 +53,29 @@ def test_structure_and_gate_separation(tmp_path):
 
 
 def test_rain_level_and_matched_conf(tmp_path):
-    rep = _run(tmp_path, "rain", "off,on")
+    # contrast statistics are structurally BLIND to impulse rain (noise
+    # raises the gray span): with the impulse statistic disabled, the
+    # span gate never runs — the r4 failure mode WEATHER.json measured
+    rep = _run(tmp_path, "rain", "off,on", gate_impulse=0.0)
     entry = rep["levels"]["rain"]
-    # impulse noise raises the gray span, so the span gate cannot run
     assert entry["gate_run_frac"] == 0.0
     for m in entry["modes"].values():
         assert m["conf_matched_mean"] > 0.0
+
+
+def test_rain_gated_by_impulse_statistic(tmp_path):
+    # ... and the r5 fix: the impulse-residual statistic (mean
+    # |gray − median3| on the stride-4 subsample) sees the rain the
+    # span cannot, so the auto-gate runs the chain (whose MedianDerain
+    # op exists precisely for this) on every rained frame
+    rep = _run(tmp_path, "rain,none", "off,auto")
+    assert rep["levels"]["rain"]["gate_run_frac"] == 1.0
+    assert rep["levels"]["rain"]["impulse_mean"] \
+        > rep["levels"]["none"]["impulse_mean"]
+    # clean frames stay below the impulse threshold: auto == off
+    assert rep["levels"]["none"]["gate_run_frac"] == 0.0
+    assert rep["levels"]["none"]["modes"]["auto"] \
+        == rep["levels"]["none"]["modes"]["off"]
 
 
 def test_fog_is_deterministic():
