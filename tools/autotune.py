@@ -250,7 +250,25 @@ def main(argv=None) -> int:
             ap.error(f"unknown sweeps {unknown}; available: {list(SWEEPS)}")
 
         report = {"res": args.res, "iters": args.iters,
-                  "tie_pct": args.tie_pct, "sweeps": {}}
+                  "tie_pct": args.tie_pct,
+                  "calibration": {
+                      # methodology stamp (VERDICT r4 weak #6): which
+                      # view of the attach these trials were measured
+                      # under. r3's sweep ran against a dispatch-bound
+                      # 0.3-0.7 TFLOP/s view; r4's compute-dominated
+                      # calibration (8 chains x 64 4096^3 matmuls)
+                      # measured 72 bf16 TFLOP/s sustained, and every
+                      # trial here rides the device-resident 32-step
+                      # scan (RVT_BENCH_INNER) that amortizes dispatch.
+                      "methodology": "dispatch-amortized device-resident "
+                                     "scan (RVT_BENCH_INNER=32 default); "
+                                     "r4 compute-dominated attach "
+                                     "calibration: 72 bf16 TFLOP/s "
+                                     "sustained (BASELINE.md)",
+                      "inner_scan": int(os.environ.get("RVT_BENCH_INNER",
+                                                       "32")),
+                  },
+                  "sweeps": {}}
         for name in names:
             sw = SWEEPS[name]
             trials = {}
