@@ -490,6 +490,11 @@ def import_npz(path) -> Dict[str, Any]:
         node = root
         for part in parts[:-1]:
             node = node.setdefault(part, {})
+        # float16 is a STORAGE format (halves large shipped checkpoints
+        # like assets/rtdetr_l_synthetic_256.npz); params are f32 —
+        # compute dtype is a separate knob (detect.compute_dtype)
+        if val.dtype == np.float16:
+            val = val.astype(np.float32)
         node[parts[-1]] = jnp.asarray(val)
 
     def restore(tree):
