@@ -435,7 +435,7 @@ def test_autotune_harness(tmp_path, monkeypatch):
             ("full", "RVT_BENCH_BATCH", "8"): 500.0,
             ("full", "RVT_BENCH_BATCH", "16"): 450.0}
 
-    def fake_trial(mode, var, value, res, iters, timeout):
+    def fake_trial(mode, var, value, res, iters, timeout, extra_env=None):
         fps = fake.get((mode, var, value))
         return fps, 0.01, "" if fps is not None else "boom"
 
@@ -480,7 +480,11 @@ def test_autotune_all_sweeps_declared():
 
     assert set(at.SWEEPS) == {"clahe_chunk", "hist_dtype", "clahe_sweep",
                               "median_impl", "sampled_preprocess",
-                              "conv_dtype", "batch"}
+                              "conv_dtype", "batch",
+                              # round-5 additions: rtdetr knobs + the
+                              # temporal-gate coast budget
+                              "rtdetr_nq", "rtdetr_gathers",
+                              "rtdetr_val_dtype", "gate_skip"}
     import pathlib
     root = pathlib.Path(at.ROOT)
     hooks = {
@@ -491,6 +495,10 @@ def test_autotune_all_sweeps_declared():
         "RVT_BENCH_SAMPLED": "bench.py",
         "RVT_BENCH_DTYPE": "bench.py",
         "RVT_BENCH_BATCH": "bench.py",
+        "RVT_BENCH_NQ": "bench.py",
+        "RVT_RTDETR_PAIRED_GATHERS": "roadvision_tpu/models/rtdetr.py",
+        "RVT_RTDETR_BF16_VALS": "roadvision_tpu/models/rtdetr.py",
+        "RVT_BENCH_GATE_SKIP": "bench.py",
     }
     for sw in at.SWEEPS.values():
         assert sw["var"] in hooks
