@@ -95,7 +95,14 @@ DEFAULTS: Dict[str, Any] = {
                    # >= max_det. None = auto: max(100, max_det) — the
                    # measured-1.92x shipped default (docs/TASKS.md);
                    # set 300 explicitly for published-behavior parity.
-                   num_queries=None),
+                   num_queries=None,
+                   # rtdetr only: run just the first K decoder
+                   # refinement layers (1..6; None = all). Deep
+                   # supervision trains a prediction-head pair per
+                   # layer, so layer K is a trained exit; cost is
+                   # linear in K — accuracy-per-K measured in
+                   # BASELINE.md's decoder ladder.
+                   decoder_layers=None),
     "tracking": dict(enabled=False, backend="sort", max_staleness=1.0,
                      min_hits=3, iou_threshold=0.3, speed_window=0.75,
                      association="greedy",

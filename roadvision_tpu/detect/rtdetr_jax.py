@@ -72,6 +72,16 @@ class RTDETRJax(Detector):
                     f"detect.num_queries ({nq}) < detect.max_det "
                     f"({self.max_det}): top-{self.max_det} selection "
                     f"needs at least that many decoded queries")
+        # run only the first K decoder refinement layers (None = all 6).
+        # Deep supervision trains a prediction-head pair per layer, so
+        # layer K's heads are a trained exit — cost is linear in K;
+        # accuracy-per-K is measured in BASELINE.md's decoder ladder.
+        dl = cfg.get("decoder_layers")
+        self.decoder_layers = None if dl is None else int(dl)
+        if self.decoder_layers is not None \
+                and not 1 <= self.decoder_layers <= rtdetr.NDL:
+            raise ValueError(f"detect.decoder_layers must be in "
+                             f"[1, {rtdetr.NDL}], got {dl}")
         compute = str(cfg.get("compute_dtype", "bfloat16"))
         self.int8 = compute == "int8"
         self.dtype = jnp.float32 if compute == "float32" else jnp.bfloat16
@@ -130,7 +140,8 @@ class RTDETRJax(Detector):
         detect.num_queries or 300."""
         return rtdetr.forward_rtdetr_raw(params, imgs, nc=self.nc,
                                          dtype=self.dtype,
-                                         num_queries=self.num_queries)
+                                         num_queries=self.num_queries,
+                                         decoder_layers=self.decoder_layers)
 
     # ------------------------------------------------------------------
     def _build_fn(self, shape: Tuple[int, int, int]):

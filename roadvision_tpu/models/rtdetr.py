@@ -516,7 +516,8 @@ def _anchors_for(shapes, grid_size: float = 0.05, eps: float = 1e-2):
 
 
 def decoder_forward(dec, feats, nc: int, train: bool = False,
-                    num_queries: Optional[int] = None):
+                    num_queries: Optional[int] = None,
+                    decoder_layers: Optional[int] = None):
     """[p3, p4, p5] (HD ch) → (boxes (B,nq,4) sigmoid cxcywh, scores
     (B,nq,nc) logits[, aux]) — aux (train=True) carries the encoder
     head outputs and every decoder layer's predictions for the
@@ -526,7 +527,16 @@ def decoder_forward(dec, feats, nc: int, train: bool = False,
     the published NQ=300). Valid with unchanged weights: RT-DETR has no
     learned query embeddings — queries ARE the encoder's top-k — so a
     smaller N is literally a smaller top-k, and the decoder's cost
-    (the family's profiled bottleneck) is linear in N."""
+    (the family's profiled bottleneck) is linear in N.
+
+    ``decoder_layers`` runs only the FIRST K refinement layers and reads
+    the K-th layer's prediction heads (default: all). Valid with
+    unchanged weights for the same structural reason num_queries is:
+    deep supervision trains a (dec_bbox, dec_score) head pair per
+    layer against the same set-prediction objective, so layer K's
+    heads are a trained full-quality exit, not an internal feature —
+    the remaining layers are iterative refinement whose marginal value
+    is measurable (BASELINE.md decoder ladder). Cost is linear in K."""
     b = feats[0].shape[0]
     shapes = [(f.shape[1], f.shape[2]) for f in feats]
     flat = []
@@ -567,8 +577,12 @@ def decoder_forward(dec, feats, nc: int, train: bool = False,
         refer = jax.nn.sigmoid(jax.lax.stop_gradient(refer_logit))
     else:
         refer = enc_bboxes
+    layers = dec["layers"]
+    if decoder_layers is not None:
+        k = max(1, min(int(decoder_layers), len(layers)))
+        layers = layers[:k]
     aux_boxes, aux_scores = [], []
-    for i, lp in enumerate(dec["layers"]):
+    for i, lp in enumerate(layers):
         values = _lin(memory, lp["ca"]["val"]).reshape(b, -1, NH, dh)
         pos = _mlp(refer, dec["qpos"])
         q = k = output + pos
@@ -589,7 +603,9 @@ def decoder_forward(dec, feats, nc: int, train: bool = False,
         aux = {"enc_boxes": enc_bboxes, "enc_scores": enc_topk_scores,
                "boxes": aux_boxes, "scores": aux_scores}
         return aux_boxes[-1], aux_scores[-1], aux
-    scores = _lin(output, dec["dec_score"][-1])
+    # the LAST EXECUTED layer's trained score head (== dec_score[-1]
+    # when decoder_layers is unset)
+    scores = _lin(output, dec["dec_score"][len(layers) - 1])
     return refer, scores
 
 
@@ -598,22 +614,26 @@ def decoder_forward(dec, feats, nc: int, train: bool = False,
 # ---------------------------------------------------------------------------
 
 def forward_rtdetr_raw(params, x, nc: int = 80, dtype=jnp.float32,
-                       num_queries: Optional[int] = None):
+                       num_queries: Optional[int] = None,
+                       decoder_layers: Optional[int] = None):
     """(B, H, W, 3) float [0,1] → (boxes_xyxy normalized [0,1] (B,nq,4),
     scores (B,nq,nc) sigmoid probabilities). No NMS — suppression is
-    learned (set prediction). nq = num_queries or the published 300
+    learned (set prediction). nq = num_queries or the published 300;
+    decoder_layers truncates refinement to the first K trained exits
     (see decoder_forward)."""
     c3, c4, c5 = hgnet_forward(params["backbone"], x, dtype)
     feats = encoder_forward(params["enc"], c3, c4, c5, dtype)
     boxes, logits = decoder_forward(params["dec"], feats, nc,
-                                    num_queries=num_queries)
+                                    num_queries=num_queries,
+                                    decoder_layers=decoder_layers)
     cxy, wh = boxes[..., :2], boxes[..., 2:]
     xyxy = jnp.concatenate([cxy - wh / 2, cxy + wh / 2], axis=-1)
     return xyxy, jax.nn.sigmoid(logits)
 
 
 forward_rtdetr = jax.jit(forward_rtdetr_raw,
-                         static_argnames=("nc", "dtype", "num_queries"))
+                         static_argnames=("nc", "dtype", "num_queries",
+                                          "decoder_layers"))
 
 
 def forward_rtdetr_train(params, x, nc: int = 80, dtype=jnp.float32):

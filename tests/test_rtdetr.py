@@ -69,6 +69,34 @@ def test_gather_ab_variants_match_baseline(params, monkeypatch):
     assert float(jnp.abs(s2 - s0).max()) < 5e-3
 
 
+def test_decoder_layers_truncation_equals_truncated_params(params):
+    """detect.decoder_layers=K must equal running a model whose decoder
+    literally HAS only the first K layers (+ their trained heads) —
+    truncation is an early exit through layer K's deep-supervision
+    heads, not an approximation of the 6-layer output."""
+    x = jnp.asarray(np.random.RandomState(11).rand(1, 96, 96, 3),
+                    jnp.float32)
+    for k in (2, rtdetr.NDL):
+        b1, s1 = rtdetr.forward_rtdetr_raw(params, x, nc=7,
+                                           decoder_layers=k)
+        cut = dict(params, dec=dict(
+            params["dec"],
+            layers=params["dec"]["layers"][:k],
+            dec_bbox=params["dec"]["dec_bbox"][:k],
+            dec_score=params["dec"]["dec_score"][:k]))
+        b2, s2 = rtdetr.forward_rtdetr_raw(cut, x, nc=7)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   atol=1e-6)
+    # K = all is the default path, bit-for-bit
+    b0, s0 = rtdetr.forward_rtdetr_raw(params, x, nc=7)
+    bk, sk = rtdetr.forward_rtdetr_raw(params, x, nc=7,
+                                       decoder_layers=rtdetr.NDL)
+    assert np.array_equal(np.asarray(b0), np.asarray(bk))
+    assert np.array_equal(np.asarray(s0), np.asarray(sk))
+
+
 def test_scores_are_probabilities_and_boxes_normalized(params):
     x = np.random.RandomState(1).rand(1, 160, 160, 3).astype(np.float32)
     b, s = rtdetr.forward_rtdetr_raw(params, jnp.asarray(x), nc=7)
