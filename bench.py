@@ -98,7 +98,12 @@ def _cfg(height: int, width: int, batch: int):
                                     else _BENCH_DTYPE,
                    # rtdetr only: decode top-N proposals (None = the
                    # shipped auto default max(100, max_det))
-                   "num_queries": _bench_nq()},
+                   "num_queries": _bench_nq(),
+                   # rtdetr only: first-K decoder layers early exit
+                   # (None = all 6; BASELINE decoder ladder)
+                   "decoder_layers":
+                       int(os.environ["RVT_BENCH_DECL"])
+                       if os.environ.get("RVT_BENCH_DECL") else None},
         "tracking": {"enabled": True, "max_staleness": 1.2, "min_hits": 3,
                      "iou_threshold": 0.35, "speed_window": 0.8},
         "geometry": {"enabled": True, "projector": {

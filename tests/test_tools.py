@@ -484,7 +484,8 @@ def test_autotune_all_sweeps_declared():
                               # round-5 additions: rtdetr knobs + the
                               # temporal-gate coast budget
                               "rtdetr_nq", "rtdetr_gathers",
-                              "rtdetr_val_dtype", "gate_skip"}
+                              "rtdetr_val_dtype", "rtdetr_decl",
+                              "gate_skip"}
     import pathlib
     root = pathlib.Path(at.ROOT)
     hooks = {
@@ -496,6 +497,7 @@ def test_autotune_all_sweeps_declared():
         "RVT_BENCH_DTYPE": "bench.py",
         "RVT_BENCH_BATCH": "bench.py",
         "RVT_BENCH_NQ": "bench.py",
+        "RVT_BENCH_DECL": "bench.py",
         "RVT_RTDETR_PAIRED_GATHERS": "roadvision_tpu/models/rtdetr.py",
         "RVT_RTDETR_BF16_VALS": "roadvision_tpu/models/rtdetr.py",
         "RVT_BENCH_GATE_SKIP": "bench.py",

@@ -105,6 +105,15 @@ SWEEPS = {
         env={"RVT_BENCH_MODEL": "rtdetr-l.pt", "RVT_BENCH_RES": "720"},
         note="1 halves the deformable-attention gather bytes (bf16 "
              "values, f32 accumulation; ~5e-5 output delta)"),
+    "rtdetr_decl": dict(
+        mode="detect", var="RVT_BENCH_DECL",
+        values=["3", "6"],
+        target=("config", "detect.decoder_layers"),
+        pinned="6",
+        env={"RVT_BENCH_MODEL": "rtdetr-l.pt", "RVT_BENCH_RES": "720"},
+        note="first-K decoder layers early exit through layer K's "
+             "deep-supervision heads (accuracy-per-K: BASELINE decoder "
+             "ladder — no measurable loss on the demo scene)"),
     "gate_skip": dict(
         mode="gate", var="RVT_BENCH_GATE_SKIP",
         values=["3", "7", "15"],
