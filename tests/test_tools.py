@@ -423,6 +423,35 @@ def test_shipped_v5_synthetic_weights_detect():
     assert total > 0 and matched / total > 0.7, (matched, total)
 
 
+def test_autotune_run_trial_extra_env_overrides(monkeypatch):
+    """Sweep-specific env pins (rtdetr sweeps set RVT_BENCH_RES=720)
+    must OVERRIDE run_trial's base env, not collide with it (r5
+    regression: dict(**kwargs) raised 'multiple values for keyword
+    argument RVT_BENCH_RES' on every rtdetr sweep)."""
+    import tools.autotune as at
+    seen = {}
+
+    class FakeProc:
+        returncode = 0
+        stdout = '{"metric": "fps", "value": 42.0}\n'
+        stderr = ""
+
+    def fake_run(cmd, env=None, **kw):
+        seen.update(env)
+        return FakeProc()
+
+    monkeypatch.setattr(at.subprocess, "run", fake_run)
+    fps, dt, tail = at.run_trial(
+        "detect", "RVT_BENCH_NQ", "100", res=1080, iters=8, timeout=60,
+        extra_env={"RVT_BENCH_MODEL": "rtdetr-l.pt",
+                   "RVT_BENCH_RES": "720"})
+    assert fps == 42.0
+    assert seen["RVT_BENCH_RES"] == "720"      # sweep pin wins over --res
+    assert seen["RVT_BENCH_MODEL"] == "rtdetr-l.pt"
+    assert seen["RVT_BENCH_NQ"] == "100"
+    assert seen["RVT_BENCH_MODE"] == "detect"
+
+
 def test_autotune_harness(tmp_path, monkeypatch):
     """Autotune orchestration: trial collection, winner pick, dotted
     config recommendation — bench subprocesses stubbed for speed."""

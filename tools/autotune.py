@@ -130,16 +130,18 @@ def run_trial(mode: str, var: str, value: str, res: int, iters: int,
     """One bench subprocess → (fps or None, seconds, stderr tail).
     ``extra_env``: sweep-specific bench settings (e.g. the rtdetr
     sweeps pin RVT_BENCH_MODEL/RES; its RVT_BENCH_RES overrides --res)."""
-    env = dict(os.environ,
-               RVT_BENCH_MODE=mode,
+    env = dict(os.environ)
+    env.update(RVT_BENCH_MODE=mode,
                RVT_BENCH_RES=str(res),
                RVT_BENCH_ITERS=str(iters),
                RVT_BENCH_HOST_ITERS="0",
                RVT_BENCH_CALIBRATE="0",
                RVT_BENCH_LATENCY="0",
-               RVT_BENCH_DEMO="0",
-               **(extra_env or {}),
-               **{var: value})
+               RVT_BENCH_DEMO="0")
+    # sweep-specific pins LAST: e.g. the rtdetr sweeps override
+    # RVT_BENCH_RES with their own deployment shape
+    env.update(extra_env or {})
+    env[var] = value
     t0 = time.perf_counter()
     try:
         proc = subprocess.run(
