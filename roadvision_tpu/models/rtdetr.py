@@ -49,13 +49,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Decoder gather A/B candidates (VERDICT r5 #8), opt-in so the shipped
-# path stays the measured winner until the on-chip numbers land:
-#   RVT_RTDETR_BF16_VALS=1   — value tensor cast to bf16 before the
-#     corner gathers (halves gather HBM bytes; accumulation stays f32)
+# Decoder gather A/B candidates (VERDICT r5 #8), measured on-chip at
+# 720p (autotune rtdetr sweeps, BASELINE.md decoder-lever table):
+#   RVT_RTDETR_BF16_VALS — value tensor cast to bf16 before the corner
+#     gathers (halves gather HBM bytes; accumulation stays f32).
+#     MEASURED WINNER: 232.7 vs 218.4 fps (+6.5%), held-out mAP
+#     unchanged to 10 decimals → DEFAULT ON since round 5; set =0 for
+#     bit-level f32 parity with the published formulation.
 #   RVT_RTDETR_PAIRED_GATHERS=1 — the 4 corner gathers per level fuse
-#     into ONE take_along_axis over stacked indices (12 -> 3 dispatches)
-_BF16_VALS = os.environ.get("RVT_RTDETR_BF16_VALS", "0") == "1"
+#     into ONE take_along_axis over stacked indices (12 -> 3
+#     dispatches). Measured LOSER (215.1 vs 217.8) — stays opt-in.
+_BF16_VALS = os.environ.get("RVT_RTDETR_BF16_VALS", "1") == "1"
 _PAIRED_GATHERS = os.environ.get("RVT_RTDETR_PAIRED_GATHERS", "0") == "1"
 
 HD = 256          # hidden dim
@@ -415,7 +419,8 @@ def encoder_forward(enc, c3, c4, c5, dtype=jnp.float32) -> List:
 # deformable decoder
 # ---------------------------------------------------------------------------
 
-def _deform_attn(p, query, refer_sig, values, shapes):
+def _deform_attn(p, query, refer_sig, values, shapes,
+                 bf16_vals: Optional[bool] = None):
     """Multi-scale deformable attention.
 
     query (B, NQ, HD); refer_sig (B, NQ, 4) sigmoid-space cxcywh;
@@ -424,8 +429,11 @@ def _deform_attn(p, query, refer_sig, values, shapes):
     projection produces it; a per-level list is also accepted and
     concatenated). shapes: [(Hl, Wl)]. Sampling = 4-corner bilinear
     gather with zero out-of-range padding (grid_sample
-    align_corners=False semantics).
+    align_corners=False semantics). ``bf16_vals`` (None = the module
+    default, env RVT_RTDETR_BF16_VALS) halves the gather bytes; the
+    TRAIN path pins it False for f32 gradient fidelity.
     """
+    use_bf16 = _BF16_VALS if bf16_vals is None else bf16_vals
     b, nq_, _ = query.shape
     dh = HD // NH
     off = _lin(query, p["off"]).reshape(b, nq_, NH, NL, NDP, 2)
@@ -453,8 +461,9 @@ def _deform_attn(p, query, refer_sig, values, shapes):
     out = jnp.zeros((b, nq_, NH, dh), jnp.float32)
     for lvl, (hl, wl) in enumerate(shapes):
         v = jax.lax.slice_in_dim(V, offs[lvl], offs[lvl + 1], axis=1)
-        if _BF16_VALS:
-            # A/B: halve the gather's HBM bytes; weights/accum stay f32
+        if use_bf16:
+            # measured +6.5%: halve the gather's HBM bytes;
+            # weights/accum stay f32 (default on — header note)
             v = v.astype(jnp.bfloat16)
         l = loc[:, :, :, lvl]                    # (B, NQ, NH, NDP, 2)
         x = l[..., 0] * wl - 0.5
@@ -587,7 +596,8 @@ def decoder_forward(dec, feats, nc: int, train: bool = False,
         pos = _mlp(refer, dec["qpos"])
         q = k = output + pos
         output = _ln(output + _mha(q, k, output, lp["sa"]), lp["ln1"])
-        ca = _deform_attn(lp["ca"], output + pos, refer, values, shapes)
+        ca = _deform_attn(lp["ca"], output + pos, refer, values, shapes,
+                          bf16_vals=False if train else None)
         output = _ln(output + ca, lp["ln2"])
         f = _lin(jax.nn.relu(_lin(output, lp["ffn1"])), lp["ffn2"])
         output = _ln(output + f, lp["ln3"])

@@ -20,14 +20,23 @@ def params():
     return rtdetr.init_params_rtdetr(jax.random.PRNGKey(3), nc=7)
 
 
-def test_forward_matches_torch_twin(params):
+def test_forward_matches_torch_twin(params, monkeypatch):
     from tests.oracles import torch_rtdetr
     x = np.random.RandomState(0).rand(1, 160, 160, 3).astype(np.float32)
+    # exact-parity claim is about the f32 math — pin the bf16-values
+    # default (shipped on since r5) off for the tight tolerances
+    monkeypatch.setattr(rtdetr, "_BF16_VALS", False)
     jb, js = rtdetr.forward_rtdetr_raw(params, jnp.asarray(x), nc=7)
     tb, ts = torch_rtdetr.rtdetr_forward(params, x, nc=7)
     assert jb.shape == (1, rtdetr.NQ, 4) and js.shape == (1, rtdetr.NQ, 7)
     assert float(np.abs(np.asarray(jb) - tb).max()) < 1e-3
     assert float(np.abs(np.asarray(js) - ts).max()) < 1e-4
+    # the shipped default (bf16 gather values) stays within bf16
+    # rounding of the same oracle
+    monkeypatch.setattr(rtdetr, "_BF16_VALS", True)
+    jb2, js2 = rtdetr.forward_rtdetr_raw(params, jnp.asarray(x), nc=7)
+    assert float(np.abs(np.asarray(jb2) - tb).max()) < 5e-3
+    assert float(np.abs(np.asarray(js2) - ts).max()) < 5e-3
 
 
 def test_param_count_locked():
@@ -52,21 +61,33 @@ def test_anchor_grid_and_validity():
 
 
 def test_gather_ab_variants_match_baseline(params, monkeypatch):
-    """The decoder gather A/B candidates (VERDICT r5 #8, opt-in env
-    flags): paired corner gathers must be numerically equivalent (same
-    f32 math, one gather); bf16 value tensors within bf16 rounding."""
+    """The decoder gather A/B variants (VERDICT r5 #8; bf16 values are
+    the measured winner and the shipped DEFAULT since round 5): paired
+    corner gathers must be numerically equivalent to the 12-gather
+    formulation (same f32 math, one gather); bf16 value tensors within
+    bf16 rounding of full f32."""
     x = jnp.asarray(np.random.RandomState(7).rand(1, 96, 96, 3),
                     jnp.float32)
+    monkeypatch.setattr(rtdetr, "_BF16_VALS", False)   # f32 baseline
     b0, s0 = rtdetr.forward_rtdetr_raw(params, x, nc=7)
     monkeypatch.setattr(rtdetr, "_PAIRED_GATHERS", True)
     b1, s1 = rtdetr.forward_rtdetr_raw(params, x, nc=7)
     assert float(jnp.abs(b1 - b0).max()) < 1e-6
     assert float(jnp.abs(s1 - s0).max()) < 1e-6
     monkeypatch.setattr(rtdetr, "_PAIRED_GATHERS", False)
-    monkeypatch.setattr(rtdetr, "_BF16_VALS", True)
+    monkeypatch.setattr(rtdetr, "_BF16_VALS", True)    # shipped default
     b2, s2 = rtdetr.forward_rtdetr_raw(params, x, nc=7)
     assert float(jnp.abs(b2 - b0).max()) < 5e-3
     assert float(jnp.abs(s2 - s0).max()) < 5e-3
+    # the TRAIN forward pins f32 values regardless of the default
+    # (gradient fidelity) — its deform attention must match the f32
+    # baseline's math, so train aux boxes are bit-independent of the
+    # inference-value dtype flag
+    aux_a = rtdetr.forward_rtdetr_train(params, x, nc=7)
+    monkeypatch.setattr(rtdetr, "_BF16_VALS", False)
+    aux_b = rtdetr.forward_rtdetr_train(params, x, nc=7)
+    np.testing.assert_array_equal(np.asarray(aux_a["boxes"][-1]),
+                                  np.asarray(aux_b["boxes"][-1]))
 
 
 def test_decoder_layers_truncation_equals_truncated_params(params):
