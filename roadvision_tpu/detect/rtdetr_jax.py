@@ -199,9 +199,13 @@ class RTDETRJax(Detector):
         frames = np.asarray(frames_u8)
         if frames.ndim == 3:
             frames = frames[None]
+        # the SAME graph forward_fn runs at inference (num_queries AND
+        # decoder_layers) — calibration scales must be captured on the
+        # deployed graph, and a truncated decoder halves the trace cost
         fwd = functools.partial(rtdetr.forward_rtdetr_raw, nc=self.nc,
                                 dtype=self.dtype,
-                                num_queries=self.num_queries)
+                                num_queries=self.num_queries,
+                                decoder_layers=self.decoder_layers)
         capture = jax.jit(functools.partial(quant.capture_scales, fwd))
         running = None
         for i in range(0, frames.shape[0], batch_size):

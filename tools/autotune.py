@@ -113,17 +113,24 @@ SWEEPS = {
         target=("config", "detect.decoder_layers"),
         pinned="6",
         env={"RVT_BENCH_MODEL": "rtdetr-l.pt", "RVT_BENCH_RES": "720"},
+        advisory=True,
         note="first-K decoder layers early exit through layer K's "
              "deep-supervision heads (accuracy-per-K: BASELINE decoder "
-             "ladder — no measurable loss on the demo scene)"),
+             "ladder — no measurable loss on the demo scene). ADVISORY: "
+             "trades box quality on hard scenes for fps (linear in K), "
+             "so the fps argmax must not auto-recommend it — measure "
+             "YOUR distribution's accuracy ladder first"),
     "gate_skip": dict(
         mode="gate", var="RVT_BENCH_GATE_SKIP",
         values=["3", "7", "15"],
         target=("config", "detect.temporal_gate.max_skip_batches"),
         pinned="7",
+        advisory=True,
         note="coast budget: higher skips more detector forwards on "
              "static scenes but ages the reused detections (bench "
-             "reports the staleness IoU alongside)"),
+             "reports the staleness IoU alongside). ADVISORY: a "
+             "staleness trade the fps argmax is blind to — never "
+             "auto-recommended; pick against your latency tolerance"),
 }
 
 
@@ -207,6 +214,11 @@ def recommend(report: dict) -> None:
         winner = entry.get("winner")
         if winner is None:
             continue
+        if SWEEPS[name].get("advisory"):
+            # accuracy/staleness-trading knobs: the fps argmax is blind
+            # to what they give up, so the winner is REPORTED (trials +
+            # note) but never auto-recommended into a pasteable config
+            continue
         kind, key = SWEEPS[name]["target"]
         val = winner
         if key == "detect.compute_dtype" and winner == "int8-static":
@@ -214,7 +226,9 @@ def recommend(report: dict) -> None:
             set_dotted(rec["config"], "detect.compute_dtype", "int8")
             set_dotted(rec["config"], "detect.int8_calibration", 16)
             continue
-        if key == "tpu.batch_size":
+        if key in ("tpu.batch_size", "detect.num_queries",
+                   "detect.decoder_layers",
+                   "detect.temporal_gate.max_skip_batches"):
             val = int(winner)
         elif key == "tpu.sampled_preprocess":
             val = winner == "1"

@@ -188,6 +188,18 @@ def main(argv=None) -> int:
         params, momentum, start_step = load_train_state(
             args.resume, shardings=pshard if args.dp > 1 else None,
             mom_shardings=mshard if args.dp > 1 else None)
+        if rtdetr_task and not (isinstance(momentum, dict)
+                                and "t" in momentum):
+            # pre-r5 rtdetr checkpoints stored SGD momentum (a
+            # params-shaped pytree); the AdamW step needs {m, v, t}.
+            # Loud + recoverable beats a KeyError deep in a jit trace.
+            log.warning("resume checkpoint %s carries the old SGD "
+                        "momentum tree; re-initializing AdamW moments "
+                        "(params and step count are kept)", args.resume)
+            momentum = init_opt_rtdetr(params)
+            if args.dp > 1:
+                momentum = shard_pytree(momentum,
+                                        param_shardings(momentum, mesh))
         log.info("resumed from %s at step %d", args.resume, start_step)
 
     eval_set = None
@@ -382,12 +394,25 @@ def main(argv=None) -> int:
                         if args.save_every else "")
                     return 1
         if args.save_every and it % args.save_every == 0 \
-                and it != args.steps and nan_logs == 0:
+                and it != args.steps and nan_logs == 0 \
+                and np.isfinite(float(loss)):
+            # the loss-finite check costs one sync at save points only
+            # and narrows the poisoned-save window to a single step
+            # (loss is computed on PRE-update params, so divergence AT
+            # this exact step could still slip through; the next log
+            # point's breaker stops the run before the next save)
             save_train_state(str(out), params, momentum, start_step + it)
             yolo_weights.export_npz(ema if ema is not None else params,
                                     out.with_suffix(".weights.npz"))
             log.info("checkpointed step %d to %s", start_step + it, out)
 
+    if args.steps > 0 and not np.isfinite(float(loss)):
+        # same protection for the final save: never clobber a good
+        # --save-every checkpoint at the same path with diverged params
+        log.error("final loss is non-finite — params diverged; NOT "
+                  "overwriting %s (resume from the last finite "
+                  "checkpoint with a lower --lr)", out)
+        return 1
     path = save_train_state(str(out), params, momentum,
                             start_step + args.steps)
     deploy = ema if ema is not None else params
