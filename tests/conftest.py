@@ -23,13 +23,13 @@ if _platform == "cpu":
 
 
 # ---------------------------------------------------------------------------
-# Test tiers (VERDICT r3 #8): the full suite is ~55 min on this CPU; the
-# exhaustive parity sweeps / training-convergence runs below are marked
-# `slow` so `-m "not slow"` gives a measured ~30-min core (27m11s for
-# 533 tests, r4; the r5 additions put it near 30) for iteration. The
-# driver's full validation still runs everything. The list is measured
-# (pytest --durations), centralized here so new slow tests only need
-# one line.
+# Test tiers (VERDICT r3 #8): the full suite measured 62 min for 624
+# tests on this CPU (r5); the exhaustive parity sweeps /
+# training-convergence runs below are marked `slow` so `-m "not slow"`
+# gives a measured ~29-min core (28m55s for 541 tests, r5) for
+# iteration. The driver's full validation still runs everything. The
+# list is measured (pytest --durations), centralized here so new slow
+# tests only need one line.
 import pytest  # noqa: E402
 
 SLOW = {
