@@ -27,6 +27,52 @@ from ..ops.color import bgr_to_gray_u8, gray_from_bgr_planes
 from .registry import get_op_class
 
 
+# ---------------------------------------------------------------------------
+# Host (numpy) mirrors of the device gate statistics — the SINGLE source
+# for threshold calibration (calibrate_gate / tools/calibrate_gate.py),
+# the weather-eval report columns (tools/eval_weather.py), and tests.
+# Float-luma gray here: the calibration margin dwarfs the ±1 LSB
+# difference from the device's fixed-point gray.
+
+def host_contrast_stats(frames_u8: np.ndarray,
+                        stat: str = "span") -> np.ndarray:
+    """Per-frame contrast statistic: 'span' = gray max−min (the
+    reference-exact gate statistic, ref pipeline.py:24-30); 'pspan' =
+    p99.5−p0.5 of the stride-4 gray subsample (the outlier-robust
+    additive variant)."""
+    f = np.asarray(frames_u8).astype(np.float32)
+    gray = (0.114 * f[..., 0] + 0.587 * f[..., 1]
+            + 0.299 * f[..., 2]).astype(np.uint8).astype(np.int32)
+    if str(stat) == "pspan":
+        sub = gray[..., ::4, ::4]
+        flat = sub.reshape(sub.shape[:-2] + (-1,))
+        n = flat.shape[-1]
+        s = np.sort(flat, axis=-1)
+        lo = s[..., max(0, int(0.005 * (n - 1)))]
+        hi = s[..., min(n - 1, int(0.995 * (n - 1)))]
+        return (hi - lo).astype(np.float64)
+    return (gray.max(axis=(-2, -1))
+            - gray.min(axis=(-2, -1))).astype(np.float64)
+
+
+def host_impulse_stats(frames_u8: np.ndarray) -> np.ndarray:
+    """Per-frame impulse residual, mirroring the device rain statistic:
+    mean |gray − median3x3(gray)| on the stride-4 subsample. Contrast
+    statistics are structurally blind to impulse noise (it RAISES
+    contrast); this is what lets the gate see the degradation the
+    MedianDerain op exists for."""
+    f = np.asarray(frames_u8).astype(np.float32)
+    gray = (0.114 * f[..., 0] + 0.587 * f[..., 1]
+            + 0.299 * f[..., 2]).astype(np.uint8).astype(np.int32)
+    sub = gray[..., ::4, ::4]
+    p = np.pad(sub, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    h, w = sub.shape[1:]
+    neigh = np.stack([p[:, dy:dy + h, dx:dx + w]
+                      for dy in range(3) for dx in range(3)], axis=-1)
+    med = np.median(neigh, axis=-1)
+    return np.abs(sub - med).mean(axis=(1, 2)).astype(np.float64)
+
+
 class PreprocessPipeline:
     def __init__(self, config: Dict[str, Any]):
         self.enabled = bool(config.get("enabled", True))
@@ -76,24 +122,14 @@ class PreprocessPipeline:
 
     def host_gate_stats(self, frames_u8: np.ndarray) -> np.ndarray:
         """Per-frame contrast statistic (auto_gate.stat) on the host —
-        numpy mirror of the device gate, for threshold calibration.
-        (Float-luma gray: the calibration margin dwarfs the ±1 LSB
-        difference from the device's fixed-point gray.)"""
-        f = np.asarray(frames_u8).astype(np.float32)
-        gray = (0.114 * f[..., 0] + 0.587 * f[..., 1]
-                + 0.299 * f[..., 2]).astype(np.uint8).astype(np.int32)
-        if str(self.auto_gate_cfg.get("stat", "span")) == "pspan":
-            sub = gray[..., ::4, ::4]
-            flat = sub.reshape(sub.shape[:-2] + (-1,))
-            n = flat.shape[-1]
-            s = np.sort(flat, axis=-1)
-            lo = s[..., max(0, int(0.005 * (n - 1)))]
-            hi = s[..., min(n - 1, int(0.995 * (n - 1)))]
-            return (hi - lo).astype(np.float64)
-        return (gray.max(axis=(-2, -1))
-                - gray.min(axis=(-2, -1))).astype(np.float64)
+        numpy mirror of the device gate, for threshold calibration
+        (module-level :func:`host_contrast_stats` is the one
+        implementation)."""
+        return host_contrast_stats(
+            frames_u8, str(self.auto_gate_cfg.get("stat", "span")))
 
-    def calibrate_gate(self, frames_u8: np.ndarray) -> float:
+    def calibrate_gate(self, frames_u8: np.ndarray = None,
+                       stats: np.ndarray = None) -> float:
         """Resolve the "auto" contrast threshold from representative
         CLEAN frames: ``auto_ratio`` (default 0.85) x the
         ``auto_pct``-th percentile (default 10) of the per-frame
@@ -107,8 +143,12 @@ class PreprocessPipeline:
         carry; freezing keeps the device-resident paths valid. For
         drifting deployments, re-run tools/calibrate_gate.py and
         hot-reload the numeric threshold.
+
+        ``stats``: optional precomputed host_gate_stats array (callers
+        that also report the statistics avoid computing them twice).
         """
-        stats = self.host_gate_stats(frames_u8)
+        if stats is None:
+            stats = self.host_gate_stats(frames_u8)
         ratio = float(self.auto_gate_cfg.get("auto_ratio", 0.85))
         pct = float(self.auto_gate_cfg.get("auto_pct", 10.0))
         self._auto_thresh = float(ratio * np.percentile(stats, pct))

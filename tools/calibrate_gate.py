@@ -77,14 +77,15 @@ def main(argv=None) -> int:
         return 1
     stack = np.stack(frames)
 
+    # empty chain: only the HOST statistics run here; stats computed
+    # once and shared between the threshold and the report
     pipe = PreprocessPipeline(
-        {"enabled": True,
-         "chain": [{"name": "MedianDerain", "params": {"ksize": 3}}],
+        {"enabled": True, "chain": [],
          "auto_gate": {"enable_low_contrast_gate": True,
                        "contrast_thresh": "auto", "stat": args.stat,
                        "auto_ratio": args.ratio, "auto_pct": args.pct}})
-    thresh = pipe.calibrate_gate(stack)
     stats = pipe.host_gate_stats(stack)
+    thresh = pipe.calibrate_gate(stats=stats)
     imps = impulse_stats(stack)
 
     def pcts(a):

@@ -97,40 +97,20 @@ def add_rain(frames: np.ndarray, density: float, seed: int) -> np.ndarray:
 
 
 def gray_spans(frames: np.ndarray, stat: str = "span") -> np.ndarray:
-    """Per-frame gray contrast statistic, mirroring the auto-gate's:
-    'span' = max−min (reference pipeline.py:24-30), 'pspan' =
-    p99.5−p0.5 on a stride-4 subsample (the additive robust statistic,
-    preprocess/pipeline.py) — reported so the gate threshold can be
-    read against each weather level."""
-    f = frames.astype(np.float32)
-    gray = 0.114 * f[..., 0] + 0.587 * f[..., 1] + 0.299 * f[..., 2]
-    g = gray.astype(np.uint8).astype(np.int32)
-    if stat == "pspan":
-        sub = g[:, ::4, ::4].reshape(g.shape[0], -1)
-        s = np.sort(sub, axis=-1)
-        n = sub.shape[-1]
-        lo = s[:, max(0, int(0.005 * (n - 1)))]
-        hi = s[:, min(n - 1, int(0.995 * (n - 1)))]
-        return (hi - lo).astype(np.float64)
-    return (g.max(axis=(1, 2)) - g.min(axis=(1, 2))).astype(np.float64)
+    """Per-frame gray contrast statistic, mirroring the auto-gate's —
+    delegates to the pipeline's single host implementation
+    (preprocess.pipeline.host_contrast_stats) so the report columns,
+    the calibration tool, and the device gate can never diverge."""
+    from roadvision_tpu.preprocess.pipeline import host_contrast_stats
+    return host_contrast_stats(frames, stat)
 
 
 def impulse_stats(frames: np.ndarray) -> np.ndarray:
-    """Per-frame impulse residual, mirroring the auto-gate's rain
-    statistic (preprocess/pipeline.py): mean |gray − median3x3(gray)| on
-    the stride-4 subsample. Contrast statistics are structurally blind
-    to impulse noise (it RAISES contrast); this is what lets the gate
-    see the degradation the MedianDerain op exists for."""
-    f = frames.astype(np.float32)
-    gray = 0.114 * f[..., 0] + 0.587 * f[..., 1] + 0.299 * f[..., 2]
-    g = gray.astype(np.uint8).astype(np.int32)
-    sub = g[:, ::4, ::4]
-    p = np.pad(sub, ((0, 0), (1, 1), (1, 1)), mode="edge")
-    h, w = sub.shape[1:]
-    neigh = np.stack([p[:, dy:dy + h, dx:dx + w]
-                      for dy in range(3) for dx in range(3)], axis=-1)
-    med = np.median(neigh, axis=-1)
-    return np.abs(sub - med).mean(axis=(1, 2)).astype(np.float64)
+    """Per-frame impulse (rain) residual — delegates to the pipeline's
+    single host implementation (host_impulse_stats), same reasoning as
+    :func:`gray_spans`."""
+    from roadvision_tpu.preprocess.pipeline import host_impulse_stats
+    return host_impulse_stats(frames)
 
 
 def make_cfg(weights: str, res: int, mode: str, conf: float,
